@@ -1,0 +1,249 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-on-key designs that hold at 100 TB:
+
+* **exact**       — hash-groupBy on a content digest; the shuffle key is a
+                    16-byte md5, perfectly distributed.
+* **MinHash-LSH** — shingle → per-seed min-hash → band signatures →
+                    bucket-join: candidate pairs come from an equi-join on
+                    (band, signature), never a cross join.
+* **SimHash**     — per-token hash bits majority-voted into a short
+                    signature; near-dups collide on the signature key.
+* **n-gram Jaccard** — shingle-level equi-join + intersection count /
+                    union; exact verification for candidate pairs.
+
+Hash choice: md5 (identical lowercase hex in Spark, DuckDB, and Python's
+hashlib) so every operator is oracle-checkable; min() over hex strings is
+lexicographic in both engines — no integer conversion needed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def content_digest(col) -> Column:
+    """Exact-dup key: md5 of the normalized text."""
+    return F.md5(F.lower(F.trim(col)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content digest (dropDuplicates on the
+    digest — one shuffle on a uniform 128-bit key)."""
+    return df.withColumn("_digest", content_digest(F.col(text_col))).dropDuplicates(
+        ["_digest"]
+    ).drop("_digest")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Report duplicate groups: digest, group size, representative id."""
+    return (
+        df.select(
+            content_digest(F.col(text_col)).alias("digest"), F.col(id_col)
+        )
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("representative_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # Guard: F.sequence(1, k) with k < 1 generates a *descending* sequence,
+    # so short texts must map to an empty shingle set explicitly.
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(ngrams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) pairs — the working set for MinHash and
+    Jaccard. Cardinality ≈ rows × tokens; partitions by shingle hash when
+    joined, which is near-uniform."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed s, min over shingles of
+    md5(s || ':' || shingle) (hex string; lexicographic min ≡ min-hash).
+
+    Output: one row per doc with ``sig`` array<string> of length
+    ``n_hashes``. The min-aggregation is a map-side-combinable groupBy —
+    the shuffle carries n_hashes values per doc, not the shingle set.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    hashed = sh.select("doc", "shingle", seeds).select(
+        "doc",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return (
+        hashed.groupBy("doc", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
+        .select("doc", F.transform("_s", lambda s: s["mh"]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band signature are
+    candidates. The pair generation is an equi-join on (band, band_sig) —
+    a bucket join, never O(n²)."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    banded = sigs.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc",
+        "band",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+                "|",
+            )
+        ).alias("band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signature as a ``bits``-char 0/1 string.
+
+    bit_i = sign of Σ_tokens (±1 depending on the i-th hex digit of
+    md5(token) being >= '8'). Distinct tokens weighted once (set
+    semantics), making the signature oracle-reproducible."""
+    assert bits <= 32, "md5 hex gives 32 positions"
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("tok"),
+    ).withColumn("th", F.md5("tok"))
+    pos = toks.select(
+        "doc",
+        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
+        "th",
+    ).select(
+        "doc",
+        "i",
+        F.when(
+            F.substring(F.col("th"), F.col("i"), 1).isin(
+                *"89abcdef"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("v"),
+    )
+    return (
+        pos.groupBy("doc", "i")
+        .agg(F.sum("v").alias("s"))
+        .select(
+            "doc",
+            "i",
+            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "bit"))),
+                    lambda s: s["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| from a shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Jaccard is an
+    exact int/int ratio (bit-identical across engines). The shingle join
+    bounds the pair space to docs that actually share content."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Multimodal column conventions: image/audio/video as opaque binary.
+
+The convention generalizes the engine's geometry-as-WKB design (reference
+``src/lib.rs:390-393``): a modality is a ``binary`` payload column plus a
+typed metadata struct — schema-first, so Catalyst can prune/pushdown
+around payloads it never decodes.
+
+Decode/resize/frame-sample run as Arrow-batched functions over
+``mapInPandas`` so the payload bytes never pass through row-at-a-time
+Python. The actual codecs (PIL/ffmpeg/soundfile) are NOT in this
+container, so the decode kernels are stubbed: ``decode_image`` raises
+``NotImplementedError`` unless given the deterministic fake codec, which
+exists so the Spark-side plumbing (schema, batching, partitioning) is
+real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Metadata struct carried next to every payload column.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image/audio/video
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+
+def attach_payload_meta(
+    df: DataFrame, payload_col: str, media_type: str, codec: str = "raw"
+) -> DataFrame:
+    """Append the metadata struct computed JVM-side (no Python in the path:
+    length + sha2 are built-ins)."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        f"{payload_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(codec).alias("codec"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(p).cast("bigint").alias("n_bytes"),
+            F.lower(F.sha2(p, 256)).alias("sha256"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Deterministic fake image decode: 'dimensions' and 'pixels' derived
+    from the payload digest — stands in for PIL until codecs exist."""
+    d = hashlib.sha256(payload).digest()
+    w, h = 16 + d[0] % 64, 16 + d[1] % 64
+    return w, h, (d * ((w * h) // len(d) + 1))[: w * h]
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "stub",
+) -> DataFrame:
+    """Distributed image decode via mapInPandas (Arrow batches).
+
+    ``codec='stub'`` uses the deterministic fake; any real codec raises
+    NotImplementedError until an imaging library is available. The
+    Spark-side contract (schema, batch iteration, no driver collect) is
+    the real, tested part.
+    """
+    if codec != "stub":
+        raise NotImplementedError(
+            f"image codec {codec!r} requires an imaging library not present "
+            "in this environment; use codec='stub' for the deterministic fake"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pixels": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _fake_decode(bytes(payload))
+                out["doc_id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixels"].append(px)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODED_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 16,
+) -> DataFrame:
+    """'Video' frame sampling over the stub codec: chunk the payload into
+    fixed-size pseudo-frames and keep every ``every_n``-th — exercises the
+    explode-to-frames shape (one row per sampled frame) used by real
+    pipelines."""
+    frames = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.ceil(F.length(payload_col) / 64) - 1, F.lit(0))
+            ),
+            lambda i: F.struct(
+                i.alias("frame_no"),
+                F.substring(
+                    F.col(payload_col).cast("string"), (i * 64 + 1).cast("int"), 64
+                ).alias("frame"),
+            ),
+        ),
+        lambda s: s["frame_no"] % every_n == 0,
+    )
+    return df.select(
+        F.col(id_col), F.explode(frames).alias("f")
+    ).select(id_col, F.col("f.frame_no").alias("frame_no"), F.col("f.frame").alias("frame"))

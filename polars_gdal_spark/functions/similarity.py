@@ -1,0 +1,145 @@
+"""Embedding similarity search.
+
+The cosine kernel works on a **deterministic integer quantization** of the
+float vector: q_i = floor(x_i * 1e6) as BIGINT. float→double is exact,
+double*1e6 and floor are IEEE-deterministic, so Spark and the DuckDB
+oracle produce bit-identical cosines — and integer dot products are
+order-independent (no float-summation drift across partitionings).
+
+Scale design:
+* ``cosine_topk`` — brute force: broadcast the query vector, one scan,
+  TakeOrderedAndProject for the top-k. The right baseline at any scale
+  when k is small and there's one query.
+* ``lsh_bucketed_pairs`` — sign-random-projection LSH: vectors land in
+  hyperplane-sign buckets; candidate pairs come from an equi-join on the
+  bucket key. O(n) + per-bucket joins instead of O(n²).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+QUANT = 1_000_000
+
+
+def quantize(col) -> Column:
+    """array<float> → array<bigint>, q_i = floor(x_i * 1e6)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint")
+    )
+
+
+def dot_q(a, b) -> Column:
+    """Exact integer dot product of two quantized vectors (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq_q(a) -> Column:
+    """Exact integer squared norm."""
+    return dot_q(a, a)
+
+
+def cosine_q(a, b) -> Column:
+    """Cosine over quantized vectors: exact-int dot / double sqrt norms."""
+    return dot_q(a, b) / (
+        F.sqrt(norm_sq_q(a).cast("double")) * F.sqrt(norm_sq_q(b).cast("double"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a single query vector.
+
+    ``query_vec_df`` must be one row with the same ``vec_col``; it is
+    crossJoin-broadcast (1 row) so the scan stays embarrassingly parallel.
+    """
+    q = F.broadcast(
+        query_vec_df.select(
+            F.col(id_col).alias("_qid"), quantize(F.col(vec_col)).alias("_qv")
+        )
+    )
+    cand = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("_v")
+    ).crossJoin(q)
+    scored = cand.where(F.col(id_col) != F.col("_qid")).select(
+        id_col, cosine_q(F.col("_v"), F.col("_qv")).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def pairwise_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs cosine above threshold, optionally blocked by a group
+    column (e.g. a cluster label or LSH bucket) so the join is equi-keyed
+    rather than a full cross product."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("v"),
+        *( [F.col(group_col).alias("g")] if group_col else [] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if group_col:
+        cond = cond & (F.col("a.g") == F.col("b.g"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_q(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def srp_bucket(col, planes: int = 8) -> Column:
+    """Sign-random-projection LSH bucket key: a ``planes``-char 0/1 string,
+    bit_p = sign of Σ_i x_i * w_pi with deterministic pseudo-random weights
+    w_pi = ((p*31 + i*17) % 7) - 3 (small ints → exact integer arithmetic
+    over the quantized vector; reproducible in the SQL oracle)."""
+    q = quantize(col)
+    def bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), F.size(q) - 1),
+                lambda x, i: x * (((F.lit(p) * 31 + i * 17) % 7) - 3),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+    return F.concat(*[bit(p) for p in range(planes)])
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ANN candidate pairs: equi-join on the SRP bucket, then exact cosine
+    refinement. At scale this is the shuffle-friendly path: bucket keys
+    distribute uniformly and each bucket joins locally."""
+    withb = df.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bkt")
+    )
+    return pairwise_cosine(
+        withb, id_col=id_col, vec_col=vec_col, group_col="bkt", threshold=threshold
+    ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})

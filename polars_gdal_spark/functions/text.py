@@ -1,0 +1,109 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no
+Python UDFs in the hot path — so the expressions stay inside whole-stage
+codegen and scale linearly with input splits on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic. Deliberately small: language ID at corpus scale is a scoring
+# pass over a scan, not a model inference.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish token estimate: word-piece regex splitting words from
+    digits/punctuation, ~the granularity a byte-pair tokenizer sees."""
+    arr = F.filter(
+        F.split(F.regexp_replace(col, r"([0-9]+|[^\w\s])", r" $1 "), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    return F.size(arr).cast("bigint")
+
+
+def punct_count(col) -> Column:
+    """Number of punctuation characters."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?'\"()\[\]-]", ""))
+    ).cast("bigint")
+
+
+def stopword_count(col) -> Column:
+    """Count of tokens that are common English stopwords."""
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(
+        F.filter(tokens(col), lambda x: F.array_contains(stop, x))
+    ).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns: counts are exact integers so every
+    derived ratio is a deterministic double (int/int division)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_chars_q", F.length(c).cast("bigint"))
+        .withColumn("n_tokens", token_count(c))
+        .withColumn("n_punct", punct_count(c))
+        .withColumn("n_stopwords", stopword_count(c))
+        .withColumn(
+            "avg_token_len",
+            (F.col("n_chars_q") - (F.col("n_tokens") - 1))
+            / F.col("n_tokens"),
+        )
+        .withColumn("punct_ratio", F.col("n_punct") / F.col("n_chars_q"))
+        .withColumn("stopword_ratio", F.col("n_stopwords") / F.col("n_tokens"))
+    )
+
+
+def lang_marker_hits(col, lang: str) -> Column:
+    """How many marker tokens of ``lang`` appear in the text."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(markers, x)))
+
+
+def lang_guess(col) -> Column:
+    """Stopword-scoring language ID: argmax over marker-hit counts with a
+    deterministic alphabetical-priority tiebreak, 'und' when nothing
+    matches. Expressed as a CASE cascade so the DuckDB oracle can mirror
+    it exactly."""
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr
+    hits = {lg: lang_marker_hits(col, lg) for lg in langs}
+    expr = F.lit("und")
+    # Build the cascade back-to-front: each lang wins if it beats all
+    # languages after it in alphabetical order (earlier langs already won).
+    for i in range(len(langs) - 1, -1, -1):
+        lg = langs[i]
+        cond = hits[lg] > 0
+        for later in langs[i + 1 :]:
+            cond = cond & (hits[lg] >= hits[later])
+        expr = F.when(cond, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col, k: int = 8) -> Column:
+    """Document fingerprint: md5 over the first ``k`` normalized tokens —
+    a prefix fingerprint that catches boilerplate-headed near-dups."""
+    prefix = F.slice(tokens(F.lower(col)), 1, k)
+    return F.md5(F.array_join(prefix, " "))

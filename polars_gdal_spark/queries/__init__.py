@@ -1,0 +1,100 @@
+"""Query inventory — the driver-contract registry.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+operators) registers here via :func:`query`, pairing a PySpark callable
+``(spark, sf_dir) -> DataFrame`` with an equivalent DuckDB oracle SQL
+string (or ``None`` for genuinely non-SQL-expressible ops, which the
+driver checks rows-only).
+
+Determinism contract with the oracle (critical for value-hash matching):
+
+* Money/double aggregations are computed over ``DECIMAL`` casts so the sum
+  is exact and order-independent, then cast back to ``DOUBLE`` at the end —
+  bit-identical between Spark and DuckDB regardless of partitioning.
+* Timestamps are never emitted raw; they are cast to date strings /
+  epoch integers.
+* Every computed column is aliased identically on both sides.
+* ``LIMIT`` is always preceded by a total order (explicit tiebreaker).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    func: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a query + its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver parquet. Spark reads
+# them as long (nanosAsLong); truncate ns->us exactly like DuckDB does.
+_NS_TIMESTAMP_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables and register temp views.
+
+    Parquet scans give Catalyst pushdown/pruning for free; views let query
+    bodies mix DataFrame API and ``spark.sql`` freely.
+    """
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in _NS_TIMESTAMP_COLS.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
+
+
+def _register_all() -> None:
+    # Import side-effect: populate QUERIES.
+    from polars_gdal_spark.queries import dedup  # noqa: F401
+    from polars_gdal_spark.queries import geo  # noqa: F401
+    from polars_gdal_spark.queries import relational  # noqa: F401
+    from polars_gdal_spark.queries import similarity  # noqa: F401
+    from polars_gdal_spark.queries import text  # noqa: F401
+
+
+_register_all()

@@ -1,0 +1,185 @@
+"""Deduplication queries over the ``documents`` table (driver contract).
+
+The raw corpus has no duplicates, so each query runs the operators over a
+deterministic **augmented corpus**: every document plus a near-duplicate
+mutation (the first 80% of its tokens, doc_id+10000) and — for the exact
+family — a verbatim copy (doc_id+20000). The augmentation itself is pure
+DataFrame algebra, reproduced verbatim in the DuckDB oracle, so hits are
+guaranteed and hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polars_gdal_spark.functions import dedup as D
+from polars_gdal_spark.queries import load_tables, query
+
+
+def _toks(c):
+    return F.filter(F.split(F.lower(c), " "), lambda x: x != F.lit(""))
+
+
+def _augmented(spark: SparkSession, sf_dir: str, with_copy: bool = False) -> DataFrame:
+    """base (normalized) ∪ 80%-prefix mutation (+10000) [∪ verbatim copy (+20000)]."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = _toks(F.col("text"))
+    base = docs.select(
+        F.col("doc_id").alias("doc"), F.array_join(tk, " ").alias("text")
+    )
+    k = F.greatest(F.lit(1), F.floor(F.size(tk) * 0.8).cast("int"))
+    mut = docs.select(
+        (F.col("doc_id") + 10000).alias("doc"),
+        F.array_join(F.slice(tk, F.lit(1), k), " ").alias("text"),
+    )
+    out = base.unionAll(mut)
+    if with_copy:
+        out = out.unionAll(
+            base.select((F.col("doc") + 20000).alias("doc"), "text")
+        )
+    return out
+
+
+# Shared oracle CTEs mirroring _augmented + shingle generation.
+_AUG_SQL = """
+  toks AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+    FROM documents
+  ),
+  aug AS (
+    SELECT doc_id AS doc, array_to_string(tk, ' ') AS text FROM toks
+    UNION ALL
+    SELECT doc_id + 10000 AS doc,
+           array_to_string(
+             array_slice(tk, 1, greatest(1, CAST(floor(0.8 * len(tk)) AS INT))),
+             ' ') AS text
+    FROM toks
+  )
+"""
+
+_SHINGLE_SQL = """
+  tk2 AS (
+    SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM aug
+  ),
+  shing AS (
+    SELECT doc, unnest(list_distinct(
+      CASE WHEN len(tk) >= 3 THEN
+        list_transform(generate_series(1, len(tk) - 2),
+                       i -> array_to_string(array_slice(tk, i, i + 2), ' '))
+      ELSE []::VARCHAR[] END)) AS shingle
+    FROM tk2
+  )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    aug2 AS (
+      SELECT * FROM aug
+      UNION ALL
+      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text FROM toks
+    )
+    SELECT md5(lower(trim(text))) AS digest,
+           count(*) AS n_dups,
+           min(doc) AS representative_id
+    FROM aug2
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest hash-groupBy: reports duplicate
+    groups (digest, size, representative). The verbatim copies guarantee
+    one group per source document. Map-side combine keeps the shuffle at
+    one row per digest — the O(corpus) exact-dedup at 100 TB."""
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    return D.exact_dup_groups(aug, "doc", "text")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    {_SHINGLE_SQL},
+    mh AS (
+      SELECT doc, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+      FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc, seed
+    ),
+    bands AS (
+      SELECT doc, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc, seed // 4
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows) over
+    3-word shingles. Pair generation is an equi-join on (band, band_sig)
+    — bucket-local, never O(n²); the canonical fuzzy-dedup at scale."""
+    aug = _augmented(spark, sf_dir)
+    return D.minhash_lsh_pairs(
+        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc, count(*) AS sz FROM shing GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verification pairs (≥0.3). Pair space bounded
+    by the shingle equi-join; jaccard is an exact int/int ratio."""
+    aug = _augmented(spark, sf_dir)
+    return D.ngram_jaccard_pairs(aug, "doc", "text", n=3, threshold=0.3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    tk2 AS (
+      SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM aug
+    ),
+    dtoks AS (SELECT doc, unnest(list_distinct(tk)) AS tok FROM tk2),
+    pos AS (
+      SELECT doc, i,
+             CASE WHEN substr(md5(tok), i, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
+      FROM dtoks, (SELECT unnest(generate_series(1, 32)) AS i) r
+    ),
+    bitv AS (
+      SELECT doc, i, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+      FROM pos GROUP BY doc, i
+    )
+    SELECT doc, string_agg(bit, '' ORDER BY i) AS simhash
+    FROM bitv GROUP BY doc
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (distinct-token ±1 votes per
+    bit position). Near-dups land within small hamming distance; the
+    signature itself is the hash-checked artifact."""
+    aug = _augmented(spark, sf_dir)
+    return D.simhash_bits(aug, "doc", "text", bits=32)

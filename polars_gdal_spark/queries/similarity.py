@@ -1,0 +1,109 @@
+"""Embedding similarity-search queries over ``embeddings`` (driver contract).
+
+All cosines run over the deterministic integer quantization
+(functions/similarity.py) so Spark and DuckDB produce bit-identical
+doubles — no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polars_gdal_spark.functions import similarity as S
+from polars_gdal_spark.queries import load_tables, query
+
+_Q_SQL = """
+  q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+  )
+"""
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH {_Q_SQL},
+    qq AS (SELECT v FROM q WHERE vec_id = 0)
+    SELECT a.vec_id,
+           list_dot_product(a.v, qq.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(qq.v, qq.v))) AS cosine
+    FROM q a, qq
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the query vector vec_id=0: broadcast
+    1-row query, single scan, TakeOrderedAndProject — the exact-ANN
+    baseline that stays one pass at any corpus size."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.where(F.col("vec_id") == 0)
+    return S.cosine_topk(emb, qv, k=10)
+
+
+@query(
+    "sim_pairwise_label_blocked",
+    oracle=f"""
+    WITH {_Q_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+)
+def sim_pairwise_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine ≥ 0.3) blocked by label —
+    the blocked equi-join pattern: pair space is per-block, not corpus²."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.pairwise_cosine(
+        emb, id_col="vec_id", vec_col="embedding", group_col="label", threshold=0.3
+    )
+
+
+@query(
+    "sim_lsh_bucketed",
+    oracle=f"""
+    WITH {_Q_SQL},
+    proj AS (
+      SELECT q.vec_id, p.p,
+             sum(q.v[i.i + 1] * ((((p.p * 31) + (i.i * 17)) % 7) - 3)) AS s
+      FROM q,
+           (SELECT unnest(generate_series(0, 7)) AS p) p,
+           (SELECT unnest(generate_series(0, 63)) AS i) i
+      GROUP BY q.vec_id, p.p
+    ),
+    bkt AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bkt
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT q.vec_id, q.v, bkt.bkt FROM q JOIN bkt USING (vec_id))
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM qb a JOIN qb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+    """,
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: 8 deterministic hyperplanes →
+    bucket key → bucket-local pairs → exact cosine refinement ≥ 0.25.
+    The scale path: equi-join on the bucket, no cross product."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.lsh_bucketed_pairs(
+        emb, id_col="vec_id", vec_col="embedding", planes=8, threshold=0.25
+    )

@@ -1,0 +1,186 @@
+"""Text-analysis queries over the ``documents`` table (driver contract).
+
+Each query pairs the Spark operator (polars_gdal_spark.functions.text)
+with a DuckDB oracle that replicates the computation token-for-token.
+All ratios are int/int double divisions → bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polars_gdal_spark.functions import text as T
+from polars_gdal_spark.queries import load_tables, query
+
+# DuckDB fragments mirroring functions/text.py definitions.
+_TOKS = "list_filter(string_split({c}, ' '), x -> x <> '')"
+_NTOK = f"len({_TOKS})"
+_PUNCT = (
+    "length({c}) - length(regexp_replace({c}, '[.,;:!?''\"()\\[\\]-]', '', 'g'))"
+)
+_STOPS = (
+    "len(list_filter(" + _TOKS + ", x -> list_contains("
+    "['the','a','of','and','to','in','is','it'], x)))"
+)
+
+
+@query(
+    "text_quality_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS chars_len,
+           CAST({_NTOK.format(c='text')} AS BIGINT) AS n_tokens,
+           CAST({_PUNCT.format(c='text')} AS BIGINT) AS n_punct,
+           CAST({_STOPS.format(c='text')} AS BIGINT) AS n_stopwords,
+           (length(text) - ({_NTOK.format(c='text')} - 1))
+             / {_NTOK.format(c='text')} AS avg_token_len,
+           ({_PUNCT.format(c='text')}) / length(text) AS punct_ratio,
+           ({_STOPS.format(c='text')}) / {_NTOK.format(c='text')} AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring pass: char/token/punct/stopword counts + ratios.
+    Pure JVM expressions — one scan, no shuffle, linear at any scale."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        F.length(c).cast("bigint").alias("chars_len"),
+        T.token_count(c).alias("n_tokens"),
+        T.punct_count(c).alias("n_punct"),
+        T.stopword_count(c).alias("n_stopwords"),
+        (
+            (F.length(c).cast("bigint") - (T.token_count(c) - 1))
+            / T.token_count(c)
+        ).alias("avg_token_len"),
+        (T.punct_count(c) / F.length(c).cast("bigint")).alias("punct_ratio"),
+        (T.stopword_count(c) / T.token_count(c)).alias("stopword_ratio"),
+    )
+
+
+def _hits_sql(markers: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter({_TOKS.format(c='text')},"
+        f" x -> list_contains([{lst}], x)))"
+    )
+
+
+_H = {lg: _hits_sql(m) for lg, m in sorted(T.LANG_MARKERS.items())}
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_H['de']} AS h_de, {_H['en']} AS h_en,
+             {_H['es']} AS h_es, {_H['fr']} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+                WHEN h_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-marker scoring (n-gram heuristic family)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        T.lang_guess(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT source,
+           CAST(sum({_NTOK.format(c='text')}) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(list_filter(
+             string_split_regex(
+               regexp_replace(text, '([0-9]+|[^\\w\\s])', ' \\1 ', 'g'),
+               '\\s+'),
+             x -> x <> ''))) AS BIGINT) AS bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex), aggregated
+    per source — the budget accounting pass of a training-data pipeline."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return (
+        t["documents"]
+        .select(
+            "source",
+            T.token_count(c).alias("wt"),
+            T.bpe_ish_token_count(c).alias("bt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("wt").cast("bigint").alias("ws_tokens"),
+            F.sum("bt").cast("bigint").alias("bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(
+             array_slice({_TOKS.format(c='lower(text)')}, 1, 8), ' '))
+             AS fingerprint
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint (md5 of first 8 normalized tokens) — the
+    boilerplate-header near-dup key."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", T.fingerprint(F.col("text"), 8).alias("fingerprint"))
+    )
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT source,
+           count(*) AS n_payloads,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           min(sha256(text)) AS min_sha256
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column convention: documents' text bytes stand in for an
+    opaque binary payload; metadata (size, sha256) computed JVM-side and
+    aggregated per source. ASCII text ⇒ utf-8 byte length == char length,
+    so the oracle can use length(text)."""
+    from polars_gdal_spark.functions.multimodal import attach_payload_meta
+
+    t = load_tables(spark, sf_dir)
+    payloads = t["documents"].select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("payload")
+    )
+    with_meta = attach_payload_meta(payloads, "payload", "text")
+    return with_meta.groupBy("source").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.col("payload_meta.n_bytes")).cast("bigint").alias("total_bytes"),
+        F.min(F.col("payload_meta.sha256")).alias("min_sha256"),
+    )
