@@ -88,24 +88,22 @@ def minhash_signatures(
     md5(s || ':' || shingle) (hex string; lexicographic min ≡ min-hash).
 
     Output: one row per doc with ``sig`` array<string> of length
-    ``n_hashes``. The min-aggregation is a map-side-combinable groupBy —
-    the shuffle carries n_hashes values per doc, not the shingle set.
+    ``n_hashes``. All ``n_hashes`` minima are computed as parallel agg
+    columns in ONE groupBy pass — no seed explode (which would multiply
+    the shingle table n_hashes×), and the min-agg is map-side combinable
+    so the shuffle carries n_hashes values per doc, not the shingle set.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    hashed = sh.select("doc", "shingle", seeds).select(
-        "doc",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
-    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_mh{s}")
+        for s in range(n_hashes)
+    ]
     return (
-        hashed.groupBy("doc", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
-        .select("doc", F.transform("_s", lambda s: s["mh"]).alias("sig"))
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select(
+            "doc", F.array(*[f"_mh{s}" for s in range(n_hashes)]).alias("sig")
+        )
     )
 
 
@@ -119,8 +117,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band signature are
-    candidates. The pair generation is an equi-join on (band, band_sig) —
-    a bucket join, never O(n²)."""
+    candidates.
+
+    Pair generation groups docs per (band, band_sig) bucket and explodes
+    in-bucket combinations — one aggregation pass over the signatures,
+    no self-join (a self-join would recompute the signature lineage on
+    both sides and shuffle it twice). Bucket membership lists are bounded
+    by duplicate-cluster size, which stays small under any realistic
+    near-dup rate; this is the canonical fuzzy-dedup shape at 100 TB.
+    """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     banded = sigs.select(
@@ -137,18 +142,27 @@ def minhash_lsh_pairs(
             )
         ).alias("band_sig"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    n = F.size("docs")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("docs"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("docs"), i).alias("doc_a"),
+                    y.alias("doc_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

@@ -87,11 +87,13 @@ def pairwise_cosine(
     """All-pairs cosine above threshold, optionally blocked by a group
     column (e.g. a cluster label or LSH bucket) so the join is equi-keyed
     rather than a full cross product."""
+    # Precompute each vector's norm BEFORE the join: the pairwise stage
+    # then does one dot product per pair instead of three (dot + 2 norms).
     base = df.select(
         F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("v"),
         *( [F.col(group_col).alias("g")] if group_col else [] ),
-    )
+    ).withColumn("nrm", F.sqrt(norm_sq_q(F.col("v")).cast("double")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if group_col:
@@ -101,7 +103,10 @@ def pairwise_cosine(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_q(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (
+                dot_q(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
