@@ -1,0 +1,167 @@
+"""Geometry scalar functions — the engine's only custom scalar functions
+(SURVEY §2.J): conversions between the three geometry encodings the
+reference supports (``GeometryFormat``, reference ``src/lib.rs:126-139``),
+plus coordinate accessors and bounds useful for spatial bucketing.
+
+All are Arrow-batched pandas UDFs (the 10-100× faster Python path).
+UDF objects are built lazily on the driver: decorating at module import
+would crash executor-side imports (pandas_udf needs an active session).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _map(series: pd.Series, fn):
+    return series.map(lambda v: None if v is None else fn(v))
+
+
+def _impl_wkb_to_wkt(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import wkb_to_wkt
+
+    return _map(s, lambda v: wkb_to_wkt(bytes(v)))
+
+
+def _impl_wkb_to_geojson(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import wkb_to_geojson
+
+    return _map(s, lambda v: json.dumps(wkb_to_geojson(bytes(v))))
+
+
+def _impl_wkt_to_wkb(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import wkt_to_wkb
+
+    return _map(s, wkt_to_wkb)
+
+
+def _impl_geojson_to_wkb(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import geojson_to_wkb
+
+    return _map(s, lambda v: geojson_to_wkb(json.loads(v)))
+
+
+def _impl_geometry_type(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import geometry_type_of_wkb
+
+    return _map(s, lambda v: geometry_type_of_wkb(bytes(v)))
+
+
+def _bounds(geom) -> tuple[float, float, float, float]:
+    t, c = geom
+    xs, ys = [], []
+
+    def walk(node):
+        if isinstance(node, tuple) and node and isinstance(node[0], (int, float)):
+            xs.append(node[0])
+            ys.append(node[1])
+        else:
+            for sub in node:
+                walk(sub)
+
+    if t == "GeometryCollection":
+        for sub in c:
+            walk(sub[1])
+    else:
+        walk(c)
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def _impl_st_bounds(s: pd.Series) -> pd.DataFrame:
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    out = {"minx": [], "miny": [], "maxx": [], "maxy": []}
+    for v in s:
+        if v is None:
+            for k in out:
+                out[k].append(None)
+        else:
+            mnx, mny, mxx, mxy = _bounds(wkb_to_geom(bytes(v)))
+            out["minx"].append(mnx)
+            out["miny"].append(mny)
+            out["maxx"].append(mxx)
+            out["maxy"].append(mxy)
+    return pd.DataFrame(out)
+
+
+def _impl_st_x(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v):
+        t, c = wkb_to_geom(bytes(v))
+        return float(c[0]) if t == "Point" else None
+
+    return _map(s, fn)
+
+
+def _impl_st_y(s: pd.Series) -> pd.Series:
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v):
+        t, c = wkb_to_geom(bytes(v))
+        return float(c[1]) if t == "Point" else None
+
+    return _map(s, fn)
+
+
+def _impl_st_grid_cell(s: pd.Series) -> pd.Series:
+    import math
+
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v):
+        mnx, mny, mxx, mxy = _bounds(wkb_to_geom(bytes(v)))
+        cx, cy = (mnx + mxx) / 2, (mny + mxy) / 2
+        return f"{int(math.floor(cx))}:{int(math.floor(cy))}"
+
+    return _map(s, fn)
+
+
+_SPECS = {
+    "wkb_to_wkt_col": (_impl_wkb_to_wkt, "string"),
+    "wkb_to_geojson_col": (_impl_wkb_to_geojson, "string"),
+    "wkt_to_wkb_col": (_impl_wkt_to_wkb, "binary"),
+    "geojson_to_wkb_col": (_impl_geojson_to_wkb, "binary"),
+    "geometry_type_col": (_impl_geometry_type, "string"),
+    "st_bounds": (
+        _impl_st_bounds,
+        "struct<minx:double,miny:double,maxx:double,maxy:double>",
+    ),
+    "st_x": (_impl_st_x, "double"),
+    "st_y": (_impl_st_y, "double"),
+    "st_grid_cell": (_impl_st_grid_cell, "string"),
+}
+
+
+def _udf(name: str):
+    if name not in _UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        impl, rtype = _SPECS[name]
+        _UDF_CACHE[name] = pandas_udf(rtype)(impl)
+    return _UDF_CACHE[name]
+
+
+def __getattr__(name: str):
+    """Lazy UDF access: ``geo.wkb_to_wkt_col`` builds the pandas UDF on
+    first use (driver side), so executor imports of this module stay
+    session-free."""
+    if name in _SPECS:
+        return _udf(name)
+    raise AttributeError(name)
+
+
+# docstring anchors for the public surface -------------------------------
+# wkb_to_wkt_col(col)      WKB binary -> WKT string (src/lib.rs:394-399)
+# wkb_to_geojson_col(col)  WKB binary -> GeoJSON string (src/lib.rs:400-405;
+#                          the reference's write-side GeoJSON was todo!())
+# wkt_to_wkb_col(col)      WKT string -> WKB binary (src/lib.rs:725-731)
+# geojson_to_wkb_col(col)  GeoJSON string -> WKB binary
+# geometry_type_col(col)   geometry type name (writer sniff, src/lib.rs:529-540)
+# st_bounds(col)           bbox struct for spatial bucketing
+# st_x/st_y(col)           Point accessors
+# st_grid_cell(col)        1-degree grid key (spatial-join blocking)

@@ -18,6 +18,14 @@ def get_spark(
     app_name: str = "polars_gdal_spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # Python workers (custom DataSource / UDFs) must be able to import
+    # this package; local-mode workers inherit PYTHONPATH from the driver.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
@@ -35,6 +43,9 @@ def get_spark(
         # Spark parquet reader rejects by default; read as long and convert
         # (truncating ns -> us, matching DuckDB) in queries.load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # enable pushFilters() on Python data sources (the gdal reader's
+        # OGR SetAttributeFilter analogue)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")

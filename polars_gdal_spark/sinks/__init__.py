@@ -1,0 +1,183 @@
+"""Write-side format assemblers.
+
+``assemble`` is the driver-side half of the two-phase write
+(reference write path ``src/lib.rs:499-573``): executors produced
+NDJSON feature part files; this turns them into the final resource in
+the requested driver format. Completes what the reference left
+``todo!()``: Date/Datetime/List values are written, not panicked on
+(SURVEY §4.3.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sqlite3
+from collections.abc import Iterator
+
+from polars_gdal_spark.geometry import geojson_to_geom, geom_to_wkb, geom_to_wkt
+
+
+def _iter_features(parts: list[str]) -> Iterator[dict]:
+    for p in sorted(parts):
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    yield json.loads(line)
+
+
+def assemble(
+    driver: str,
+    parts: list[str],
+    path: str,
+    options: dict,
+    schema,
+    geom_col: str,
+    partitioned: bool = False,
+) -> None:
+    if partitioned:
+        os.makedirs(path, exist_ok=True)
+        for p in sorted(parts):
+            shutil.move(p, os.path.join(path, os.path.basename(p)))
+        return
+    d = driver.lower()
+    if d in ("geojson",):
+        _write_geojson(parts, path)
+    elif d in ("geojsonseq", "ndjson"):
+        _write_ndjson(parts, path)
+    elif d == "csv":
+        _write_csv(parts, path, schema, geom_col)
+    elif d == "gpkg":
+        _write_gpkg(parts, path, options, schema, geom_col)
+    else:
+        raise ValueError(
+            f"unsupported write driver {driver!r} "
+            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG)"
+        )
+
+
+def _write_geojson(parts: list[str], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        first = True
+        for feat in _iter_features(parts):
+            if not first:
+                f.write(",\n")
+            json.dump(feat, f)
+            first = False
+        f.write("\n]}\n")
+
+
+def _write_ndjson(parts: list[str], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for feat in _iter_features(parts):
+            json.dump(feat, f)
+            f.write("\n")
+
+
+def _write_csv(parts: list[str], path: str, schema, geom_col: str) -> None:
+    import csv
+
+    attr_cols = [f.name for f in schema.fields if f.name != geom_col]
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(attr_cols + [geom_col])
+        for feat in _iter_features(parts):
+            props = feat.get("properties") or {}
+            geom = feat.get("geometry")
+            wkt = geom_to_wkt(geojson_to_geom(geom)) if geom else ""
+            w.writerow([props.get(c) for c in attr_cols] + [wkt])
+
+
+_GPKG_SQL_TYPES = {
+    "bigint": "INTEGER", "int": "INTEGER", "smallint": "INTEGER",
+    "double": "REAL", "float": "REAL",
+    "string": "TEXT", "boolean": "INTEGER",
+    "date": "TEXT", "timestamp": "TEXT", "timestamp_ntz": "TEXT",
+    "binary": "BLOB",
+}
+
+
+def gpkg_geom_blob(geom: tuple, srid: int = 4326) -> bytes:
+    """Standard GeoPackage geometry blob: GP header (no envelope) + WKB."""
+    import struct
+
+    header = b"GP" + bytes([0x00, 0b00000001]) + struct.pack("<i", srid)
+    return header + geom_to_wkb(geom)
+
+
+def _write_gpkg(
+    parts: list[str], path: str, options: dict, schema, geom_col: str
+) -> None:
+    layer = options.get("layer", "layer")
+    srid = int(options.get("srs", "4326").split(":")[-1] or 4326)
+    attr_cols = [
+        (f.name, _GPKG_SQL_TYPES.get(f.dataType.simpleString(), "TEXT"))
+        for f in schema.fields
+        if f.name != geom_col
+    ]
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.executescript(
+            """
+            PRAGMA application_id = 0x47504B47;
+            PRAGMA user_version = 10300;
+            CREATE TABLE gpkg_spatial_ref_sys (
+              srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+              organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+              definition TEXT NOT NULL, description TEXT);
+            INSERT INTO gpkg_spatial_ref_sys VALUES
+              ('Undefined cartesian SRS', -1, 'NONE', -1, 'undefined', NULL),
+              ('Undefined geographic SRS', 0, 'NONE', 0, 'undefined', NULL),
+              ('WGS 84', 4326, 'EPSG', 4326,
+               'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]]',
+               NULL);
+            CREATE TABLE gpkg_contents (
+              table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+              identifier TEXT UNIQUE, description TEXT DEFAULT '',
+              last_change DATETIME DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+              min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+              srs_id INTEGER);
+            CREATE TABLE gpkg_geometry_columns (
+              table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+              geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+              z TINYINT NOT NULL, m TINYINT NOT NULL,
+              CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
+            """
+        )
+        cols_sql = ", ".join(f'"{c}" {t}' for c, t in attr_cols)
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
+            + (f", {cols_sql}" if cols_sql else "")
+            + f', "{geom_col}" BLOB)'
+        )
+        geom_type = "GEOMETRY"
+        placeholders = ", ".join(["?"] * (len(attr_cols) + 1))
+        names = ", ".join([f'"{c}"' for c, _ in attr_cols] + [f'"{geom_col}"'])
+        for feat in _iter_features(parts):
+            props = feat.get("properties") or {}
+            gj = feat.get("geometry")
+            blob = None
+            if gj:
+                geom = geojson_to_geom(gj)
+                geom_type = geom[0].upper() if geom_type == "GEOMETRY" else geom_type
+                blob = gpkg_geom_blob(geom, srid)
+            con.execute(
+                f'INSERT INTO "{layer}" ({names}) VALUES ({placeholders})',
+                [props.get(c) for c, _ in attr_cols] + [blob],
+            )
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id)"
+            " VALUES (?, 'features', ?, ?)",
+            (layer, layer, srid),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
+            (layer, geom_col, geom_type, srid),
+        )
+        con.commit()
+    finally:
+        con.close()

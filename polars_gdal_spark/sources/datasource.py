@@ -1,0 +1,498 @@
+"""The ``gdal`` PySpark DataSource: vector geospatial formats in/out.
+
+Spark-first re-expression of the reference's read/write API surface
+(SURVEY §2.A–§2.C): ``spark.read.format("gdal")`` replaces
+``df_from_resource`` (reference ``src/lib.rs:294-312``),
+``df.write.format("gdal")`` replaces ``gdal_resource_from_df``
+(``src/lib.rs:629-642``).
+
+Reader options (parity with ``ReadParams``, ``src/lib.rs:29-88``):
+
+=====================  =====================================================
+``layer``              layer name (``src/lib.rs:61-63``)
+``layerIndex``         layer index, name wins (``src/lib.rs:65-67``)
+``fidColumn``          emit source FID as leading bigint col (``69-70``)
+``geometryColumn``     geometry column name, default ``geometry`` (``72-75``)
+``geometryFormat``     ``wkb`` (default) | ``wkt`` | ``geojson`` (``77-78``)
+``offset``             skip first N features (``86-88``)
+``limit``              truncating limit — max rows *returned* (``80-81``;
+                       intentional divergence from the reference's
+                       raw-index check, SURVEY §4.3.3)
+``maxRows``            erroring limit (``83-84``: FeatureLimitReached)
+``drivers``            comma-separated driver allow-list (``41-44``)
+``x/y/geom_possible_names``, ``autodetect_type``
+                       CSV open options (GDAL parity, README.md:46-54)
+``dropAllNullColumns`` reference drops all-null cols (``474-478``); we
+                       keep them as null strings unless this is ``true``
+=====================  =====================================================
+
+Scale design: ``partitions()`` fans out per input file AND intra-file
+via driver ``split_ranges`` (FID ranges from .shx, rowid ranges in
+SQLite) — the reference is single-threaded (SURVEY §3); this source
+parallelizes the same byte formats. Simple pushed filters are evaluated
+inside the scan loop (the OGR ``SetAttributeFilter`` analogue), so rows
+drop before crossing the Python→JVM Arrow boundary.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from polars_gdal_spark.errors import (
+    CannotFindGeometryColumnError,
+    FeatureLimitReachedError,
+    GeometryColumnWrongTypeError,
+    UnsupportedFormatError,
+)
+
+GEOMETRY_FORMATS = ("wkb", "wkt", "geojson")
+
+
+def _opt(options: dict, name: str, default=None):
+    # DataSource options arrive lower-cased (CaseInsensitiveDict semantics).
+    return options.get(name.lower(), default)
+
+
+def _resolve_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p) and not p.endswith((".shx", ".dbf", ".prj", ".cpg"))
+        )
+    elif any(ch in path for ch in "*?["):
+        out = sorted(_glob.glob(path))
+    else:
+        out = [path]
+    if not out:
+        raise UnsupportedFormatError(f"no input files at {path!r}")
+    return out
+
+
+def _resolve_layer(driver, path: str, options: dict) -> str:
+    layers = driver.list_layers(path, options)
+    name = _opt(options, "layer")
+    if name is not None:
+        if name not in layers:
+            raise ValueError(f"layer {name!r} not found; available: {layers}")
+        return name
+    idx = _opt(options, "layerIndex")
+    if idx is not None:
+        return layers[int(idx)]
+    return layers[0]  # name → index → 0 (reference src/lib.rs:303-309)
+
+
+def infer_schema(options: dict) -> StructType:
+    """Driver-side inference pass (SURVEY §1.4): column order is
+    fid?, attributes (first-seen), geometry last (src/lib.rs:466-482)."""
+    from polars_gdal_spark.sources.formats import find_driver
+
+    path = _opt(options, "path")
+    paths = _resolve_paths(path)
+    allowed = _opt(options, "drivers")
+    allowed = [d.strip() for d in allowed.split(",")] if allowed else None
+    driver = find_driver(paths[0], allowed)
+    layer = _resolve_layer(driver, paths[0], options)
+    fields = driver.layer_fields(paths[0], layer, options)
+
+    geom_col = _opt(options, "geometryColumn", "geometry")
+    fid_col = _opt(options, "fidColumn")
+    gfmt = _opt(options, "geometryFormat", "wkb").lower()
+    if gfmt not in GEOMETRY_FORMATS:
+        raise ValueError(f"geometryFormat must be one of {GEOMETRY_FORMATS}")
+
+    ddl = []
+    if fid_col:
+        ddl.append((fid_col, "bigint", False))
+    for f in fields:
+        name = f.name
+        # Conflict rename (reference src/lib.rs:453-463): attribute
+        # colliding with geometry/fid column becomes {name}_original.
+        if name == geom_col or (fid_col and name == fid_col):
+            name = f"{name}_original"
+        ddl.append((name, f.dtype, True))
+    geom_type = "binary" if gfmt == "wkb" else "string"
+    ddl.append((geom_col, geom_type, True))
+
+    # Return a DDL string: DataSource.schema() runs in a context-less
+    # Python worker where StructType.fromDDL cannot parse (needs a JVM).
+    return ", ".join(
+        "`{}` {}".format(name.replace("`", "``"), dtype) for name, dtype, _ in ddl
+    )
+
+
+@dataclass
+class GdalInputPartition(InputPartition):
+    path: str
+    layer: str
+    start: int | None = None  # feature-range split (None = whole layer)
+    end: int | None = None
+    # Pushed filters travel IN the partition, not on the reader instance:
+    # Spark reuses one reader instance across queries on the same
+    # DataFrame, so instance state set by pushFilters() in one query
+    # would leak into the next query's scan (observed: a filtered write
+    # contaminating a later unfiltered count). partitions() snapshots
+    # the current query's filters here and resets the instance.
+    filters: tuple = ()
+
+
+def _passes(filters: list[tuple], props: dict) -> bool:
+    for kind, col, val in filters:
+        v = props.get(col)
+        if kind == "isnull":
+            if v is not None:
+                return False
+            continue
+        if kind == "isnotnull":
+            if v is None:
+                return False
+            continue
+        if v is None:
+            return False
+        try:
+            if kind == "eq" and not v == val:
+                return False
+            if kind == "gt" and not v > val:
+                return False
+            if kind == "ge" and not v >= val:
+                return False
+            if kind == "lt" and not v < val:
+                return False
+            if kind == "le" and not v <= val:
+                return False
+        except TypeError:
+            return False
+    return True
+
+
+class GdalDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = dict(options)
+        self.pushed: list[tuple] = []
+
+        self.geom_col = _opt(options, "geometryColumn", "geometry")
+        self.fid_col = _opt(options, "fidColumn")
+        self.gfmt = _opt(options, "geometryFormat", "wkb").lower()
+        self.offset = int(_opt(options, "offset", 0) or 0)
+        self.limit = _opt(options, "limit")
+        self.limit = int(self.limit) if self.limit is not None else None
+        self.max_rows = _opt(options, "maxRows")
+        self.max_rows = int(self.max_rows) if self.max_rows is not None else None
+        allowed = _opt(options, "drivers")
+        self.allowed = (
+            [d.strip() for d in allowed.split(",")] if allowed else None
+        )
+        self.attr_fields = [
+            f.name
+            for f in schema.fields
+            if f.name != self.geom_col and f.name != self.fid_col
+        ]
+        self.dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+    # -- pushdown ---------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """OGR SetAttributeFilter analogue (SURVEY §4.2): simple
+        comparisons on attribute columns are evaluated inside the scan
+        loop; everything else stays with Spark.
+
+        OPT-IN via ``option("pushdown", "true")``: Spark caches the
+        first-planned Python scan per DataFrame and reuses it for later
+        queries with different filters, so a pushed filter from query 1
+        would silently constrain query 2 (verified against Spark 4.1).
+        Safe for single-use loads (read→transform→write); off by default.
+        """
+        if str(_opt(self.options, "pushdown", "false")).lower() != "true":
+            yield from filters
+            return
+        kinds = {
+            EqualTo: "eq",
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "ge",
+            LessThan: "lt",
+            LessThanOrEqual: "le",
+            IsNull: "isnull",
+            IsNotNull: "isnotnull",
+        }
+        self.pushed = []  # overwrite: never accumulate across plannings
+        for f in filters:
+            kind = kinds.get(type(f))
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if kind and col and col in self.attr_fields:
+                val = getattr(f, "value", None)
+                self.pushed.append((kind, col, val))
+            else:
+                yield f
+
+    # -- planning ---------------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        from polars_gdal_spark.sources.formats import find_driver
+
+        paths = _resolve_paths(_opt(self.options, "path"))
+        # offset/limit/maxRows are global row semantics → single partition
+        # (the reference is single-threaded anyway, SURVEY §3).
+        sequential = self.offset or self.limit is not None or self.max_rows is not None
+        pushed = tuple(self.pushed)
+        self.pushed = []  # consume: this query's filters only
+        parts: list[InputPartition] = []
+        target = max(1, int(_opt(self.options, "targetPartitions", 32)) // max(1, len(paths)))
+        for p in paths:
+            driver = find_driver(p, self.allowed)
+            layer = _resolve_layer(driver, p, self.options)
+            ranges = (
+                None
+                if sequential
+                else driver.split_ranges(p, layer, self.options, target)
+            )
+            if ranges:
+                for s, e in ranges:
+                    parts.append(GdalInputPartition(p, layer, s, e, pushed))
+            else:
+                parts.append(GdalInputPartition(p, layer, filters=pushed))
+        return parts
+
+    # -- execution --------------------------------------------------------
+    def _encode_geom(self, geom) -> object:
+        if geom is None:
+            return None  # empty geometry → null (reference src/lib.rs:386-388)
+        if self.gfmt == "wkb":
+            from polars_gdal_spark.geometry.wkb import geom_to_wkb
+
+            return geom_to_wkb(geom)
+        if self.gfmt == "wkt":
+            from polars_gdal_spark.geometry.wkt import geom_to_wkt
+
+            return geom_to_wkt(geom)
+        from polars_gdal_spark.geometry.geojson import geom_to_geojson
+
+        return json.dumps(geom_to_geojson(geom))
+
+    def _coerce(self, v, dtype: str):
+        if v is None:
+            return None
+        if dtype == "string" and not isinstance(v, str):
+            return json.dumps(v) if isinstance(v, (list, dict)) else str(v)
+        if dtype == "double":
+            if isinstance(v, int):
+                return float(v)
+            if isinstance(v, str):  # typed CSV path (autodetect_type)
+                try:
+                    return float(v)
+                except ValueError:
+                    return None
+        if dtype == "bigint":
+            if isinstance(v, bool):
+                return int(v)
+            if isinstance(v, str):
+                try:
+                    return int(v)
+                except ValueError:
+                    return None
+        if dtype == "boolean" and isinstance(v, str):
+            return v.lower() in ("true", "t", "yes", "1")
+        return v
+
+    def read(self, partition: GdalInputPartition) -> Iterator[tuple]:
+        from polars_gdal_spark.sources.formats import find_driver
+
+        driver = find_driver(partition.path, self.allowed)
+        if partition.start is not None:
+            feats = driver.iter_features_range(
+                partition.path,
+                partition.layer,
+                self.options,
+                partition.start,
+                partition.end,
+            )
+        else:
+            feats = driver.iter_features(
+                partition.path, partition.layer, self.options
+            )
+
+        geom_col, fid_col = self.geom_col, self.fid_col
+        attr_src = {
+            name: (name[: -len("_original")] if name.endswith("_original") else name)
+            for name in self.attr_fields
+        }
+        emitted = 0
+        for idx, feat in enumerate(feats):
+            if idx < self.offset:
+                continue  # B1 offset skip (src/lib.rs:361-365)
+            if self.max_rows is not None and emitted >= self.max_rows:
+                raise FeatureLimitReachedError(self.max_rows)  # B3
+            if self.limit is not None and emitted >= self.limit:
+                return  # B2 truncating limit: stop pulling (src/lib.rs:366-370)
+            if partition.filters and not _passes(partition.filters, feat.props):
+                continue
+            row = []
+            if fid_col:
+                row.append(feat.fid)
+            for name in self.attr_fields:
+                row.append(
+                    self._coerce(
+                        feat.props.get(attr_src[name]), self.dtypes[name]
+                    )
+                )
+            row.append(self._encode_geom(feat.geom))
+            emitted += 1
+            yield tuple(row)
+
+
+# ----------------------------------------------------------------- writer
+
+
+@dataclass
+class GdalCommitMessage(WriterCommitMessage):
+    part_path: str
+    count: int
+
+
+class GdalDataSourceWriter(DataSourceWriter):
+    """Two-phase write: partitions serialize features to NDJSON part
+    files (the parallel half), ``commit`` assembles the final resource
+    through the chosen format encoder (single-writer formats like
+    GeoJSON need one assembler — reference discussion SURVEY §7.4.3).
+    ``partitioned=true`` skips assembly and leaves one NDJSON feature
+    file per partition — the 100 TB escape hatch."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.options = dict(options)
+        self.path = _opt(options, "path")
+        self.overwrite = overwrite
+        self.geom_col = _opt(options, "geometryColumn", "geometry")
+        self.gfmt = _opt(options, "geometryFormat")
+        self.driver_name = _opt(options, "driver", self._sniff_driver())
+        self.partitioned = str(_opt(options, "partitioned", "false")).lower() == "true"
+
+        names = [f.name for f in schema.fields]
+        if self.geom_col not in names:
+            raise CannotFindGeometryColumnError(self.geom_col)
+        gtype = schema[self.geom_col].dataType.simpleString()
+        if self.gfmt is None:
+            self.gfmt = "wkb" if gtype == "binary" else "wkt"
+        expected = "binary" if self.gfmt == "wkb" else "string"
+        if gtype != expected:
+            raise GeometryColumnWrongTypeError(self.geom_col, expected, gtype)
+        self.attr_cols = [n for n in names if n != self.geom_col]
+        self.tmp_dir = self.path + ".parts.tmp"
+
+    def _sniff_driver(self) -> str:
+        p = (self.path or "").lower()
+        if p.endswith((".geojson", ".json")):
+            return "GeoJSON"
+        if p.endswith(".csv"):
+            return "CSV"
+        if p.endswith(".gpkg"):
+            return "GPKG"
+        if p.endswith((".ndjson", ".geojsonl")):
+            return "GeoJSONSeq"
+        return "GeoJSON"
+
+    def _decode_geom(self, v) -> dict | None:
+        if v is None:
+            return None
+        from polars_gdal_spark import geometry as G
+
+        if self.gfmt == "wkb":
+            return G.geom_to_geojson(G.wkb_to_geom(bytes(v)))
+        if self.gfmt == "wkt":
+            return G.geom_to_geojson(G.wkt_to_geom(v))
+        return json.loads(v)
+
+    def write(self, iterator) -> GdalCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        part = os.path.join(self.tmp_dir, f"part-{pid:05d}.ndjson")
+        n = 0
+        with open(part, "w", encoding="utf-8") as f:
+            for row in iterator:
+                d = row.asDict()
+                geom = self._decode_geom(d.pop(self.geom_col, None))
+                feat = {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": {
+                        k: _json_safe(v) for k, v in d.items()
+                    },
+                }
+                f.write(json.dumps(feat, default=str))
+                f.write("\n")
+                n += 1
+        return GdalCommitMessage(part_path=part, count=n)
+
+    def commit(self, messages) -> None:
+        from polars_gdal_spark.errors import EmptyDataframeError
+        from polars_gdal_spark.sinks import assemble
+
+        parts = [m.part_path for m in messages if m is not None]
+        total = sum(m.count for m in messages if m is not None)
+        if total == 0:
+            self._cleanup()
+            # reference rejects writing an empty frame (src/lib.rs:509-511)
+            raise EmptyDataframeError("refusing to write an empty DataFrame")
+        assemble(
+            self.driver_name,
+            parts,
+            self.path,
+            self.options,
+            self.schema,
+            self.geom_col,
+            partitioned=self.partitioned,
+        )
+        self._cleanup(keep_parts=self.partitioned)
+
+    def abort(self, messages) -> None:
+        self._cleanup()
+
+    def _cleanup(self, keep_parts: bool = False) -> None:
+        import shutil
+
+        if not keep_parts and os.path.isdir(self.tmp_dir):
+            shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+
+def _json_safe(v):
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return v
+
+
+class GdalDataSource(DataSource):
+    """`format("gdal")` — see module docstring for options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gdal"
+
+    def schema(self):
+        return infer_schema(self.options)
+
+    def reader(self, schema: StructType) -> GdalDataSourceReader:
+        return GdalDataSourceReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> GdalDataSourceWriter:
+        return GdalDataSourceWriter(schema, self.options, overwrite)

@@ -1,0 +1,115 @@
+"""Driver protocol + registry.
+
+A *resource* is a local path (str). A *layer* is a named sub-table
+(GDAL's Dataset→Layer model, reference ``src/lib.rs:241-247``): GeoJSON
+and CSV expose one layer; SQLite containers expose one per table.
+
+Field dtypes use Spark DDL strings: ``bigint double string boolean
+array<bigint> array<double> array<string> timestamp_ntz date``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from polars_gdal_spark.errors import UnsupportedFormatError
+
+
+@dataclass
+class Field:
+    name: str
+    dtype: str  # Spark DDL type string
+    nullable: bool = True
+
+
+@dataclass
+class Feature:
+    """One row from a layer: source FID, geometry (internal rep), props."""
+
+    fid: int | None
+    geom: tuple | None
+    props: dict = field(default_factory=dict)
+
+
+class FormatDriver:
+    """Abstract driver. Subclasses register via ``register()``."""
+
+    #: GDAL-style driver short name (used by the `drivers` allow-list
+    #: option, reference ReadParams.allowed_drivers src/lib.rs:41-44).
+    name: str = ""
+    #: filename extensions this driver claims during probing
+    extensions: tuple[str, ...] = ()
+
+    def can_open(self, path: str, head: bytes) -> bool:
+        """Content-based probe (GDAL driver-probing analogue)."""
+        raise NotImplementedError
+
+    def list_layers(self, path: str, options: dict) -> list[str]:
+        raise NotImplementedError
+
+    def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
+        """Declared/inferred attribute fields (geometry NOT included)."""
+        raise NotImplementedError
+
+    def iter_features(
+        self, path: str, layer: str, options: dict
+    ) -> Iterator[Feature]:
+        raise NotImplementedError
+
+    # -- optional capabilities -------------------------------------------
+    def feature_count(self, path: str, layer: str, options: dict) -> int | None:
+        """Cheap count if the format stores one (else None)."""
+        return None
+
+    def split_ranges(
+        self, path: str, layer: str, options: dict, target_splits: int
+    ) -> list[tuple[int, int]] | None:
+        """Optional intra-file parallelism: list of (start, end) feature
+        index ranges that ``iter_features_range`` can read independently.
+        None → the file is not splittable (e.g. one JSON document)."""
+        return None
+
+    def iter_features_range(
+        self, path: str, layer: str, options: dict, start: int, end: int
+    ) -> Iterator[Feature]:
+        raise NotImplementedError
+
+
+DRIVERS: list[FormatDriver] = []
+
+
+def register(driver: FormatDriver) -> FormatDriver:
+    DRIVERS.append(driver)
+    return driver
+
+
+def find_driver(
+    path: str, allowed: list[str] | None = None
+) -> FormatDriver:
+    """Probe registered drivers (extension first, then content sniff),
+    honoring the ``drivers`` allow-list (reference ``allowed_drivers``,
+    ``src/lib.rs:41-44``)."""
+    candidates = [
+        d
+        for d in DRIVERS
+        if allowed is None or d.name.lower() in [a.lower() for a in allowed]
+    ]
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4096)
+    except OSError as e:
+        raise UnsupportedFormatError(f"cannot open {path!r}: {e}") from e
+    lowered = path.lower()
+    for d in candidates:
+        if any(lowered.endswith(ext) for ext in d.extensions) and d.can_open(
+            path, head
+        ):
+            return d
+    for d in candidates:
+        if d.can_open(path, head):
+            return d
+    raise UnsupportedFormatError(
+        f"no registered driver can open {path!r}"
+        + (f" (allow-list: {allowed})" if allowed else "")
+    )

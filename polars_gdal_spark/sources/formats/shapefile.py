@@ -1,0 +1,272 @@
+"""ESRI Shapefile driver — pure-Python .shp/.shx/.dbf parser.
+
+Format per the public ESRI Shapefile Technical Description (July 1998):
+.shp = 100-byte header + (8-byte BE record header, LE record content)*;
+.shx = 100-byte header + 8-byte BE (offset,length) per record — used for
+feature count and **FID-range splits** (intra-file parallelism the
+reference never had, SURVEY §4.2 partition pruning row); .dbf = dBase
+III attribute table.
+
+Geometry mapping: Point→Point, MultiPoint→MultiPoint,
+PolyLine→LineString|MultiLineString, Polygon→Polygon|MultiPolygon
+(rings grouped by winding: clockwise = outer, counter-clockwise = hole
+attached to the most recent outer). Z variants keep the third
+coordinate; M values are dropped.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import struct
+from collections.abc import Iterator
+
+from polars_gdal_spark.sources.formats.base import (
+    Feature,
+    Field,
+    FormatDriver,
+    register,
+)
+
+LAYER_EXT = ".shp"
+
+_SHAPE_NULL = 0
+_POINT = {1, 11, 21}
+_POLYLINE = {3, 13, 23}
+_POLYGON = {5, 15, 25}
+_MULTIPOINT = {8, 18, 28}
+_HAS_Z = {11, 13, 15, 18}
+
+
+def _ring_is_clockwise(ring) -> bool:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        s += (x2 - x1) * (y2 + y1)
+    return s > 0
+
+
+def _parse_shape(content: bytes):
+    (stype,) = struct.unpack("<i", content[:4])
+    if stype == _SHAPE_NULL:
+        return None
+    has_z = stype in _HAS_Z
+    if stype in _POINT:
+        x, y = struct.unpack("<2d", content[4:20])
+        if has_z:
+            (z,) = struct.unpack("<d", content[20:28])
+            return "Point", (x, y, z)
+        return "Point", (x, y)
+    if stype in _MULTIPOINT:
+        (n,) = struct.unpack("<i", content[36:40])
+        pts = list(struct.iter_unpack("<2d", content[40 : 40 + 16 * n]))
+        if has_z:
+            zoff = 40 + 16 * n + 16  # skip zmin/zmax
+            zs = struct.unpack(f"<{n}d", content[zoff : zoff + 8 * n])
+            return "MultiPoint", [(p[0], p[1], z) for p, z in zip(pts, zs)]
+        return "MultiPoint", [tuple(p) for p in pts]
+    if stype in _POLYLINE or stype in _POLYGON:
+        nparts, npoints = struct.unpack("<2i", content[36:44])
+        parts = struct.unpack(f"<{nparts}i", content[44 : 44 + 4 * nparts])
+        off = 44 + 4 * nparts
+        flat = list(struct.iter_unpack("<2d", content[off : off + 16 * npoints]))
+        if has_z:
+            zoff = off + 16 * npoints + 16
+            zs = struct.unpack(f"<{npoints}d", content[zoff : zoff + 8 * npoints])
+            pts = [(p[0], p[1], z) for p, z in zip(flat, zs)]
+        else:
+            pts = [tuple(p) for p in flat]
+        rings = []
+        for i, start in enumerate(parts):
+            end = parts[i + 1] if i + 1 < nparts else npoints
+            rings.append(pts[start:end])
+        if stype in _POLYLINE:
+            if len(rings) == 1:
+                return "LineString", rings[0]
+            return "MultiLineString", rings
+        # Polygon: group rings into polygons by winding order.
+        polys: list[list] = []
+        for ring in rings:
+            if _ring_is_clockwise(ring) or not polys:
+                polys.append([ring])
+            else:
+                polys[-1].append(ring)
+        if len(polys) == 1:
+            return "Polygon", polys[0]
+        return "MultiPolygon", polys
+    raise ValueError(f"unsupported shapefile shape type {stype}")
+
+
+# --------------------------------------------------------------------- dbf
+
+
+class _Dbf:
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            header = f.read(32)
+            self.n_records = struct.unpack("<I", header[4:8])[0]
+            self.header_size = struct.unpack("<H", header[8:10])[0]
+            self.record_size = struct.unpack("<H", header[10:12])[0]
+            self.fields: list[tuple[str, str, int, int]] = []
+            while f.tell() < self.header_size - 1:
+                desc = f.read(32)
+                if desc[0:1] == b"\r":
+                    break
+                name = desc[:11].split(b"\x00")[0].decode("latin-1")
+                ftype = desc[11:12].decode("ascii")
+                length = desc[16]
+                decimals = desc[17]
+                self.fields.append((name, ftype, length, decimals))
+
+    def spark_fields(self) -> list[Field]:
+        out = []
+        for name, ftype, length, decimals in self.fields:
+            if ftype in ("N", "F"):
+                dtype = "bigint" if ftype == "N" and decimals == 0 else "double"
+            elif ftype == "L":
+                dtype = "boolean"
+            elif ftype == "D":
+                dtype = "date"
+            else:
+                dtype = "string"
+            out.append(Field(name, dtype))
+        return out
+
+    def _convert(self, raw: bytes, ftype: str, decimals: int):
+        text = raw.decode("latin-1").strip()
+        if not text or text == "*" * len(text):
+            return None
+        if ftype == "N":
+            try:
+                return int(text) if decimals == 0 else float(text)
+            except ValueError:
+                try:
+                    return float(text)
+                except ValueError:
+                    return None
+        if ftype == "F":
+            try:
+                return float(text)
+            except ValueError:
+                return None
+        if ftype == "L":
+            return text.upper() in ("T", "Y")
+        if ftype == "D":
+            try:
+                return dt.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
+            except ValueError:
+                return None
+        return text
+
+    def read_range(self, start: int, end: int) -> Iterator[dict]:
+        with open(self.path, "rb") as f:
+            f.seek(self.header_size + start * self.record_size)
+            for _ in range(start, min(end, self.n_records)):
+                rec = f.read(self.record_size)
+                if len(rec) < self.record_size or rec[0:1] == b"\x1a":
+                    return
+                props = {}
+                off = 1  # deletion flag
+                for name, ftype, length, decimals in self.fields:
+                    props[name] = self._convert(
+                        rec[off : off + length], ftype, decimals
+                    )
+                    off += length
+                yield props
+
+
+# --------------------------------------------------------------------- shp
+
+
+def _shx_offsets(shp_path: str) -> list[tuple[int, int]]:
+    """(byte_offset, content_len_bytes) per record, from .shx."""
+    shx = os.path.splitext(shp_path)[0] + ".shx"
+    out = []
+    with open(shx, "rb") as f:
+        f.seek(100)
+        while True:
+            rec = f.read(8)
+            if len(rec) < 8:
+                break
+            off_words, len_words = struct.unpack(">2i", rec)
+            out.append((off_words * 2, len_words * 2))
+    return out
+
+
+class ShapefileDriver(FormatDriver):
+    name = "ESRI Shapefile"
+    extensions = (".shp",)
+
+    def can_open(self, path: str, head: bytes) -> bool:
+        return len(head) >= 4 and struct.unpack(">i", head[:4])[0] == 9994
+
+    def list_layers(self, path: str, options: dict) -> list[str]:
+        return [os.path.splitext(os.path.basename(path))[0]]
+
+    def _dbf(self, path: str) -> _Dbf | None:
+        dbf_path = os.path.splitext(path)[0] + ".dbf"
+        return _Dbf(dbf_path) if os.path.exists(dbf_path) else None
+
+    def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
+        dbf = self._dbf(path)
+        return dbf.spark_fields() if dbf else []
+
+    def feature_count(self, path: str, layer: str, options: dict) -> int | None:
+        try:
+            return len(_shx_offsets(path))
+        except OSError:
+            return None
+
+    def split_ranges(
+        self, path: str, layer: str, options: dict, target_splits: int
+    ) -> list[tuple[int, int]] | None:
+        n = self.feature_count(path, layer, options)
+        if n is None or n == 0:
+            return None
+        step = max(1, -(-n // max(1, target_splits)))
+        return [(s, min(s + step, n)) for s in range(0, n, step)]
+
+    def iter_features_range(
+        self, path: str, layer: str, options: dict, start: int, end: int
+    ) -> Iterator[Feature]:
+        offsets = _shx_offsets(path)[start:end]
+        dbf = self._dbf(path)
+        props_iter = dbf.read_range(start, end) if dbf else iter(dict, None)
+        with open(path, "rb") as f:
+            for i, (off, length) in enumerate(offsets):
+                f.seek(off + 8)  # skip record header
+                content = f.read(length)
+                geom = _parse_shape(content)
+                props = next(props_iter, {})
+                yield Feature(fid=start + i, geom=geom, props=props)
+
+    def iter_features(
+        self, path: str, layer: str, options: dict
+    ) -> Iterator[Feature]:
+        n = self.feature_count(path, layer, options)
+        if n is None:
+            # no .shx: sequential scan of .shp records
+            dbf = self._dbf(path)
+            props_iter = dbf.read_range(0, dbf.n_records) if dbf else iter(dict, None)
+            with open(path, "rb") as f:
+                f.seek(100)
+                fid = 0
+                while True:
+                    hdr = f.read(8)
+                    if len(hdr) < 8:
+                        break
+                    _, len_words = struct.unpack(">2i", hdr)
+                    content = f.read(len_words * 2)
+                    yield Feature(
+                        fid=fid,
+                        geom=_parse_shape(content),
+                        props=next(props_iter, {}),
+                    )
+                    fid += 1
+            return
+        yield from self.iter_features_range(path, layer, options, 0, n)
+
+
+register(ShapefileDriver())

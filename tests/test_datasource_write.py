@@ -1,0 +1,135 @@
+"""Write-path tests: round-trips through every sink driver + the
+reference's error contract (src/lib.rs:499-573, SURVEY §2.M)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+from tests.conftest import REF_DATA
+
+STATIONS = f"{REF_DATA}/stations.shp"
+
+
+@pytest.fixture(scope="module")
+def stations(spark):
+    return spark.read.format("gdal").load(STATIONS)
+
+
+def _write(df, path, **options):
+    w = df.write.format("gdal").mode("overwrite")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def _wkb_multiset(df):
+    return sorted(bytes(r["geometry"]) for r in df.select("geometry").collect())
+
+
+def test_geojson_roundtrip(spark, stations, tmp_path):
+    out = str(tmp_path / "out.geojson")
+    _write(stations, out, driver="GeoJSON")
+    doc = json.load(open(out))
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 86
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+
+
+def test_driver_sniffed_from_extension(spark, stations, tmp_path):
+    out = str(tmp_path / "sniffed.geojson")
+    _write(stations.limit(3), out)  # no driver option
+    assert json.load(open(out))["type"] == "FeatureCollection"
+
+
+def test_csv_roundtrip_wkt(spark, stations, tmp_path):
+    out = str(tmp_path / "out.csv")
+    _write(stations, out, driver="CSV")
+    lines = open(out).read().splitlines()
+    assert lines[0] == "name,marker-col,marker-sym,line,geometry"
+    assert len(lines) == 87
+    back = (
+        spark.read.format("gdal")
+        .option("geom_possible_names", "geometry")
+        .load(out)
+    )
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+
+
+def test_gpkg_roundtrip(spark, stations, tmp_path):
+    out = str(tmp_path / "out.gpkg")
+    _write(stations, out, driver="GPKG", layer="stations")
+    con = sqlite3.connect(out)
+    assert con.execute("SELECT count(*) FROM stations").fetchone()[0] == 86
+    assert con.execute(
+        "SELECT table_name FROM gpkg_geometry_columns"
+    ).fetchone()[0] == "stations"
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+
+
+def test_ndjson_roundtrip(spark, stations, tmp_path):
+    out = str(tmp_path / "out.ndjson")
+    _write(stations, out, driver="GeoJSONSeq")
+    lines = [json.loads(l) for l in open(out) if l.strip()]
+    assert len(lines) == 86 and lines[0]["type"] == "Feature"
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+
+
+def test_partitioned_escape_hatch(spark, stations, tmp_path):
+    out = str(tmp_path / "parts_out")
+    _write(stations, out, driver="GeoJSONSeq", partitioned="true")
+    parts = os.listdir(out)
+    assert len(parts) >= 1 and all(p.endswith(".ndjson") for p in parts)
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+
+
+def test_wkt_geometry_input(spark, stations, tmp_path):
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions.geo import wkb_to_wkt_col
+
+    out = str(tmp_path / "wkt_in.geojson")
+    wkt_df = stations.withColumn("geometry", wkb_to_wkt_col("geometry"))
+    _write(wkt_df, out, driver="GeoJSON", geometryFormat="wkt")
+    back = spark.read.format("gdal").load(out)
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+
+
+def test_empty_dataframe_rejected(spark, stations, tmp_path):
+    # reference src/lib.rs:509-511 / error.rs:48-50
+    out = str(tmp_path / "empty.geojson")
+    with pytest.raises(Exception) as exc_info:
+        _write(stations.where("line = 'nope'"), out)
+    assert "EmptyDataframe" in str(exc_info.value) or "empty" in str(
+        exc_info.value
+    )
+    assert not os.path.exists(out)
+
+
+def test_missing_geometry_column_rejected(spark, stations, tmp_path):
+    # reference src/lib.rs:523-525 / error.rs:52-54
+    out = str(tmp_path / "nogeom.geojson")
+    with pytest.raises(Exception) as exc_info:
+        _write(stations.drop("geometry"), out)
+    assert "geometry" in str(exc_info.value)
+
+
+def test_wrong_geometry_dtype_rejected(spark, stations, tmp_path):
+    # reference error GeometryColumnWrongType (src/error.rs:40-42)
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "wrongtype.geojson")
+    bad = stations.withColumn("geometry", F.lit(1.5))
+    with pytest.raises(Exception) as exc_info:
+        _write(bad, out)
+    assert "geometry" in str(exc_info.value)

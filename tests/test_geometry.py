@@ -1,0 +1,117 @@
+"""Geometry codec tests: WKB/WKT/GeoJSON round-trips + known-good bytes."""
+
+from __future__ import annotations
+
+import binascii
+import json
+
+import pytest
+
+from polars_gdal_spark.geometry import (
+    geojson_to_geom,
+    geojson_to_wkb,
+    geom_to_geojson,
+    geom_to_wkb,
+    geom_to_wkt,
+    wkb_to_geojson,
+    wkb_to_geom,
+    wkt_to_geom,
+    wkt_to_wkb,
+)
+from polars_gdal_spark.geometry.wkb import WkbError
+
+GEOMS = [
+    ("Point", (1.0, 2.0)),
+    ("Point", (1.5, 2.5, 3.5)),
+    ("LineString", [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]),
+    (
+        "Polygon",
+        [
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+            [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)],
+        ],
+    ),
+    ("MultiPoint", [(1.0, 2.0), (3.0, 4.0)]),
+    ("MultiLineString", [[(0.0, 0.0), (1.0, 1.0)], [(2.0, 2.0), (3.0, 3.0)]]),
+    (
+        "MultiPolygon",
+        [
+            [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]],
+            [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0)]],
+        ],
+    ),
+    (
+        "GeometryCollection",
+        [("Point", (1.0, 2.0)), ("LineString", [(0.0, 0.0), (1.0, 1.0)])],
+    ),
+]
+
+
+@pytest.mark.parametrize("geom", GEOMS, ids=[g[0] for g in GEOMS])
+def test_wkb_roundtrip(geom):
+    assert geom_to_wkb(wkb_to_geom(geom_to_wkb(geom))) == geom_to_wkb(geom)
+
+
+@pytest.mark.parametrize("geom", GEOMS, ids=[g[0] for g in GEOMS])
+def test_wkt_roundtrip(geom):
+    wkb = geom_to_wkb(geom)
+    assert wkt_to_wkb(geom_to_wkt(wkb_to_geom(wkb))) == wkb
+
+
+@pytest.mark.parametrize("geom", GEOMS, ids=[g[0] for g in GEOMS])
+def test_geojson_roundtrip(geom):
+    wkb = geom_to_wkb(geom)
+    gj = json.loads(json.dumps(geom_to_geojson(wkb_to_geom(wkb))))
+    assert geom_to_wkb(geojson_to_geom(gj)) == wkb
+
+
+def test_known_good_point_wkb():
+    # canonical little-endian ISO WKB for POINT(1 2)
+    expected = binascii.unhexlify("0101000000000000000000F03F0000000000000040")
+    assert geom_to_wkb(("Point", (1.0, 2.0))) == expected
+    assert wkb_to_geom(expected) == ("Point", (1.0, 2.0))
+
+
+def test_big_endian_wkb_decodes():
+    be = binascii.unhexlify("00000000013FF00000000000004000000000000000")
+    assert wkb_to_geom(be) == ("Point", (1.0, 2.0))
+
+
+def test_ewkb_srid_flag_skipped():
+    # EWKB: little endian, type 1 | 0x20000000, SRID 4326, point 1 2
+    ewkb = binascii.unhexlify(
+        "0101000020E6100000000000000000F03F0000000000000040"
+    )
+    assert wkb_to_geom(ewkb) == ("Point", (1.0, 2.0))
+
+
+def test_wkt_formats():
+    assert geom_to_wkt(("Point", (1.0, 2.0))) == "POINT (1 2)"
+    assert (
+        geom_to_wkt(("LineString", [(0.0, 0.0), (1.5, 1.5)]))
+        == "LINESTRING (0 0, 1.5 1.5)"
+    )
+    assert wkt_to_geom("MULTIPOINT (1 2, 3 4)") == (
+        "MultiPoint",
+        [(1.0, 2.0), (3.0, 4.0)],
+    )
+    assert wkt_to_geom("MULTIPOINT ((1 2), (3 4))") == (
+        "MultiPoint",
+        [(1.0, 2.0), (3.0, 4.0)],
+    )
+    assert wkt_to_geom("POINT Z (1 2 3)") == ("Point", (1.0, 2.0, 3.0))
+
+
+def test_truncated_wkb_raises():
+    with pytest.raises(WkbError):
+        wkb_to_geom(binascii.unhexlify("0101000000000000"))
+
+
+def test_empty_wkb_raises():
+    with pytest.raises(WkbError):
+        wkb_to_geom(b"")
+
+
+def test_geojson_text_roundtrip():
+    gj = {"type": "Point", "coordinates": [3.25, -7.5]}
+    assert wkb_to_geojson(geojson_to_wkb(gj)) == gj
