@@ -496,3 +496,10 @@ class GdalDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> GdalDataSourceWriter:
         return GdalDataSourceWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        """File-arrival micro-batch streaming over a directory of vector
+        files (engine extension; the reference is batch-only, SURVEY §2.K)."""
+        from polars_gdal_spark.streaming import GdalStreamReader
+
+        return GdalStreamReader(schema, self.options)

@@ -1,0 +1,150 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY §2.K); this module is the engine's
+Spark-native extension: file-arrival micro-batches for the ``gdal``
+source plus windowed/stateful recipes over event streams.
+
+``GdalStreamReader`` (wired via ``GdalDataSource.simpleStreamReader``)
+treats a directory as an append-only stream of vector files: the offset
+is the count of processed files in sorted-name order, so replay is
+deterministic and exactly-once per file.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class GdalStreamReader(SimpleDataSourceStreamReader):
+    """File-arrival micro-batch reader over a directory of vector files."""
+
+    def __init__(self, schema, options: dict):
+        from polars_gdal_spark.sources.datasource import GdalDataSourceReader
+
+        self.options = dict(options)
+        self.path = options.get("path")
+        self._reader = GdalDataSourceReader(schema, options)
+
+    def _list_files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return [self.path] if os.path.exists(self.path) else []
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if os.path.isfile(os.path.join(self.path, f))
+            and not f.endswith((".shx", ".dbf", ".prj", ".cpg", ".tmp"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        from polars_gdal_spark.sources.datasource import GdalInputPartition
+        from polars_gdal_spark.sources.formats import find_driver
+
+        files = self._list_files()
+        new = files[int(start.get("n_files", 0)) :]
+
+        # materialized list, not a generator: the engine pickles the
+        # prefetched batch for replay on failure
+        rows: list[tuple] = []
+        for path in new:
+            driver = find_driver(path, self._reader.allowed)
+            layer = driver.list_layers(path, self.options)[0]
+            rows.extend(self._reader.read(GdalInputPartition(path, layer)))
+        return iter(rows), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        from polars_gdal_spark.sources.datasource import GdalInputPartition
+        from polars_gdal_spark.sources.formats import find_driver
+
+        files = self._list_files()
+        span = files[int(start.get("n_files", 0)) : int(end.get("n_files", 0))]
+        for path in span:
+            driver = find_driver(path, self._reader.allowed)
+            layer = driver.list_layers(path, self.options)[0]
+            yield from self._reader.read(GdalInputPartition(path, layer))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+# ----------------------------------------------------------- recipes
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window event rollup with late-data watermarking — the
+    streaming twin of queries.relational.events_hourly_rollup. Works on
+    both batch and streaming DataFrames (same plan text)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window per-user activity — overlapping windows exercise
+    multi-assignment state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_events(spark, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source (schema pinned from the batch
+    read; ns-timestamps converted exactly like queries.load_tables)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(f"{sf_dir}")
+    )
+    return stream
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a stream with the availableNow trigger into a memory sink and
+    return the materialized result — the batch-equivalence test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

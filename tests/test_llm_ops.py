@@ -1,0 +1,138 @@
+"""Unit tests for the LLM-pipeline operator library over controlled
+in-memory corpora (the oracle gate covers the testdata-scale behavior;
+these pin the operator semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_gdal_spark.functions import dedup as D
+from polars_gdal_spark.functions import similarity as S
+from polars_gdal_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc bigint, text string")
+
+
+def test_exact_dedup(spark, docs):
+    assert D.exact_dedup(docs, "text").count() == 4
+    groups = D.exact_dup_groups(docs, "doc", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["representative_id"] == 1
+
+
+def test_shingles_short_text_empty(spark, docs):
+    sh = D.shingle_table(docs.where("doc = 5"), "doc", "text", 3)
+    assert sh.count() == 0
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r["doc"]: tuple(r["sig"]) for r in
+            D.minhash_signatures(docs, "doc", "text", 16, 3).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert 5 not in sigs  # no shingles → no signature row
+
+
+def test_minhash_lsh_finds_dup_pair(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, "doc", "text", 16, 4, 3).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc", "text", 3, 0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dups_close(spark, docs):
+    sh = {r["doc"]: r["simhash"] for r in
+          D.simhash_bits(docs, "doc", "text", 32).collect()}
+    assert sh[1] == sh[2]
+    ham_near = sum(a != b for a, b in zip(sh[1], sh[3]))
+    ham_far = sum(a != b for a, b in zip(sh[1], sh[4]))
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.where("vec_id = 0")
+    top = S.cosine_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 1 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    assert top[1]["vec_id"] == 3
+    assert top[2]["vec_id"] == 2 and abs(top[2]["cosine"]) < 1e-9
+
+
+def test_pairwise_cosine_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [1.0, 0.01], "a"),
+        (2, [1.0, 0.0], "b"),  # identical to 0 but different block
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    pairs = S.pairwise_cosine(
+        emb, group_col="label", threshold=0.9
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_lang_guess_and_quality(spark):
+    rows = [
+        (1, "the cat and the dog is with of"),
+        (2, "el la de que los hola"),
+        (3, "xyzzy qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc bigint, text string")
+    got = {
+        r["doc"]: r["lg"]
+        for r in df.select("doc", T.lang_guess(F.col("text")).alias("lg")).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+    q = T.quality_features(df.where("doc = 1"), "text").first()
+    assert q["n_tokens"] == 8
+    assert q["n_stopwords"] == 5  # the, and, the, is, of
+    assert q["stopword_ratio"] == 0.625
+
+
+def test_fingerprint_prefix_sensitivity(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta DIFFERENT"),
+        (3, "different start entirely for this document here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc bigint, text string")
+    fp = {
+        r["doc"]: r["fp"]
+        for r in df.select(
+            "doc", T.fingerprint(F.col("text"), 8).alias("fp")
+        ).collect()
+    }
+    assert fp[1] == fp[2]  # same first-8-token prefix
+    assert fp[1] != fp[3]

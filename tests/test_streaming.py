@@ -1,0 +1,91 @@
+"""Structured Streaming tests: gdal file-arrival stream + windowed recipes
+(batch/stream equivalence via the availableNow trigger)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_gdal_spark.queries import load_tables
+from polars_gdal_spark.streaming import (
+    run_available_now,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _feature(i: int, line: str) -> dict:
+    return {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [float(i), float(i) / 2]},
+        "properties": {"name": f"f{i}", "line": line},
+    }
+
+
+def _write_batch(dirpath, fname: str, feats: list[dict]) -> None:
+    with open(dirpath / fname, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def test_gdal_stream_reader(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    _write_batch(src, "a.geojson", [_feature(i, "blue") for i in range(5)])
+
+    stream = spark.readStream.format("gdal").load(str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gdal_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("gdal_stream").count() == 5
+
+    # second batch of files → only the new file is processed
+    _write_batch(src, "b.geojson", [_feature(i, "red") for i in range(3)])
+    q2 = (
+        stream.writeStream.format("memory")
+        .queryName("gdal_stream2")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # fresh checkpoint → reads everything present now
+    assert spark.table("gdal_stream2").count() == 8
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    # copy events.parquet into its own dir (readStream consumes a dir)
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    batch_events = load_tables(spark, SF_SMOKE)["events"]
+    expected = windowed_event_counts(batch_events).orderBy(
+        "window_start", "event_type"
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .parquet(str(events_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    got = run_available_now(
+        windowed_event_counts(stream), "win_counts"
+    ).orderBy("window_start", "event_type")
+
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
