@@ -90,6 +90,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def _register_all() -> None:
     # Import side-effect: populate QUERIES.
+    from polars_gdal_spark.queries import analytics  # noqa: F401
     from polars_gdal_spark.queries import dedup  # noqa: F401
     from polars_gdal_spark.queries import geo  # noqa: F401
     from polars_gdal_spark.queries import relational  # noqa: F401

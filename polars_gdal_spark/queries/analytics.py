@@ -1,0 +1,346 @@
+"""Second-wave analytics: subquery patterns, distribution/percentile,
+pivot, regexp/date scalar coverage (SURVEY §2.D scalar dialect + §2.F/G
+extensions). Percentiles use order statistics (row_number) rather than
+interpolating aggregate functions, so Spark and DuckDB agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from polars_gdal_spark.queries import load_tables, query
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-driven semi join + priority rollup."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    big = t["lineitem"].where(F.col("l_quantity") > 45)
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    t = load_tables(spark, sf_dir)
+    one = F.lit(1).cast(DEC)
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregation over an outer join with a join
+    predicate (not a filter) on the right side."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "percentiles_order_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT
+      max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN o_totalprice END) AS p50,
+      max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN o_totalprice END) AS p90,
+      max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN o_totalprice END) AS p99
+    FROM ranked
+    """,
+)
+def percentiles_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles as order statistics (discrete, lower method):
+    deterministic across engines, unlike interpolating percentile
+    aggregates whose FP formulas differ. At scale this is one sort —
+    or swap in approx_percentile when 1-ulp exactness isn't needed."""
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = t["orders"].select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    def at(p: int):
+        return F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) * p / 100).cast("bigint") + 1,
+                F.col("o_totalprice"),
+            )
+        )
+    return ranked.agg(at(50).alias("p50"), at(90).alias("p90"), at(99).alias("p99"))
+
+
+@query(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: priority counts as columns per status. Spark's pivot with an
+    explicit value list is a single-pass aggregate (no second job to
+    discover values — the form that scales)."""
+    t = load_tables(spark, sf_dir)
+    labels = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec",
+        "5-LOW": "low",
+    }
+    df = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(labels))
+        .count()
+        .na.fill(0)
+    )
+    for old, new in labels.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+@query(
+    "regexp_and_string_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS BIGINT)
+             AS prio_num,
+           regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(o_orderpriority, 'URGENT|HIGH')
+                THEN 1 ELSE 0 END AS is_rush,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(o_orderstatus) AS status_rev
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def regexp_and_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp + string function coverage (extract, global replace, match,
+    pad, reverse)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1)
+            .cast("bigint")
+            .alias("prio_num"),
+            F.regexp_replace("o_orderpriority", "[AEIOU]", "_").alias(
+                "devoweled"
+            ),
+            F.when(
+                F.col("o_orderpriority").rlike("URGENT|HIGH"), 1
+            ).otherwise(0).alias("is_rush"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias(
+                "padded_key"
+            ),
+            F.reverse("o_orderstatus").alias("status_rev"),
+        )
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,  -- DuckDB Sun=0, Spark Sun=1
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic coverage: interval add, last_day, datediff,
+    dayofweek (Sunday=1 in both engines), quarter."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+                "plus_3m"
+            ),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).cast("bigint").alias("days_since_epoch_start"),
+            F.dayofweek("o_orderdate").cast("int").alias("dow"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        )
+    )
+
+
+@query(
+    "correlated_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > (
+      SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance) — decorrelated by Catalyst into an aggregate + join; DECIMAL
+    avg truncated to scale 2 on both sides for exactness."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    nation_avg = (
+        c.groupBy("c_nationkey")
+        .agg(F.avg(_dec("c_acctbal")).cast(DEC).alias("nation_avg"))
+        .withColumnRenamed("c_nationkey", "nk")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), c.c_nationkey == F.col("nk"))
+        .where(_dec("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "array_agg_per_group",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list(DISTINCT c_nationkey ORDER BY c_nationkey), ',')
+             AS nations,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation, emitted as a joined string so the
+    cross-engine hash sees identical scalar values."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_nationkey")), ","
+            ).alias("nations"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "count_distinct_exact",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact COUNT(DISTINCT) — Catalyst plans expand +
+    two-phase aggregation. (approx_count_distinct is the at-scale
+    alternative; not oracle-comparable since HLL sketches differ.)"""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Physical-plan audit for the headline queries.
+
+Checks the properties that matter at 100 TB (SURVEY §4.2):
+* parquet scans carry PushedFilters when the query filters scan columns
+* ReadSchema is pruned (no full-width scans for narrow projections)
+* star joins broadcast their dimension side
+* aggregates are partial (map-side combine) before the exchange
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from polars_gdal_spark.queries import QUERIES  # noqa: E402
+from polars_gdal_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+
+EXPECT = {
+    "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate)", "partial"],
+    "q6_forecast_revenue": ["PushedFilters: [IsNotNull", "partial"],
+    "scan_project_filter": ["PushedFilters: [IsNotNull"],
+    "q3_shipping_priority": ["BroadcastHashJoin", "PushedFilters"],
+    "q5_local_supplier_volume": ["BroadcastHashJoin"],
+    "topk_orders": ["TakeOrderedAndProject"],
+    # WindowGroupLimit = rank-filter pushdown: partitions are trimmed to
+    # top-N before the full window materializes (critical at scale)
+    "window_topn_per_group": ["Window", "WindowGroupLimit"],
+}
+
+
+def main() -> int:
+    spark = get_spark("explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[1:] or list(EXPECT)
+    bad = 0
+    for name in names:
+        df = QUERIES[name].func(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        print(f"\n===== {name} =====")
+        checks = EXPECT.get(name, [])
+        for want in checks:
+            ok = want.lower() in plan.lower()
+            bad += 0 if ok else 1
+            print(f"  {'OK ' if ok else 'MISS'} expect: {want}")
+        # always-on checks
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        for s in scans:
+            ncols = len(s.split(",")) if s else 0
+            print(f"  scan reads {ncols} cols: {s[:100]}")
+        wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        print(f"  WholeStageCodegen spans: {wsc}")
+    print(f"\n{bad} missed expectations")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
