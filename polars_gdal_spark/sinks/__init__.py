@@ -50,10 +50,12 @@ def assemble(
         _write_csv(parts, path, schema, geom_col)
     elif d == "gpkg":
         _write_gpkg(parts, path, options, schema, geom_col)
+    elif d in ("esri shapefile", "shapefile", "shp"):
+        _write_shapefile(parts, path, options, schema, geom_col)
     else:
         raise ValueError(
             f"unsupported write driver {driver!r} "
-            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG)"
+            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile)"
         )
 
 
@@ -88,6 +90,26 @@ def _write_csv(parts: list[str], path: str, schema, geom_col: str) -> None:
             geom = feat.get("geometry")
             wkt = geom_to_wkt(geojson_to_geom(geom)) if geom else ""
             w.writerow([props.get(c) for c in attr_cols] + [wkt])
+
+
+def _write_shapefile(
+    parts: list[str], path: str, options: dict, schema, geom_col: str
+) -> None:
+    from polars_gdal_spark.sinks.shapefile_writer import write_shapefile
+
+    fields = [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if f.name != geom_col
+    ]
+
+    def feats():
+        for feat in _iter_features(parts):
+            gj = feat.get("geometry")
+            geom = geojson_to_geom(gj) if gj else None
+            yield geom, feat.get("properties") or {}
+
+    write_shapefile(path, fields, feats())
 
 
 _GPKG_SQL_TYPES = {

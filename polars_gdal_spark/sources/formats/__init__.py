@@ -17,10 +17,14 @@ from polars_gdal_spark.sources.formats.base import (  # noqa: F401
     find_driver,
 )
 
-# Import side-effects register the drivers.
+# Import side-effects register the drivers (probe order: extension match
+# first, then content sniff — see base.find_driver).
 from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
+    arrow_ipc,
     csv_xy,
     geojson,
+    kml_gpx,
     shapefile,
     sqlite_vec,
+    zipped,
 )
