@@ -112,6 +112,93 @@ def pairwise_cosine(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmax exact-int cosine, smallest-centroid-id tiebreak). Centroids
+    broadcast; one scan, no shuffle beyond the rank window on id."""
+    from pyspark.sql import Window
+
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias(centroid_id),
+            quantize(F.col(vec_col)).alias("_cv"),
+        ).withColumn("_cn", F.sqrt(norm_sq_q(F.col("_cv")).cast("double")))
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        quantize(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", F.sqrt(norm_sq_q(F.col("_v")).cast("double")))
+    scored = v.crossJoin(c).withColumn(
+        "_sim", dot_q(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, vec_col, centroid_id)
+    )
+
+
+def ivf_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: rank cells by centroid similarity to the query,
+    scan only the top ``n_probe`` cells, exact cosine re-rank. The scan
+    prunes to n_probe/n_cells of the corpus — the ANN structure that
+    scales past brute force."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # top-n_probe cells for the query via direct ranking
+    q = F.broadcast(
+        query_vec_df.select(quantize(F.col(vec_col)).alias("_qv")).withColumn(
+            "_qn", F.sqrt(norm_sq_q(F.col("_qv")).cast("double"))
+        )
+    )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        quantize(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", F.sqrt(norm_sq_q(F.col("_cv")).cast("double")))
+    cells = (
+        c.crossJoin(q)
+        .withColumn(
+            "_sim", dot_q(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+        )
+        .orderBy(F.desc("_sim"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cand = assigned.join(F.broadcast(cells), "centroid_id")
+    scored = (
+        cand.select(
+            id_col,
+            "centroid_id",
+            quantize(F.col(vec_col)).alias("_v"),
+        )
+        .withColumn("_n", F.sqrt(norm_sq_q(F.col("_v")).cast("double")))
+        .crossJoin(q)
+        .select(
+            id_col,
+            "centroid_id",
+            (dot_q(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def srp_bucket(col, planes: int = 8) -> Column:
     """Sign-random-projection LSH bucket key: a ``planes``-char 0/1 string,
     bit_p = sign of Σ_i x_i * w_pi with deterministic pseudo-random weights

@@ -16,8 +16,12 @@ class WktError(ValueError):
 
 
 def _num(v: float) -> str:
+    import math
+
     if float(v).is_integer():
-        return str(int(v))
+        # preserve the IEEE sign of -0.0 through the text form
+        sign = "-" if v == 0 and math.copysign(1.0, v) < 0 else ""
+        return sign + str(int(v))
     return repr(float(v))
 
 

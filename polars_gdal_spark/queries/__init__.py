@@ -95,6 +95,7 @@ def _register_all() -> None:
     from polars_gdal_spark.queries import geo  # noqa: F401
     from polars_gdal_spark.queries import relational  # noqa: F401
     from polars_gdal_spark.queries import similarity  # noqa: F401
+    from polars_gdal_spark.queries import temporal  # noqa: F401
     from polars_gdal_spark.queries import text  # noqa: F401
 
 

@@ -1,0 +1,104 @@
+"""Temporal-join and IVF queries (driver contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polars_gdal_spark.functions.similarity import ivf_search
+from polars_gdal_spark.functions.temporal import as_of_join
+from polars_gdal_spark.queries import load_tables, query
+
+_Q_SQL = """
+  q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+  )
+"""
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_id_asof,
+           c.value AS click_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent click at or
+    before it. Implemented as union + sort + last-value carry-forward —
+    one shuffle per key, no non-equi join (functions/temporal.py); the
+    oracle is DuckDB's native ASOF JOIN."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("value").alias("click_value")
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", time_col="ts",
+        right_cols=["click_id", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_asof"),
+        F.col("click_value_asof"),
+    )
+
+
+@query(
+    "sim_ivf_probe_search",
+    oracle=f"""
+    WITH {_Q_SQL},
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM q WHERE vec_id < 8),
+    vecs AS (SELECT vec_id, v FROM q WHERE vec_id >= 8),
+    qq AS (SELECT v AS qv FROM q WHERE vec_id = 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vecs.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY list_dot_product(vecs.v, cent.cv)
+                          / (sqrt(list_dot_product(vecs.v, vecs.v))
+                             * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                          cent.centroid_id) AS rk
+        FROM vecs, cent
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM cent, qq
+      ORDER BY list_dot_product(cent.cv, qq.qv)
+               / (sqrt(list_dot_product(cent.cv, cent.cv))
+                  * sqrt(list_dot_product(qq.qv, qq.qv))) DESC, centroid_id
+      LIMIT 2
+    )
+    SELECT v.vec_id, a.centroid_id,
+           list_dot_product(v.v, qq.qv)
+             / (sqrt(list_dot_product(v.v, v.v))
+                * sqrt(list_dot_product(qq.qv, qq.qv))) AS cosine
+    FROM vecs v
+    JOIN assign a ON a.vec_id = v.vec_id
+    JOIN probe p ON p.centroid_id = a.centroid_id, qq
+    ORDER BY cosine DESC, v.vec_id
+    LIMIT 5
+    """,
+)
+def sim_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: vectors 0-7 serve as deterministic coarse centroids;
+    corpus = the rest; query = vec_id 8. Assign → probe top-2 cells →
+    exact re-rank top-5. The scan prunes to ~n_probe/n_cells of the
+    corpus — the index structure brute force graduates to at scale."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 8)
+    qv = emb.where(F.col("vec_id") == 8)
+    return ivf_search(corpus, centroids, qv, k=5, n_probe=2)

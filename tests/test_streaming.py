@@ -89,3 +89,39 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in expected.collect()
     ]
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    from polars_gdal_spark.queries import QUERIES
+    from polars_gdal_spark.streaming.stateful import stateful_sessionize
+
+    events_dir = tmp_path / "events_state"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .parquet(str(events_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.table("sess_state").collect()
+    }
+    expected = {
+        r["user_id"]: r["n_sessions"]
+        for r in QUERIES["events_sessionize"].func(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
