@@ -74,7 +74,34 @@ def _opt(options: dict, name: str, default=None):
     return options.get(name.lower(), default)
 
 
+def _localize(path: str) -> str:
+    """Remote resources (the reference's HTTPS-via-GDAL path,
+    ``src/test.rs:86-94``): download once per machine into a
+    content-addressed cache. Called on both driver (schema/partitions)
+    and executors (read), so each machine fetches independently —
+    no shared-filesystem assumption."""
+    if not path.startswith(("http://", "https://")):
+        return path
+    import hashlib
+    import tempfile
+    import urllib.request
+
+    key = hashlib.sha1(path.encode()).hexdigest()[:16]
+    name = os.path.basename(path.split("?")[0]) or "remote.bin"
+    dest = os.path.join(tempfile.gettempdir(), f"gdal_http_{key}_{name}")
+    if not os.path.exists(dest):
+        tmp = dest + f".tmp{os.getpid()}"
+        urllib.request.urlretrieve(path, tmp)  # noqa: S310
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            os.remove(tmp)
+    return dest
+
+
 def _resolve_paths(path: str) -> list[str]:
+    if path.startswith(("http://", "https://")):
+        return [path]
     if os.path.isdir(path):
         out = sorted(
             p
@@ -112,9 +139,29 @@ def infer_schema(options: dict) -> StructType:
     paths = _resolve_paths(path)
     allowed = _opt(options, "drivers")
     allowed = [d.strip() for d in allowed.split(",")] if allowed else None
-    driver = find_driver(paths[0], allowed)
-    layer = _resolve_layer(driver, paths[0], options)
-    fields = driver.layer_fields(paths[0], layer, options)
+    # Multi-file input: union schemas across a bounded sample of files
+    # (first-seen column order, numeric widening, conflicts → string) —
+    # the per-row schema-drift semantics of the reference
+    # (src/lib.rs:409-450) lifted to per-file granularity.
+    sample_cap = int(_opt(options, "schemaSampleFiles", 16))
+    fields = []
+    seen: dict[str, int] = {}
+    layer = None
+    for p in paths[:sample_cap]:
+        p = _localize(p)
+        driver = find_driver(p, allowed)
+        layer = _resolve_layer(driver, p, options)
+        for f in driver.layer_fields(p, layer, options):
+            if f.name in seen:
+                prev = fields[seen[f.name]]
+                if prev.dtype != f.dtype:
+                    widened = {
+                        frozenset(("bigint", "double")): "double",
+                    }.get(frozenset((prev.dtype, f.dtype)), "string")
+                    prev.dtype = widened
+            else:
+                seen[f.name] = len(fields)
+                fields.append(f)
 
     geom_col = _opt(options, "geometryColumn", "geometry")
     fid_col = _opt(options, "fidColumn")
@@ -258,12 +305,13 @@ class GdalDataSourceReader(DataSourceReader):
         parts: list[InputPartition] = []
         target = max(1, int(_opt(self.options, "targetPartitions", 32)) // max(1, len(paths)))
         for p in paths:
-            driver = find_driver(p, self.allowed)
-            layer = _resolve_layer(driver, p, self.options)
+            local = _localize(p)
+            driver = find_driver(local, self.allowed)
+            layer = _resolve_layer(driver, local, self.options)
             ranges = (
                 None
                 if sequential
-                else driver.split_ranges(p, layer, self.options, target)
+                else driver.split_ranges(local, layer, self.options, target)
             )
             if ranges:
                 for s, e in ranges:
@@ -316,10 +364,11 @@ class GdalDataSourceReader(DataSourceReader):
     def read(self, partition: GdalInputPartition) -> Iterator[tuple]:
         from polars_gdal_spark.sources.formats import find_driver
 
-        driver = find_driver(partition.path, self.allowed)
+        local = _localize(partition.path)
+        driver = find_driver(local, self.allowed)
         if partition.start is not None:
             feats = driver.iter_features_range(
-                partition.path,
+                local,
                 partition.layer,
                 self.options,
                 partition.start,
@@ -327,7 +376,7 @@ class GdalDataSourceReader(DataSourceReader):
             )
         else:
             feats = driver.iter_features(
-                partition.path, partition.layer, self.options
+                local, partition.layer, self.options
             )
 
         geom_col, fid_col = self.geom_col, self.fid_col
