@@ -95,7 +95,10 @@ def _write_csv(parts: list[str], path: str, schema, geom_col: str) -> None:
 def _write_shapefile(
     parts: list[str], path: str, options: dict, schema, geom_col: str
 ) -> None:
-    from polars_gdal_spark.sinks.shapefile_writer import write_shapefile
+    from polars_gdal_spark.sinks.shapefile_writer import (
+        _WGS84_WKT,
+        write_shapefile,
+    )
 
     fields = [
         (f.name, f.dataType.simpleString())
@@ -109,7 +112,9 @@ def _write_shapefile(
             geom = geojson_to_geom(gj) if gj else None
             yield geom, feat.get("properties") or {}
 
-    write_shapefile(path, fields, feats())
+    srs = options.get("srs")
+    srs_wkt = srs if srs and srs.upper().startswith(("GEOGCS", "PROJCS")) else _WGS84_WKT
+    write_shapefile(path, fields, feats(), srs_wkt=srs_wkt)
 
 
 _GPKG_SQL_TYPES = {
@@ -133,7 +138,11 @@ def _write_gpkg(
     parts: list[str], path: str, options: dict, schema, geom_col: str
 ) -> None:
     layer = options.get("layer", "layer")
-    srid = int(options.get("srs", "4326").split(":")[-1] or 4326)
+    srs = options.get("srs", "4326")
+    try:
+        srid = int(srs.split(":")[-1])
+    except ValueError:  # WKT CRS (e.g. from a .prj) — store under 4326 slot
+        srid = 4326
     attr_cols = [
         (f.name, _GPKG_SQL_TYPES.get(f.dataType.simpleString(), "TEXT"))
         for f in schema.fields

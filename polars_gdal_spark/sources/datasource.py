@@ -69,6 +69,32 @@ from polars_gdal_spark.errors import (
 GEOMETRY_FORMATS = ("wkb", "wkt", "geojson")
 
 
+def _parse_ddl_type(ddl: str):
+    """DDL type string → DataType without a SparkSession (the planning
+    worker has none)."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        "bigint": T.LongType(),
+        "int": T.IntegerType(),
+        "smallint": T.ShortType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    d = ddl.strip().lower()
+    if d in atomic:
+        return atomic[d]
+    if d.startswith("array<") and d.endswith(">"):
+        return T.ArrayType(_parse_ddl_type(d[6:-1]))
+    raise ValueError(f"unsupported DDL type {ddl!r}")
+
+
 def _opt(options: dict, name: str, default=None):
     # DataSource options arrive lower-cased (CaseInsensitiveDict semantics).
     return options.get(name.lower(), default)
@@ -182,11 +208,20 @@ def infer_schema(options: dict) -> StructType:
     geom_type = "binary" if gfmt == "wkb" else "string"
     ddl.append((geom_col, geom_type, True))
 
-    # Return a DDL string: DataSource.schema() runs in a context-less
-    # Python worker where StructType.fromDDL cannot parse (needs a JVM).
-    return ", ".join(
-        "`{}` {}".format(name.replace("`", "``"), dtype) for name, dtype, _ in ddl
-    )
+    # Build the StructType programmatically (fromDDL would need a JVM,
+    # absent in the planning worker). The geometry field carries CRS
+    # metadata when the format stores one — strictly more than the
+    # reference keeps (it drops CRS on read, SURVEY §1.2).
+    crs = driver.layer_crs(_localize(paths[0]), layer, options)
+    st = StructType()
+    for name, dtype, _nullable in ddl:
+        meta = None
+        if name == geom_col:
+            meta = {"encoding": gfmt}
+            if crs:
+                meta["crs"] = crs
+        st.add(name, _parse_ddl_type(dtype), True, meta)
+    return st
 
 
 @dataclass
@@ -438,6 +473,11 @@ class GdalDataSourceWriter(DataSourceWriter):
         names = [f.name for f in schema.fields]
         if self.geom_col not in names:
             raise CannotFindGeometryColumnError(self.geom_col)
+        # CRS: explicit option wins; else the geometry column's metadata
+        # (carried by the reader) round-trips automatically.
+        meta = schema[self.geom_col].metadata or {}
+        if not _opt(options, "srs") and meta.get("crs"):
+            self.options["srs"] = meta["crs"]
         gtype = schema[self.geom_col].dataType.simpleString()
         if self.gfmt is None:
             self.gfmt = "wkb" if gtype == "binary" else "wkt"

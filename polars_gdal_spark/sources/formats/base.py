@@ -58,6 +58,12 @@ class FormatDriver:
         raise NotImplementedError
 
     # -- optional capabilities -------------------------------------------
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        """CRS of the layer (WKT or 'EPSG:n'), if the format stores one.
+        Carried as geometry-column metadata — strictly more than the
+        reference keeps (it drops CRS on read, SURVEY §1.2)."""
+        return None
+
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
         """Cheap count if the format stores one (else None)."""
         return None

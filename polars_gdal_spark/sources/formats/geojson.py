@@ -109,6 +109,9 @@ class GeoJsonDriver(FormatDriver):
     def list_layers(self, path: str, options: dict) -> list[str]:
         return [LAYER]
 
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        return "EPSG:4326"  # RFC 7946: GeoJSON is implicitly WGS84
+
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
         # First-seen property order — the engine's documented improvement
         # over the reference's nondeterministic HashMap order

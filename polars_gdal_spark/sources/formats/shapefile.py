@@ -213,6 +213,13 @@ class ShapefileDriver(FormatDriver):
         dbf = self._dbf(path)
         return dbf.spark_fields() if dbf else []
 
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        prj = os.path.splitext(path)[0] + ".prj"
+        if os.path.exists(prj):
+            with open(prj, encoding="utf-8", errors="replace") as f:
+                return f.read().strip() or None
+        return None
+
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
         try:
             return len(_shx_offsets(path))

@@ -222,6 +222,14 @@ class SpatiaLiteDriver(_SqliteVectorDriver):
     name = "SQLite"  # GDAL driver name for SpatiaLite containers
     extensions = (".sqlite", ".db")
 
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        with sqlite3.connect(path) as con:
+            row = con.execute(
+                "SELECT srid FROM geometry_columns WHERE f_table_name = ?",
+                (layer,),
+            ).fetchone()
+        return f"EPSG:{row[0]}" if row and row[0] else None
+
     def _probe(self, path: str) -> bool:
         try:
             with sqlite3.connect(path) as con:
@@ -246,6 +254,14 @@ class SpatiaLiteDriver(_SqliteVectorDriver):
 class GeoPackageDriver(_SqliteVectorDriver):
     name = "GPKG"
     extensions = (".gpkg",)
+
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        with sqlite3.connect(path) as con:
+            row = con.execute(
+                "SELECT srs_id FROM gpkg_geometry_columns WHERE table_name = ?",
+                (layer,),
+            ).fetchone()
+        return f"EPSG:{row[0]}" if row and row[0] else None
 
     def _probe(self, path: str) -> bool:
         try:

@@ -82,6 +82,10 @@ class ZipDriver(FormatDriver):
         d, p = self._inner(path)
         return d.layer_fields(p, layer, options)
 
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        d, p = self._inner(path)
+        return d.layer_crs(p, layer, options)
+
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
         d, p = self._inner(path)
         return d.feature_count(p, layer, options)

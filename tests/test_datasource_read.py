@@ -180,3 +180,15 @@ def test_layer_selection_sqlite(spark):
 def test_layer_index(spark):
     df = _read(spark, SPATIALITE, layerIndex=0)
     assert df.count() == 13
+
+
+def test_crs_metadata_carried(spark):
+    # strictly more than the reference: CRS survives the read as geometry
+    # column metadata (reference drops it, SURVEY §1.2)
+    shp = _read(spark, STATIONS)
+    assert "WGS_1984" in shp.schema["geometry"].metadata["crs"]
+    sl = _read(spark, SPATIALITE)
+    assert sl.schema["geometry"].metadata["crs"] == "EPSG:23032"
+    gj = _read(spark, US_STATES)
+    assert gj.schema["geometry"].metadata["crs"] == "EPSG:4326"
+    assert gj.schema["geometry"].metadata["encoding"] == "wkb"

@@ -102,3 +102,15 @@ def test_bytes_out_empty_rejected(spark):
     with pytest.raises(Exception) as exc_info:
         write_gdal_bytes(full.where("name = 'nope'"), "GeoJSON")
     assert "empty" in str(exc_info.value).lower()
+
+
+def test_crs_roundtrips_to_prj(spark, tmp_path):
+    src = spark.read.format("gdal").load(STATIONS)
+    out = str(tmp_path / "crs_out.shp")
+    src.write.format("gdal").mode("overwrite").option(
+        "driver", "ESRI Shapefile"
+    ).save(out)
+    prj = open(str(tmp_path / "crs_out.prj")).read()
+    assert "WGS_1984" in prj
+    back = spark.read.format("gdal").load(out)
+    assert "WGS_1984" in back.schema["geometry"].metadata["crs"]
