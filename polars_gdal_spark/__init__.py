@@ -35,3 +35,15 @@ def register_gdal_source(spark) -> None:
     from polars_gdal_spark.sources.datasource import GdalDataSource
 
     spark.dataSource.register(GdalDataSource)
+
+
+def read_gdal(spark, path: str, **options):
+    """Batch read through the ``gdal`` source with CRS/encoding carried as
+    geometry-column metadata (metadata is batch-only: Spark's streaming
+    runner rejects schemas with field metadata, so ``readStream`` paths
+    must go through ``spark.readStream.format("gdal")`` directly)."""
+    register_gdal_source(spark)
+    reader = spark.read.format("gdal").option("crsMetadata", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

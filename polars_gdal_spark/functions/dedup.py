@@ -222,6 +222,71 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over an undirected edge list (doc_a, doc_b):
+    returns (doc, component) where component = the minimum doc id in the
+    component — the canonical "pick one representative per duplicate
+    cluster" step after LSH pair generation.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Deterministic, so the driver can oracle-check it against a recursive
+    CTE."""
+    import pyspark.sql.functions as F
+
+    # Materialize edges once and truncate lineage every round — without
+    # this, iteration k re-executes the entire upstream (LSH) plan k
+    # times and the convergence check doubles it.
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("component", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.a, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(
+                labels.alias("o"),
+                (F.col("n.doc") == F.col("o.doc"))
+                & (F.col("n.component") != F.col("o.component")),
+            )
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -38,7 +38,9 @@ def _augmented(spark: SparkSession, sf_dir: str, with_copy: bool = False) -> Dat
         out = out.unionAll(
             base.select((F.col("doc") + 20000).alias("doc"), "text")
         )
-    return out
+    # documents is a single parquet file → 1-2 input splits; spread the
+    # shingle/hash work across the cluster before the heavy operators
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 # Shared oracle CTEs mirroring _augmented + shingle generation.
@@ -153,6 +155,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the shingle equi-join; jaccard is an exact int/int ratio."""
     aug = _augmented(spark, sf_dir)
     return D.ngram_jaccard_pairs(aug, "doc", "text", n=3, threshold=0.3)
+
+
+_LSH_PAIRS_SQL = """
+  mh AS (
+    SELECT doc, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+    FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+    GROUP BY doc, seed
+  ),
+  bands AS (
+    SELECT doc, seed // 4 AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+    FROM mh GROUP BY doc, seed // 4
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+  )
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL.strip().lstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_LSH_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc = e.b
+    )
+    SELECT doc, min(lab) AS component FROM reach GROUP BY doc
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline tail: LSH candidate pairs → connected
+    components → min-id representative per duplicate cluster. Iterative
+    min-label propagation (O(cluster diameter) rounds, shallow for
+    near-dup clusters); oracle = recursive-CTE transitive closure."""
+    aug = _augmented(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(aug, "doc", "text", 16, 4, 3)
+    return D.connected_components(pairs)
 
 
 @query(

@@ -216,7 +216,14 @@ def infer_schema(options: dict) -> StructType:
     st = StructType()
     for name, dtype, _nullable in ddl:
         meta = None
-        if name == geom_col:
+        # Field metadata is OPT-IN (batch-only): Spark's streaming runner
+        # asserts the prefetched Arrow batch schema equals the declared
+        # schema and Arrow drops field metadata, so readStream on a
+        # metadata-carrying schema dies with an internal assertion.
+        # polars_gdal_spark.read_gdal() sets this automatically for batch.
+        if name == geom_col and str(
+            _opt(options, "crsMetadata", "false")
+        ).lower() == "true":
             meta = {"encoding": gfmt}
             if crs:
                 meta["crs"] = crs

@@ -184,11 +184,16 @@ def test_layer_index(spark):
 
 def test_crs_metadata_carried(spark):
     # strictly more than the reference: CRS survives the read as geometry
-    # column metadata (reference drops it, SURVEY §1.2)
-    shp = _read(spark, STATIONS)
+    # column metadata (reference drops it, SURVEY §1.2). Batch-only
+    # opt-in (read_gdal wrapper) — streaming schemas must be metadata-free.
+    from polars_gdal_spark import read_gdal
+
+    shp = read_gdal(spark, STATIONS)
     assert "WGS_1984" in shp.schema["geometry"].metadata["crs"]
-    sl = _read(spark, SPATIALITE)
+    sl = read_gdal(spark, SPATIALITE)
     assert sl.schema["geometry"].metadata["crs"] == "EPSG:23032"
-    gj = _read(spark, US_STATES)
+    gj = read_gdal(spark, US_STATES)
     assert gj.schema["geometry"].metadata["crs"] == "EPSG:4326"
     assert gj.schema["geometry"].metadata["encoding"] == "wkb"
+    # default (streaming-compatible) path carries no metadata
+    assert _read(spark, STATIONS).schema["geometry"].metadata == {}

@@ -105,12 +105,14 @@ def test_bytes_out_empty_rejected(spark):
 
 
 def test_crs_roundtrips_to_prj(spark, tmp_path):
-    src = spark.read.format("gdal").load(STATIONS)
+    from polars_gdal_spark import read_gdal
+
+    src = read_gdal(spark, STATIONS)
     out = str(tmp_path / "crs_out.shp")
     src.write.format("gdal").mode("overwrite").option(
         "driver", "ESRI Shapefile"
     ).save(out)
     prj = open(str(tmp_path / "crs_out.prj")).read()
     assert "WGS_1984" in prj
-    back = spark.read.format("gdal").load(out)
+    back = read_gdal(spark, out)
     assert "WGS_1984" in back.schema["geometry"].metadata["crs"]
