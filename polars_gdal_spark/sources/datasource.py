@@ -300,40 +300,6 @@ class GdalDataSourceReader(DataSourceReader):
         ]
         self.dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
 
-    # -- pushdown ---------------------------------------------------------
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """OGR SetAttributeFilter analogue (SURVEY §4.2): simple
-        comparisons on attribute columns are evaluated inside the scan
-        loop; everything else stays with Spark.
-
-        OPT-IN via ``option("pushdown", "true")``: Spark caches the
-        first-planned Python scan per DataFrame and reuses it for later
-        queries with different filters, so a pushed filter from query 1
-        would silently constrain query 2 (verified against Spark 4.1).
-        Safe for single-use loads (read→transform→write); off by default.
-        """
-        if str(_opt(self.options, "pushdown", "false")).lower() != "true":
-            yield from filters
-            return
-        kinds = {
-            EqualTo: "eq",
-            GreaterThan: "gt",
-            GreaterThanOrEqual: "ge",
-            LessThan: "lt",
-            LessThanOrEqual: "le",
-            IsNull: "isnull",
-            IsNotNull: "isnotnull",
-        }
-        self.pushed = []  # overwrite: never accumulate across plannings
-        for f in filters:
-            kind = kinds.get(type(f))
-            col = f.attribute[0] if len(f.attribute) == 1 else None
-            if kind and col and col in self.attr_fields:
-                val = getattr(f, "value", None)
-                self.pushed.append((kind, col, val))
-            else:
-                yield f
-
     # -- planning ---------------------------------------------------------
     def partitions(self) -> Sequence[InputPartition]:
         from polars_gdal_spark.sources.formats import find_driver
@@ -448,6 +414,47 @@ class GdalDataSourceReader(DataSourceReader):
             row.append(self._encode_geom(feat.geom))
             emitted += 1
             yield tuple(row)
+
+
+class GdalPushdownReader(GdalDataSourceReader):
+    """Reader variant used only under ``option("pushdown", "true")``.
+
+    Kept as a SEPARATE class because Spark 4 asserts at plan time when a
+    Python reader merely *defines* ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — the default
+    reader must not carry the method, or plain ``load()`` on a vanilla
+    session dies before reading a byte.
+    """
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """OGR SetAttributeFilter analogue (SURVEY §4.2): simple
+        comparisons on attribute columns are evaluated inside the scan
+        loop; everything else stays with Spark.
+
+        OPT-IN because Spark caches the first-planned Python scan per
+        DataFrame and reuses it for later queries with different filters,
+        so a pushed filter from query 1 would silently constrain query 2
+        (verified against Spark 4.1). Safe for single-use loads
+        (read→transform→write); off by default.
+        """
+        kinds = {
+            EqualTo: "eq",
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "ge",
+            LessThan: "lt",
+            LessThanOrEqual: "le",
+            IsNull: "isnull",
+            IsNotNull: "isnotnull",
+        }
+        self.pushed = []  # overwrite: never accumulate across plannings
+        for f in filters:
+            kind = kinds.get(type(f))
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if kind and col and col in self.attr_fields:
+                val = getattr(f, "value", None)
+                self.pushed.append((kind, col, val))
+            else:
+                yield f
 
 
 # ----------------------------------------------------------------- writer
@@ -588,6 +595,8 @@ class GdalDataSource(DataSource):
         return infer_schema(self.options)
 
     def reader(self, schema: StructType) -> GdalDataSourceReader:
+        if str(_opt(self.options, "pushdown", "false")).lower() == "true":
+            return GdalPushdownReader(schema, self.options)
         return GdalDataSourceReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> GdalDataSourceWriter:

@@ -148,15 +148,26 @@ class _SqliteVectorDriver(FormatDriver):
             raise ValueError(f"layer {layer!r} not found; have {list(cat)}")
         return cat[layer]
 
+    @staticmethod
+    def _fid_col(info: list[tuple]) -> str | None:
+        """Single INTEGER PRIMARY KEY column = SQLite rowid alias = the
+        OGR feature id (GDAL's GPKG/SQLite drivers expose it as FID, not
+        as an attribute field)."""
+        pk_cols = [r for r in info if r[5]]
+        if len(pk_cols) == 1 and "INT" in (pk_cols[0][2] or "").upper():
+            return pk_cols[0][1]
+        return None
+
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
         gcol = self._geom_col(path, layer)
         with sqlite3.connect(path) as con:
             info = con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+        fid_col = self._fid_col(info)
         out = []
         for _cid, name, decl, _notnull, _dflt, pk in info:
-            if name.lower() == gcol.lower():
+            if name.lower() == gcol.lower() or name == fid_col:
                 continue
-            out.append(Field(name, "bigint" if pk and "INT" in (decl or "").upper() else _affinity(decl)))
+            out.append(Field(name, _affinity(decl)))
         return out
 
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
@@ -180,11 +191,14 @@ class _SqliteVectorDriver(FormatDriver):
     def _rows(self, path: str, layer: str, where: str = "") -> Iterator[tuple]:
         gcol = self._geom_col(path, layer)
         with sqlite3.connect(path) as con:
-            cols = [
-                r[1]
-                for r in con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+            info = con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+            fid_col = self._fid_col(info)
+            cols = [r[1] for r in info]
+            attr_cols = [
+                c
+                for c in cols
+                if c.lower() != gcol.lower() and c != fid_col
             ]
-            attr_cols = [c for c in cols if c.lower() != gcol.lower()]
             sel = ", ".join(f'"{c}"' for c in attr_cols)
             sql = (
                 f'SELECT rowid, "{gcol}"'

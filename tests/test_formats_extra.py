@@ -97,3 +97,23 @@ def test_ogr_sql_recipe(spark):
     )
     assert df.count() == 5
     assert df.columns == ["name", "line"]
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    from polars_gdal_spark import read_gdal
+    from polars_gdal_spark.sources.geoparquet import (
+        read_geoparquet,
+        write_geoparquet,
+    )
+
+    src = read_gdal(spark, f"{REF_DATA}/stations.shp")
+    out = str(tmp_path / "stations_gpq")
+    write_geoparquet(src, out)
+    back = read_geoparquet(spark, out)
+    assert back.count() == 86
+    meta = back.schema["geometry"].metadata
+    assert meta["encoding"] == "wkb"
+    assert "WGS_1984" in meta["crs"]
+    a = sorted(bytes(r["geometry"]) for r in src.select("geometry").collect())
+    b = sorted(bytes(r["geometry"]) for r in back.select("geometry").collect())
+    assert a == b
