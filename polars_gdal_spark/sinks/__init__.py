@@ -52,10 +52,14 @@ def assemble(
         _write_gpkg(parts, path, options, schema, geom_col)
     elif d in ("esri shapefile", "shapefile", "shp"):
         _write_shapefile(parts, path, options, schema, geom_col)
+    elif d == "kml":
+        _write_kml(parts, path, options, schema, geom_col)
+    elif d == "gpx":
+        _write_gpx(parts, path, options, schema, geom_col)
     else:
         raise ValueError(
             f"unsupported write driver {driver!r} "
-            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile)"
+            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, GPX)"
         )
 
 
@@ -115,6 +119,148 @@ def _write_shapefile(
     srs = options.get("srs")
     srs_wkt = srs if srs and srs.upper().startswith(("GEOGCS", "PROJCS")) else _WGS84_WKT
     write_shapefile(path, fields, feats(), srs_wkt=srs_wkt)
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _kml_coord_str(pts) -> str:
+    return " ".join(",".join(str(v) for v in p) for p in pts)
+
+
+def _kml_geom_xml(gj: dict) -> str:
+    """GeoJSON geometry dict → KML geometry element (inverse of the
+    KmlDriver reader; covers the same shape set)."""
+    t = gj["type"]
+    c = gj.get("coordinates")
+    if t == "Point":
+        return f"<Point><coordinates>{_kml_coord_str([c])}</coordinates></Point>"
+    if t == "LineString":
+        return (
+            f"<LineString><coordinates>{_kml_coord_str(c)}"
+            "</coordinates></LineString>"
+        )
+    if t == "Polygon":
+        out = ["<Polygon>"]
+        for i, ring in enumerate(c):
+            tag = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            out.append(
+                f"<{tag}><LinearRing><coordinates>{_kml_coord_str(ring)}"
+                f"</coordinates></LinearRing></{tag}>"
+            )
+        out.append("</Polygon>")
+        return "".join(out)
+    if t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        sub = t[5:]
+        return (
+            "<MultiGeometry>"
+            + "".join(_kml_geom_xml({"type": sub, "coordinates": g}) for g in c)
+            + "</MultiGeometry>"
+        )
+    if t == "GeometryCollection":
+        return (
+            "<MultiGeometry>"
+            + "".join(_kml_geom_xml(g) for g in gj["geometries"])
+            + "</MultiGeometry>"
+        )
+    raise ValueError(f"cannot encode geometry type {t!r} as KML")
+
+
+def _write_kml(
+    parts: list[str], path: str, options: dict, schema, geom_col: str
+) -> None:
+    """KML Placemark writer — name/description map to KML elements,
+    remaining attributes go to ExtendedData (matching KmlDriver read)."""
+    layer = options.get("layer", "layer")
+    attr_cols = [f.name for f in schema.fields if f.name != geom_col]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<kml xmlns="http://www.opengis.net/kml/2.2"><Document>')
+        f.write(f"<name>{_xml_escape(layer)}</name>\n")
+        for feat in _iter_features(parts):
+            props = feat.get("properties") or {}
+            f.write("<Placemark>")
+            if props.get("name") is not None:
+                f.write(f"<name>{_xml_escape(str(props['name']))}</name>")
+            if props.get("description") is not None:
+                f.write(
+                    "<description>"
+                    f"{_xml_escape(str(props['description']))}</description>"
+                )
+            extra = [
+                c for c in attr_cols
+                if c not in ("name", "description") and props.get(c) is not None
+            ]
+            if extra:
+                f.write("<ExtendedData>")
+                for c in extra:
+                    f.write(
+                        f'<Data name="{_xml_escape(c)}"><value>'
+                        f"{_xml_escape(str(props[c]))}</value></Data>"
+                    )
+                f.write("</ExtendedData>")
+            gj = feat.get("geometry")
+            if gj:
+                f.write(_kml_geom_xml(gj))
+            f.write("</Placemark>\n")
+        f.write("</Document></kml>\n")
+
+
+def _write_gpx(
+    parts: list[str], path: str, options: dict, schema, geom_col: str
+) -> None:
+    """GPX writer: Points → <wpt>, LineStrings/MultiLineStrings → <trk>
+    (matching GpxDriver's waypoints/tracks layers on read)."""
+    wpts: list[str] = []
+    trks: list[str] = []
+    for feat in _iter_features(parts):
+        props = feat.get("properties") or {}
+        gj = feat.get("geometry")
+        if not gj:
+            continue
+        name = props.get("name")
+        name_xml = (
+            f"<name>{_xml_escape(str(name))}</name>" if name is not None else ""
+        )
+        t = gj["type"]
+        if t == "Point":
+            x, y = gj["coordinates"][:2]
+            ele = props.get("ele")
+            ele_xml = f"<ele>{ele}</ele>" if ele is not None else ""
+            time = props.get("time")
+            time_xml = (
+                f"<time>{_xml_escape(str(time))}</time>"
+                if time is not None else ""
+            )
+            wpts.append(
+                f'<wpt lat="{y}" lon="{x}">{ele_xml}{time_xml}{name_xml}</wpt>'
+            )
+        elif t in ("LineString", "MultiLineString"):
+            segs = [gj["coordinates"]] if t == "LineString" else gj["coordinates"]
+            seg_xml = "".join(
+                "<trkseg>"
+                + "".join(f'<trkpt lat="{p[1]}" lon="{p[0]}"/>' for p in seg)
+                + "</trkseg>"
+                for seg in segs
+            )
+            trks.append(f"<trk>{name_xml}{seg_xml}</trk>")
+        else:
+            raise ValueError(f"cannot encode geometry type {t!r} as GPX")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write(
+            '<gpx version="1.1" creator="polars_gdal_spark"'
+            ' xmlns="http://www.topografix.com/GPX/1/1">\n'
+        )
+        for w in wpts:
+            f.write(w + "\n")
+        for t_ in trks:
+            f.write(t_ + "\n")
+        f.write("</gpx>\n")
 
 
 _GPKG_SQL_TYPES = {

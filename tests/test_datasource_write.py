@@ -133,3 +133,25 @@ def test_wrong_geometry_dtype_rejected(spark, stations, tmp_path):
     with pytest.raises(Exception) as exc_info:
         _write(bad, out)
     assert "geometry" in str(exc_info.value)
+
+
+def test_kml_roundtrip(spark, stations, tmp_path):
+    out = str(tmp_path / "out.kml")
+    _write(stations, out, driver="KML")
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+    # non-name/description attributes round-trip through ExtendedData
+    src = {r["name"]: r["line"] for r in stations.collect()}
+    got = {r["name"]: r["line"] for r in back.collect()}
+    assert got == src
+
+
+def test_gpx_roundtrip(spark, stations, tmp_path):
+    out = str(tmp_path / "out.gpx")
+    _write(stations.selectExpr("name", "geometry"), out, driver="GPX")
+    back = spark.read.format("gdal").load(out)  # default layer: waypoints
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+    src = sorted(r["name"] for r in stations.collect())
+    assert sorted(r["name"] for r in back.collect()) == src
