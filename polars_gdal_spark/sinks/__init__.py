@@ -56,11 +56,47 @@ def assemble(
         _write_kml(parts, path, options, schema, geom_col)
     elif d == "gpx":
         _write_gpx(parts, path, options, schema, geom_col)
+    elif d in ("flatgeobuf", "fgb"):
+        _write_fgb(parts, path, options, schema, geom_col)
     else:
         raise ValueError(
             f"unsupported write driver {driver!r} "
-            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, GPX)"
+            "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, "
+            "GPX, FlatGeobuf)"
         )
+
+
+def _write_fgb(
+    parts: list[str], path: str, options: dict, schema, geom_col: str
+) -> None:
+    from polars_gdal_spark.sources.formats.flatgeobuf import write_fgb
+
+    fields = [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if f.name != geom_col
+    ]
+    srs = options.get("srs", "4326")
+    try:
+        srs_code = int(str(srs).split(":")[-1])
+    except ValueError:
+        srs_code = 4326
+
+    def feats():
+        for feat in _iter_features(parts):
+            gj = feat.get("geometry")
+            yield (
+                geojson_to_geom(gj) if gj else None,
+                feat.get("properties") or {},
+            )
+
+    write_fgb(
+        path,
+        fields,
+        feats(),
+        layer_name=options.get("layer", "layer"),
+        srs_code=srs_code,
+    )
 
 
 def _write_geojson(parts: list[str], path: str) -> None:
