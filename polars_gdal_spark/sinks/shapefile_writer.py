@@ -23,6 +23,38 @@ _SHAPE_CODES = {
     "MultiLineString": 3,
     "MultiPolygon": 5,
 }
+# Z-variant codes (spec: PointZ=11, PolyLineZ=13, PolygonZ=15,
+# MultiPointZ=18); measure (M) arrays written as NoData (< -1e38)
+_Z_CODES = {1: 11, 3: 13, 5: 15, 8: 18}
+_M_NODATA = -1e39
+
+
+def _geom_has_z(geom) -> bool:
+    t, c = geom
+    probe = c
+    depth = {
+        "Point": 0, "LineString": 1, "MultiPoint": 1,
+        "Polygon": 2, "MultiLineString": 2, "MultiPolygon": 3,
+    }[t]
+    for _ in range(depth):
+        if not probe:
+            return False
+        probe = probe[0]
+    return len(probe) >= 3
+
+
+def _z_of(p) -> float:
+    return float(p[2]) if len(p) >= 3 else 0.0
+
+
+def _z_block(pts) -> bytes:
+    zs = [_z_of(p) for p in pts]
+    out = struct.pack("<2d", min(zs), max(zs))
+    out += struct.pack(f"<{len(zs)}d", *zs)
+    # measure block: range + per-point NoData
+    out += struct.pack("<2d", _M_NODATA, _M_NODATA)
+    out += struct.pack(f"<{len(pts)}d", *([_M_NODATA] * len(pts)))
+    return out
 
 _WGS84_WKT = (
     'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
@@ -61,18 +93,25 @@ def _line_parts(geom) -> list[list]:
 def _shape_content(geom) -> bytes:
     t, c = geom
     code = _SHAPE_CODES[t]
+    has_z = _geom_has_z(geom)
+    if has_z:
+        code = _Z_CODES[code]
     if t == "Point":
-        return struct.pack("<i2d", 1, c[0], c[1])
+        if has_z:
+            return struct.pack("<i4d", code, c[0], c[1], _z_of(c), _M_NODATA)
+        return struct.pack("<i2d", code, c[0], c[1])
     if t == "MultiPoint":
         xs = [p[0] for p in c]
         ys = [p[1] for p in c]
         out = struct.pack(
-            "<i4di", 8, min(xs), min(ys), max(xs), max(ys), len(c)
+            "<i4di", code, min(xs), min(ys), max(xs), max(ys), len(c)
         )
         for p in c:
             out += struct.pack("<2d", p[0], p[1])
+        if has_z:
+            out += _z_block(c)
         return out
-    parts = _poly_rings(geom) if code == 5 else _line_parts(geom)
+    parts = _poly_rings(geom) if code in (5, 15) else _line_parts(geom)
     pts = [p for part in parts for p in part]
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
@@ -85,6 +124,8 @@ def _shape_content(geom) -> bytes:
         idx += len(part)
     for p in pts:
         out += struct.pack("<2d", p[0], p[1])
+    if has_z:
+        out += _z_block(pts)
     return out
 
 
@@ -146,7 +187,7 @@ def write_shapefile(
         else:
             content = _shape_content(geom)
             if shape_code is None:
-                shape_code = _SHAPE_CODES[geom[0]]
+                shape_code = struct.unpack("<i", content[:4])[0]
             # accumulate bbox from the content's coordinates
             t, c = geom
             pts = []

@@ -116,3 +116,43 @@ def test_crs_roundtrips_to_prj(spark, tmp_path):
     assert "WGS_1984" in prj
     back = read_gdal(spark, out)
     assert "WGS_1984" in back.schema["geometry"].metadata["crs"]
+
+
+def test_shapefile_z_roundtrip(tmp_path):
+    """Z-variant shapes (PointZ/PolyLineZ/PolygonZ/MultiPointZ) survive a
+    write→read cycle with z preserved (write side was the known gap;
+    read side already handled codes 11/13/15/18)."""
+    from polars_gdal_spark.sinks.shapefile_writer import write_shapefile
+    from polars_gdal_spark.sources.formats.shapefile import ShapefileDriver
+
+    cases = [
+        ("pt", ("Point", (1.0, 2.0, 3.5))),
+        ("ln", ("LineString", [(0.0, 0.0, 1.0), (1.0, 1.0, 2.0)])),
+        (
+            "pg",
+            ("Polygon", [[(0.0, 0.0, 1.0), (4.0, 0.0, 1.5), (4.0, 4.0, 2.0),
+                          (0.0, 0.0, 1.0)]]),
+        ),
+        ("mp", ("MultiPoint", [(1.0, 2.0, 9.0), (3.0, 4.0, 8.0)])),
+    ]
+    d = ShapefileDriver()
+    for name, geom in cases:
+        p = str(tmp_path / f"{name}.shp")
+        write_shapefile(p, [("name", "string")], [(geom, {"name": name})])
+        feats = list(d.iter_features(p, "layer", {}))
+        assert len(feats) == 1
+        got = feats[0].geom
+        assert got[0] == geom[0]
+
+        def flatten(g):
+            t, c = g
+            if t == "Point":
+                return [c]
+            if t in ("LineString", "MultiPoint"):
+                return list(c)
+            return [pt for ring in c for pt in ring]
+
+        src, back = flatten(geom), flatten(got)
+        assert len(src) == len(back)
+        for s, b in zip(sorted(src), sorted(back)):
+            assert b == s  # includes z
