@@ -121,6 +121,57 @@ def _impl_st_grid_cell(s: pd.Series) -> pd.Series:
     return _map(s, fn)
 
 
+def _impl_st_covering_cells(s: pd.Series, cell: pd.Series) -> pd.Series:
+    import math
+
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v, c):
+        if v is None:
+            return None
+        mnx, mny, mxx, mxy = _bounds(wkb_to_geom(bytes(v)))
+        return [
+            f"{i}:{j}"
+            for i in range(math.floor(mnx / c), math.floor(mxx / c) + 1)
+            for j in range(math.floor(mny / c), math.floor(mxy / c) + 1)
+        ]
+
+    return pd.Series([fn(v, c) for v, c in zip(s, cell)])
+
+
+def _rings_of(geom):
+    t, c = geom
+    if t == "Polygon":
+        return c
+    if t == "MultiPolygon":
+        return [r for poly in c for r in poly]
+    raise ValueError(f"st_contains_xy needs Polygon/MultiPolygon, got {t}")
+
+
+def _impl_st_contains_xy(
+    s: pd.Series, xs: pd.Series, ys: pd.Series
+) -> pd.Series:
+    """Even-odd ray cast over all rings (holes subtract)."""
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v, x, y):
+        if v is None or x is None or y is None:
+            return None
+        inside = False
+        for ring in _rings_of(wkb_to_geom(bytes(v))):
+            for i in range(len(ring) - 1):
+                x1, y1 = ring[i][0], ring[i][1]
+                x2, y2 = ring[i + 1][0], ring[i + 1][1]
+                if (y1 > y) != (y2 > y):
+                    if x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                        inside = not inside
+        return inside
+
+    return pd.Series(
+        [fn(v, x, y) for v, x, y in zip(s, xs, ys)], dtype="object"
+    )
+
+
 _SPECS = {
     "wkb_to_wkt_col": (_impl_wkb_to_wkt, "string"),
     "wkb_to_geojson_col": (_impl_wkb_to_geojson, "string"),
@@ -134,7 +185,58 @@ _SPECS = {
     "st_x": (_impl_st_x, "double"),
     "st_y": (_impl_st_y, "double"),
     "st_grid_cell": (_impl_st_grid_cell, "string"),
+    "st_covering_cells": (_impl_st_covering_cells, "array<string>"),
+    "st_contains_xy": (_impl_st_contains_xy, "boolean"),
 }
+
+
+def spatial_join_points_in_polygons(
+    points,
+    polygons,
+    cell_size: float = 1.0,
+    point_geom: str = "geometry",
+    poly_geom: str = "geometry",
+):
+    """Distributed point-in-polygon join (SURVEY §2.E, new capability).
+
+    Scale design: polygons explode to their grid covering cells, points
+    key to one cell, the candidate set comes from an **equi-join on the
+    cell key** (shuffle on a bounded uniform key — never a cross join),
+    and the exact even-odd containment test refines candidates in an
+    Arrow-batched UDF. A polygon spanning k cells appears k× in the
+    build side; the refine keeps one row per (point, polygon) because a
+    point matches in exactly its own cell. At 100 TB, ``cell_size``
+    trades replication (small cells) against candidate fan-in (big
+    cells); AQE handles residual cell skew (coastal-city effect).
+    """
+    import pyspark.sql.functions as F
+
+    polys_c = polygons.withColumn(
+        "_cell",
+        F.explode(
+            _udf("st_covering_cells")(
+                F.col(poly_geom), F.lit(float(cell_size))
+            )
+        ),
+    )
+    pts_c = (
+        points.withColumn("_px", _udf("st_x")(F.col(point_geom)))
+        .withColumn("_py", _udf("st_y")(F.col(point_geom)))
+        .withColumn(
+            "_cell",
+            F.concat_ws(
+                ":",
+                F.floor(F.col("_px") / cell_size).cast("long"),
+                F.floor(F.col("_py") / cell_size).cast("long"),
+            ),
+        )
+    )
+    joined = pts_c.join(polys_c, "_cell")
+    return joined.where(
+        _udf("st_contains_xy")(
+            F.col(poly_geom), F.col("_px"), F.col("_py")
+        )
+    ).drop("_cell", "_px", "_py")
 
 
 def _udf(name: str):
@@ -165,3 +267,6 @@ def __getattr__(name: str):
 # st_bounds(col)           bbox struct for spatial bucketing
 # st_x/st_y(col)           Point accessors
 # st_grid_cell(col)        1-degree grid key (spatial-join blocking)
+# st_covering_cells(col, cell)  bbox covering-cell keys (poly build side)
+# st_contains_xy(poly, x, y)    exact even-odd containment (refine step)
+# spatial_join_points_in_polygons(pts, polys)  distributed PIP join

@@ -123,3 +123,69 @@ def gdal_geometry_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("geometry")
         ).alias("wkt_fixed_point"),
     ).orderBy("name")
+
+
+_PIP_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7 % 1000) / 10.0 + 0.05 AS x,
+             (c_custkey * 13 % 1000) / 10.0 + 0.03 AS y
+      FROM customer
+    ),
+    tri AS (
+      SELECT n_nationkey,
+             (n_nationkey % 5) * 20 AS cx,
+             (n_nationkey // 5) * 20 AS cy
+      FROM nation
+    )
+    SELECT n_nationkey AS nationkey, count(*) AS n_points
+    FROM pts JOIN tri
+      ON x > cx AND y > cy AND x + y < cx + cy + 15
+    GROUP BY 1
+"""
+
+
+@query("geo_spatial_join_pip", oracle=_PIP_ORACLE)
+def geo_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial join (SURVEY §2.E new capability): points in
+    polygons via grid-cell blocking + equi-join + exact even-odd
+    containment refinement over real WKB geometry columns.
+
+    Unlike the other geo entries this one IS oracle-checked: geometry is
+    synthesized from table keys (customer points, one right triangle per
+    nation), so DuckDB can express the same containment as arithmetic
+    sign tests — no spatial extension needed. Coordinates carry .05/.03
+    offsets so no point falls within float-epsilon of any edge, keeping
+    the UDF ray-cast and the SQL comparison in exact agreement."""
+    from polars_gdal_spark.functions import geo
+    from polars_gdal_spark.queries import load_tables
+
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        geo.wkt_to_wkb_col(
+            F.format_string(
+                "POINT (%s %s)",
+                (F.col("c_custkey") * 7 % 1000) / 10.0 + 0.05,
+                (F.col("c_custkey") * 13 % 1000) / 10.0 + 0.03,
+            )
+        ).alias("geometry"),
+    )
+    cx = (F.col("n_nationkey") % 5) * 20
+    cy = F.floor(F.col("n_nationkey") / 5) * 20
+    tri = t["nation"].select(
+        "n_nationkey",
+        geo.wkt_to_wkb_col(
+            F.format_string(
+                "POLYGON ((%d %d, %d %d, %d %d, %d %d))",
+                cx, cy, cx + 15, cy, cx, cy + 15, cx, cy,
+            )
+        ).alias("tri_geom"),
+    )
+    pairs = geo.spatial_join_points_in_polygons(
+        pts, F.broadcast(tri), cell_size=10.0, poly_geom="tri_geom"
+    )
+    return (
+        pairs.groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_points"))
+    )

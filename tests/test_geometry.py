@@ -115,3 +115,37 @@ def test_empty_wkb_raises():
 def test_geojson_text_roundtrip():
     gj = {"type": "Point", "coordinates": [3.25, -7.5]}
     assert wkb_to_geojson(geojson_to_wkb(gj)) == gj
+
+
+def test_st_contains_xy_and_covering_cells(spark):
+    """Unit coverage for the spatial-join primitives: hole-aware
+    containment and bbox covering cells."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import geo
+    from polars_gdal_spark.geometry import geom_to_wkb
+
+    donut = geom_to_wkb(
+        ("Polygon", [
+            [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+            [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)],
+        ])
+    )
+    df = spark.createDataFrame(
+        [(donut, 2.0, 2.0, True),   # in shell
+         (donut, 5.0, 5.0, False),  # in hole
+         (donut, 11.0, 5.0, False)],  # outside
+        "g binary, x double, y double, want boolean",
+    )
+    rows = df.select(
+        geo.st_contains_xy(F.col("g"), F.col("x"), F.col("y")).alias("got"),
+        "want",
+    ).collect()
+    assert all(r["got"] == r["want"] for r in rows)
+
+    cells = df.limit(1).select(
+        geo.st_covering_cells(F.col("g"), F.lit(4.0)).alias("c")
+    ).collect()[0]["c"]
+    assert sorted(cells) == sorted(
+        f"{i}:{j}" for i in range(0, 3) for j in range(0, 3)
+    )
