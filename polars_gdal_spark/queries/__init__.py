@@ -97,6 +97,7 @@ def _register_all() -> None:
     from polars_gdal_spark.queries import similarity  # noqa: F401
     from polars_gdal_spark.queries import temporal  # noqa: F401
     from polars_gdal_spark.queries import text  # noqa: F401
+    from polars_gdal_spark.queries import tpch_extra  # noqa: F401
     from polars_gdal_spark.queries import windows_extra  # noqa: F401
 
 
