@@ -172,6 +172,131 @@ def _impl_st_contains_xy(
     )
 
 
+def _polys_of(geom):
+    t, c = geom
+    if t == "Polygon":
+        return [c]
+    if t == "MultiPolygon":
+        return c
+    return []
+
+
+def _ring_terms(ring):
+    """(2*signed_area, 6*cx*area-ish, 6*cy*area-ish) shoelace sums.
+
+    Integer/half-integer coordinates stay exact in doubles, which is what
+    keeps these bit-identical to an arithmetic SQL oracle."""
+    a2 = cx6 = cy6 = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        cross = x1 * y2 - x2 * y1
+        a2 += cross
+        cx6 += (x1 + x2) * cross
+        cy6 += (y1 + y2) * cross
+    return a2, cx6, cy6
+
+
+def _impl_st_area(s: pd.Series) -> pd.Series:
+    """Planar area; shell minus holes, like OGR's OGR_GEOM_AREA special
+    field (reference surface: OGR SQL dialect, SURVEY §2.D). Non-areal
+    geometries → 0.0 (OGR convention)."""
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v):
+        area = 0.0
+        for rings in _polys_of(wkb_to_geom(bytes(v))):
+            area += abs(_ring_terms(rings[0])[0]) / 2
+            for hole in rings[1:]:
+                area -= abs(_ring_terms(hole)[0]) / 2
+        return area
+
+    return _map(s, fn)
+
+
+def _curves_of(geom):
+    t, c = geom
+    if t == "LineString":
+        return [c]
+    if t == "MultiLineString":
+        return c
+    return []
+
+
+def _impl_st_length(s: pd.Series) -> pd.Series:
+    """Curve length (LineString/MultiLineString); 0.0 otherwise —
+    matches OGR Geometry.Length() semantics (curves only)."""
+    import math
+
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v):
+        total = 0.0
+        for line in _curves_of(wkb_to_geom(bytes(v))):
+            for i in range(len(line) - 1):
+                dx = line[i + 1][0] - line[i][0]
+                dy = line[i + 1][1] - line[i][1]
+                total += math.sqrt(dx * dx + dy * dy)
+        return total
+
+    return _map(s, fn)
+
+
+def _impl_st_perimeter(s: pd.Series) -> pd.Series:
+    """Sum of all ring lengths (shells + holes) of areal geometries."""
+    import math
+
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(v):
+        total = 0.0
+        for rings in _polys_of(wkb_to_geom(bytes(v))):
+            for ring in rings:
+                for i in range(len(ring) - 1):
+                    dx = ring[i + 1][0] - ring[i][0]
+                    dy = ring[i + 1][1] - ring[i][1]
+                    total += math.sqrt(dx * dx + dy * dy)
+        return total
+
+    return _map(s, fn)
+
+
+def _impl_st_centroid(s: pd.Series) -> pd.DataFrame:
+    """Area-weighted centroid (holes subtract) for Polygon/MultiPolygon;
+    the point itself for Point; null x/y otherwise."""
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    xs, ys = [], []
+    for v in s:
+        if v is None:
+            xs.append(None)
+            ys.append(None)
+            continue
+        geom = wkb_to_geom(bytes(v))
+        t, c = geom
+        if t == "Point":
+            xs.append(float(c[0]))
+            ys.append(float(c[1]))
+            continue
+        polys = _polys_of(geom)
+        if not polys:
+            xs.append(None)
+            ys.append(None)
+            continue
+        A2 = CX6 = CY6 = 0.0
+        for rings in polys:
+            for ridx, ring in enumerate(rings):
+                a2, cx6, cy6 = _ring_terms(ring)
+                orient = 1.0 if a2 >= 0 else -1.0  # normalize to CCW
+                hole = -1.0 if ridx > 0 else 1.0  # holes subtract
+                A2 += hole * orient * a2
+                CX6 += hole * orient * cx6
+                CY6 += hole * orient * cy6
+        xs.append(CX6 / (3 * A2) if A2 != 0 else None)
+        ys.append(CY6 / (3 * A2) if A2 != 0 else None)
+    return pd.DataFrame({"x": xs, "y": ys})
+
+
 _SPECS = {
     "wkb_to_wkt_col": (_impl_wkb_to_wkt, "string"),
     "wkb_to_geojson_col": (_impl_wkb_to_geojson, "string"),
@@ -187,6 +312,10 @@ _SPECS = {
     "st_grid_cell": (_impl_st_grid_cell, "string"),
     "st_covering_cells": (_impl_st_covering_cells, "array<string>"),
     "st_contains_xy": (_impl_st_contains_xy, "boolean"),
+    "st_area": (_impl_st_area, "double"),
+    "st_length": (_impl_st_length, "double"),
+    "st_perimeter": (_impl_st_perimeter, "double"),
+    "st_centroid": (_impl_st_centroid, "struct<x:double,y:double>"),
 }
 
 
@@ -270,3 +399,7 @@ def __getattr__(name: str):
 # st_covering_cells(col, cell)  bbox covering-cell keys (poly build side)
 # st_contains_xy(poly, x, y)    exact even-odd containment (refine step)
 # spatial_join_points_in_polygons(pts, polys)  distributed PIP join
+# st_area(col)             planar area, holes subtract (OGR_GEOM_AREA parity)
+# st_length(col)           curve length (OGR Length(): curves only)
+# st_perimeter(col)        ring-length sum of areal geometries
+# st_centroid(col)         struct<x,y> area-weighted centroid

@@ -189,3 +189,67 @@ def geo_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("n_nationkey").alias("nationkey"))
         .agg(F.count("*").alias("n_points"))
     )
+
+
+_MEASURES_ORACLE = """
+    SELECT n_nationkey AS nationkey,
+           CAST(w*h - (w-2)*(h-2) AS DOUBLE) AS area,
+           CAST(2*(w+h) + 2*((w-2)+(h-2)) AS DOUBLE) AS perimeter,
+           w / 2.0 AS cx,
+           h / 2.0 AS cy,
+           5.0 * n_nationkey AS line_len
+    FROM (
+      SELECT n_nationkey,
+             (n_nationkey % 5 + 2) * 2 AS w,
+             (n_nationkey // 5 + 2) * 2 AS h
+      FROM nation
+    )
+"""
+
+
+@query("geo_measures", oracle=_MEASURES_ORACLE)
+def geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures over real WKB columns — st_area (holes
+    subtract), st_perimeter, st_centroid, st_length — the engine-side
+    equivalents of OGR SQL's special fields (OGR_GEOM_AREA; reference
+    delegation surface, SURVEY §2.D).
+
+    Oracle-checkable because geometry is synthesized from nation keys as
+    integer-coordinate donut rectangles (outer (0,0)-(w,h), hole
+    (1,1)-(w-1,h-1)) and 3-4-5 diagonal lines: every shoelace/sqrt term
+    stays exact in doubles, so the UDF results equal DuckDB arithmetic
+    bit-for-bit. The hole ring is emitted in the same winding as the
+    shell, exercising the centroid's orientation normalization."""
+    from polars_gdal_spark.functions import geo
+    from polars_gdal_spark.queries import load_tables
+
+    t = load_tables(spark, sf_dir)
+    w = (F.col("n_nationkey") % 5 + 2) * 2
+    h = (F.floor(F.col("n_nationkey") / 5) + 2) * 2
+    donut = geo.wkt_to_wkb_col(
+        F.format_string(
+            "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0),"
+            " (1 1, %d 1, %d %d, 1 %d, 1 1))",
+            w, w, h, h, w - 1, w - 1, h - 1, h - 1,
+        )
+    )
+    line = geo.wkt_to_wkb_col(
+        F.format_string(
+            "LINESTRING (0 0, %d %d)",
+            F.col("n_nationkey") * 3, F.col("n_nationkey") * 4,
+        )
+    )
+    shaped = t["nation"].select(
+        F.col("n_nationkey").alias("nationkey"),
+        donut.alias("donut"),
+        line.alias("line"),
+    )
+    cent = geo.st_centroid(F.col("donut"))
+    return shaped.select(
+        "nationkey",
+        geo.st_area(F.col("donut")).alias("area"),
+        geo.st_perimeter(F.col("donut")).alias("perimeter"),
+        cent.getField("x").alias("cx"),
+        cent.getField("y").alias("cy"),
+        geo.st_length(F.col("line")).alias("line_len"),
+    )

@@ -149,3 +149,33 @@ def test_st_contains_xy_and_covering_cells(spark):
     assert sorted(cells) == sorted(
         f"{i}:{j}" for i in range(0, 3) for j in range(0, 3)
     )
+
+
+def test_st_measures(spark):
+    """Area with hole subtraction, perimeter, centroid (hole-symmetric),
+    curve length; non-areal area = 0."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import geo
+    from polars_gdal_spark.geometry import geom_to_wkb
+
+    donut = geom_to_wkb(
+        ("Polygon", [
+            [(0, 0), (8, 0), (8, 4), (0, 4), (0, 0)],
+            [(1, 1), (7, 1), (7, 3), (1, 3), (1, 1)],
+        ])
+    )
+    line = geom_to_wkb(("LineString", [(0, 0), (3, 4), (3, 16)]))
+    df = spark.createDataFrame([(donut, line)], "poly binary, line binary")
+    row = df.select(
+        geo.st_area(F.col("poly")).alias("area"),
+        geo.st_perimeter(F.col("poly")).alias("perim"),
+        geo.st_centroid(F.col("poly")).alias("cent"),
+        geo.st_length(F.col("line")).alias("len"),
+        geo.st_area(F.col("line")).alias("line_area"),
+    ).collect()[0]
+    assert row["area"] == 8 * 4 - 6 * 2
+    assert row["perim"] == 2 * (8 + 4) + 2 * (6 + 2)
+    assert (row["cent"]["x"], row["cent"]["y"]) == (4.0, 2.0)
+    assert row["len"] == 5.0 + 12.0
+    assert row["line_area"] == 0.0
