@@ -93,6 +93,7 @@ def _register_all() -> None:
     from polars_gdal_spark.queries import analytics  # noqa: F401
     from polars_gdal_spark.queries import dedup  # noqa: F401
     from polars_gdal_spark.queries import geo  # noqa: F401
+    from polars_gdal_spark.queries import pipeline  # noqa: F401
     from polars_gdal_spark.queries import relational  # noqa: F401
     from polars_gdal_spark.queries import similarity  # noqa: F401
     from polars_gdal_spark.queries import temporal  # noqa: F401

@@ -1,0 +1,105 @@
+"""Composed training-data preparation pipeline (north-star showcase).
+
+One oracle-checked query chaining the LLM-pipeline operators end to end
+the way a real 100 TB corpus prep does:
+
+    augment → language-ID gate → quality gate → exact dedup → token budget
+
+Every stage is the same operator the standalone queries exercise
+(functions/text.py, functions/dedup.py); the DuckDB oracle replays the
+identical computation, so the composition — not just each piece — is
+hash-verified. The whole pipeline is one Spark job: two narrow
+filter/project stages fused into the scan, then a single shuffle for the
+digest groupBy (map-side combined), then per-group token accounting on
+the deduped (small) relation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polars_gdal_spark.functions import text as T
+from polars_gdal_spark.queries import query
+from polars_gdal_spark.queries.dedup import _AUG_SQL, _augmented
+from polars_gdal_spark.queries.text import _H, _NTOK, _PUNCT
+
+_BPE = (
+    "len(list_filter(string_split_regex("
+    "regexp_replace(text, '([0-9]+|[^\\w\\s])', ' \\1 ', 'g'), '\\s+'),"
+    " x -> x <> ''))"
+)
+
+_PIPELINE_ORACLE = f"""
+    WITH {_AUG_SQL},
+    aug2 AS (
+      SELECT * FROM aug
+      UNION ALL
+      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text FROM toks
+    ),
+    hits AS (
+      SELECT doc, text,
+             {_H['de']} AS h_de, {_H['en']} AS h_en,
+             {_H['es']} AS h_es, {_H['fr']} AS h_fr,
+             {_NTOK.format(c='text')} AS ntok,
+             {_PUNCT.format(c='text')} AS npunct,
+             length(text) AS nchars
+      FROM aug2
+    ),
+    kept AS (
+      SELECT doc, text FROM hits
+      WHERE (CASE WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+                  WHEN h_fr > 0 THEN 'fr'
+                  ELSE 'und' END) = 'en'
+        AND ntok >= 5
+        AND 5 * npunct < nchars
+    ),
+    groups AS (
+      SELECT md5(text) AS digest, min(doc) AS rep_doc,
+             count(*) AS n_dups, min(text) AS text
+      FROM kept GROUP BY 1
+    )
+    SELECT rep_doc, n_dups,
+           CAST({_NTOK.format(c='text')} AS BIGINT) AS ws_tokens,
+           CAST({_BPE} AS BIGINT) AS bpe_tokens
+    FROM groups
+"""
+
+
+@query("pipeline_training_prep", oracle=_PIPELINE_ORACLE)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep over the augmented documents table (base ∪
+    80%-prefix mutants ∪ verbatim copies, so dedup provably fires):
+
+    1. keep docs language-identified as English (``lang_guess``);
+    2. keep docs passing the quality gate (≥5 tokens, punct ratio < 0.2 —
+       expressed as ``5*punct < chars`` so the comparison is pure
+       integer math on both engines);
+    3. exact-dedup by content digest, keeping min(doc) per group;
+    4. report each surviving document's whitespace + BPE-ish token
+       counts (the training-budget accounting).
+
+    Gates 1-2 are JVM-side column expressions that Catalyst fuses into
+    the scan stage — the corpus is filtered *before* the only shuffle
+    (the digest groupBy), which is the ordering that matters at 100 TB.
+    """
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    c = F.col("text")
+    kept = aug.where(
+        (T.lang_guess(c) == "en")
+        & (T.token_count(c) >= 5)
+        & (F.lit(5) * T.punct_count(c) < F.length(c).cast("bigint"))
+    )
+    groups = kept.groupBy(F.md5(c).alias("digest")).agg(
+        F.min("doc").alias("rep_doc"),
+        F.count("*").alias("n_dups"),
+        F.min("text").alias("text"),
+    )
+    return groups.select(
+        "rep_doc",
+        "n_dups",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
