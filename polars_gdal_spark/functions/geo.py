@@ -52,23 +52,9 @@ def _impl_geometry_type(s: pd.Series) -> pd.Series:
 
 
 def _bounds(geom) -> tuple[float, float, float, float]:
-    t, c = geom
-    xs, ys = [], []
+    from polars_gdal_spark.geometry import geom_bounds
 
-    def walk(node):
-        if isinstance(node, tuple) and node and isinstance(node[0], (int, float)):
-            xs.append(node[0])
-            ys.append(node[1])
-        else:
-            for sub in node:
-                walk(sub)
-
-    if t == "GeometryCollection":
-        for sub in c:
-            walk(sub[1])
-    else:
-        walk(c)
-    return (min(xs), min(ys), max(xs), max(ys))
+    return geom_bounds(geom)
 
 
 def _impl_st_bounds(s: pd.Series) -> pd.DataFrame:

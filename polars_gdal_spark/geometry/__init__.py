@@ -48,3 +48,28 @@ def geometry_type_of_wkb(data: bytes) -> str:
     """Type name of a WKB blob (used by the writer's geom-type sniff,
     reference ``src/lib.rs:529-540``)."""
     return wkb_to_geom(data)[0]
+
+
+def geom_bounds(geom: tuple) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) envelope of an internal geometry.
+
+    Used by the reader's ``bbox`` spatial filter (OGR SetSpatialFilter
+    analogue) and the spatial-join blocking functions."""
+    t, c = geom
+    xs: list[float] = []
+    ys: list[float] = []
+
+    def walk(node):
+        if isinstance(node, tuple) and node and isinstance(node[0], (int, float)):
+            xs.append(node[0])
+            ys.append(node[1])
+        else:
+            for sub in node:
+                walk(sub)
+
+    if t == "GeometryCollection":
+        for sub in c:
+            walk(sub[1])
+    else:
+        walk(c)
+    return (min(xs), min(ys), max(xs), max(ys))

@@ -289,6 +289,17 @@ class GdalDataSourceReader(DataSourceReader):
         self.limit = int(self.limit) if self.limit is not None else None
         self.max_rows = _opt(options, "maxRows")
         self.max_rows = int(self.max_rows) if self.max_rows is not None else None
+        # Spatial filter (OGR SetSpatialFilter analogue — the "spatial
+        # filter" pre-processing the reference names at src/lib.rs:316-318):
+        # keep features whose geometry envelope intersects the bbox.
+        # Like OGR, features with no geometry are excluded while a
+        # spatial filter is active.
+        bbox = _opt(options, "bbox")
+        self.bbox = (
+            tuple(float(v) for v in bbox.split(",")) if bbox else None
+        )
+        if self.bbox is not None and len(self.bbox) != 4:
+            raise ValueError("bbox must be 'minx,miny,maxx,maxy'")
         allowed = _opt(options, "drivers")
         self.allowed = (
             [d.strip() for d in allowed.split(",")] if allowed else None
@@ -402,6 +413,15 @@ class GdalDataSourceReader(DataSourceReader):
                 return  # B2 truncating limit: stop pulling (src/lib.rs:366-370)
             if partition.filters and not _passes(partition.filters, feat.props):
                 continue
+            if self.bbox is not None:
+                if feat.geom is None:
+                    continue
+                from polars_gdal_spark.geometry import geom_bounds
+
+                mnx, mny, mxx, mxy = geom_bounds(feat.geom)
+                bx0, by0, bx1, by1 = self.bbox
+                if mxx < bx0 or mnx > bx1 or mxy < by0 or mny > by1:
+                    continue
             row = []
             if fid_col:
                 row.append(feat.fid)

@@ -197,3 +197,32 @@ def test_crs_metadata_carried(spark):
     assert gj.schema["geometry"].metadata["encoding"] == "wkb"
     # default (streaming-compatible) path carries no metadata
     assert _read(spark, STATIONS).schema["geometry"].metadata == {}
+
+
+def test_bbox_spatial_filter(spark):
+    """Reader `bbox` option = OGR SetSpatialFilter analogue: envelope
+    intersection against the filter rectangle, null geometries excluded.
+    Checked value-for-value against the client-side equivalent."""
+    from polars_gdal_spark.geometry import geom_bounds
+
+    full = _read(spark, STATIONS).select("name", "geometry").collect()
+    bbox = (-77.05, 38.88, -77.00, 38.92)
+
+    def hits(rows):
+        out = set()
+        for r in rows:
+            mnx, mny, mxx, mxy = geom_bounds(wkb_to_geom(bytes(r["geometry"])))
+            if not (mxx < bbox[0] or mnx > bbox[2]
+                    or mxy < bbox[1] or mny > bbox[3]):
+                out.add(r["name"])
+        return out
+
+    expected = hits(full)
+    assert 0 < len(expected) < len(full)  # the box is a real subset
+    got = {
+        r["name"]
+        for r in _read(
+            spark, STATIONS, bbox=",".join(str(v) for v in bbox)
+        ).select("name").collect()
+    }
+    assert got == expected
