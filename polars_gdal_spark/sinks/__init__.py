@@ -90,12 +90,16 @@ def _write_fgb(
                 feat.get("properties") or {},
             )
 
+    with_index = str(options.get("spatialIndex", "false")).lower() == "true"
     write_fgb(
         path,
         fields,
         feats(),
         layer_name=options.get("layer", "layer"),
         srs_code=srs_code,
+        index_node_size=(
+            int(options.get("indexNodeSize", 16)) if with_index else 0
+        ),
     )
 
 

@@ -70,6 +70,97 @@ def _packed_rtree_size(num_items: int, node_size: int) -> int:
     return num_nodes * 40
 
 
+def _level_bounds(num_items: int, node_size: int):
+    """Per-level (start, end) node-index ranges, index 0 = leaf level.
+
+    Nodes are laid out root-first in the file (streaming-friendly per the
+    spec), so leaves occupy the tail of the array."""
+    level_num = [num_items]
+    n = num_items
+    while n != 1:
+        n = (n + node_size - 1) // node_size
+        level_num.append(n)
+    num_nodes = sum(level_num)
+    bounds = []
+    acc = num_nodes
+    for sz in level_num:
+        bounds.append((acc - sz, acc))
+        acc -= sz
+    return num_nodes, bounds
+
+
+def _hilbert_d(x: int, y: int, order: int = 16) -> int:
+    """Hilbert distance of a cell on a 2^order grid (classic iterative
+    xy→d). Any consistent Hilbert ordering yields a spec-valid packed
+    R-tree — search correctness depends only on node envelopes."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _build_rtree(items, node_size: int) -> bytes:
+    """Pack (minx, miny, maxx, maxy, feature_byte_offset) leaf items —
+    already in Hilbert order — into the 40-byte-node tree. Internal node
+    offsets point at their first child node's byte position."""
+    num_nodes, bounds = _level_bounds(len(items), node_size)
+    nodes: list = [None] * num_nodes
+    leaf_start = bounds[0][0]
+    for i, item in enumerate(items):
+        nodes[leaf_start + i] = list(item)
+    for level in range(len(bounds) - 1):
+        cstart, cend = bounds[level]
+        pi = bounds[level + 1][0]
+        ci = cstart
+        while ci < cend:
+            group = nodes[ci:min(ci + node_size, cend)]
+            nodes[pi] = [
+                min(g[0] for g in group),
+                min(g[1] for g in group),
+                max(g[2] for g in group),
+                max(g[3] for g in group),
+                ci * 40,
+            ]
+            pi += 1
+            ci += len(group)
+    return b"".join(struct.pack("<4dQ", *nd) for nd in nodes)
+
+
+def _search_rtree(data, idx_start, num_items, node_size, bbox):
+    """Index traversal: sorted (feature_byte_offset, leaf_ordinal) of
+    leaves whose envelope intersects bbox."""
+    _num_nodes, bounds = _level_bounds(num_items, node_size)
+    leaf_start = bounds[0][0]
+    out = []
+    queue = [(0, len(bounds) - 1)]
+    while queue:
+        node_idx, level = queue.pop()
+        end = min(node_idx + node_size, bounds[level][1])
+        for i in range(node_idx, end):
+            mnx, mny, mxx, mxy, off = struct.unpack_from(
+                "<4dQ", data, idx_start + i * 40
+            )
+            if (
+                mxx < bbox[0] or mnx > bbox[2]
+                or mxy < bbox[1] or mny > bbox[3]
+            ):
+                continue
+            if level == 0:
+                out.append((off, i - leaf_start))
+            else:
+                queue.append((off // 40, level - 1))
+    return sorted(out)
+
+
 # ------------------------------------------------------------ fb reading
 
 
@@ -412,10 +503,11 @@ def _read_header(data: bytes):
             crs = f"{org}:{code}"
         elif wkt:
             crs = wkt
-    body = hstart + hsize
+    idx_start = hstart + hsize
+    body = idx_start
     if node_size > 0 and feat_count > 0:
         body += _packed_rtree_size(feat_count, node_size)
-    return cols, geom_type, feat_count, crs, body
+    return cols, geom_type, feat_count, crs, body, node_size, idx_start
 
 
 class FlatGeobufDriver(FormatDriver):
@@ -438,32 +530,53 @@ class FlatGeobufDriver(FormatDriver):
         return [Field(n, _CT_TO_DDL.get(t, "string")) for n, t in cols]
 
     def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
-        _, (_c, _g, _n, crs, _b) = self._header(path)
+        _, (_c, _g, _n, crs, _b, _ns, _ix) = self._header(path)
         return crs
 
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
-        _, (_c, _g, n, _crs, _b) = self._header(path)
+        _, (_c, _g, n, _crs, _b, _ns, _ix) = self._header(path)
         return n or None
+
+    def _decode_at(self, data, pos, cols, geom_type, fid) -> tuple[Feature, int]:
+        (fsize,) = struct.unpack_from("<I", data, pos)
+        fstart = pos + 4
+        root = fstart + struct.unpack_from("<I", data, fstart)[0]
+        ft = _Tbl(data, root)
+        gt = ft.table(0)
+        geom = _decode_geom(gt, geom_type) if gt is not None else None
+        pp, pn = ft.vector(1)
+        props = _decode_props(data, pp, pn, cols) if pn else {}
+        for cname, _ct in cols:
+            props.setdefault(cname, None)
+        return Feature(fid=fid, geom=geom, props=props), fstart + fsize
 
     def iter_features(
         self, path: str, layer: str, options: dict
     ) -> Iterator[Feature]:
-        data, (cols, geom_type, _n, _crs, pos) = self._header(path)
+        data, (cols, geom_type, n, _crs, body, node_size, idx_start) = (
+            self._header(path)
+        )
+        bbox_opt = options.get("bbox")
+        if bbox_opt and node_size > 0 and n > 0:
+            # Index-driven scan: decode only features whose R-tree leaf
+            # envelope intersects the bbox. The reader's exact envelope
+            # test still runs on every yielded feature, so this is purely
+            # a pruning fast path (the at-scale point of the index).
+            bbox = tuple(float(v) for v in str(bbox_opt).split(","))
+            for off, ordinal in _search_rtree(
+                data, idx_start, n, node_size, bbox
+            ):
+                feat, _next = self._decode_at(
+                    data, body + off, cols, geom_type, ordinal
+                )
+                yield feat
+            return
         fid = 0
+        pos = body
         while pos + 4 <= len(data):
-            (fsize,) = struct.unpack_from("<I", data, pos)
-            fstart = pos + 4
-            root = fstart + struct.unpack_from("<I", data, fstart)[0]
-            ft = _Tbl(data, root)
-            gt = ft.table(0)
-            geom = _decode_geom(gt, geom_type) if gt is not None else None
-            pp, pn = ft.vector(1)
-            props = _decode_props(data, pp, pn, cols) if pn else {}
-            for cname, _ct in cols:
-                props.setdefault(cname, None)
-            yield Feature(fid=fid, geom=geom, props=props)
+            feat, pos = self._decode_at(data, pos, cols, geom_type, fid)
+            yield feat
             fid += 1
-            pos = fstart + fsize
 
 
 def write_fgb(
@@ -472,14 +585,21 @@ def write_fgb(
     feats,
     layer_name: str = "layer",
     srs_code: int | None = 4326,
+    index_node_size: int = 0,
 ) -> None:
     """Write (geom_tuple | None, props_dict) pairs as FlatGeobuf.
 
-    No spatial index is written (``index_node_size=0`` — valid per spec;
-    index building is a driver-side post-pass, meaningless mid-shuffle)."""
+    With ``index_node_size > 0``, features are Hilbert-sorted and a
+    packed R-tree is emitted between header and body (spec packedrtree
+    layout), enabling index-driven ``bbox`` reads. Requires every
+    feature to carry a geometry; if any is null the file silently falls
+    back to unindexed (``index_node_size=0`` — valid per spec). Indexing
+    is a driver-side post-pass on the assembled file, meaningless
+    mid-shuffle; part files are always unindexed."""
+    from polars_gdal_spark.geometry import geom_bounds
+
     cols = [(n, _DDL_TO_CT.get(d, _CT_STRING)) for n, d in fields]
-    records = []
-    count = 0
+    records: list[tuple[bytes, tuple | None]] = []
     for geom, props in feats:
         b = _Builder()
         fb_fields: list[tuple] = []
@@ -490,8 +610,38 @@ def write_fgb(
             fb_fields.append((1, "off", b.bytes_vec(pb)))
         if not fb_fields:  # empty feature: table must still exist
             fb_fields = [(1, "off", b.bytes_vec(b""))]
-        records.append(b.finish_size_prefixed(b.table(fb_fields)))
-        count += 1
+        records.append(
+            (
+                b.finish_size_prefixed(b.table(fb_fields)),
+                geom_bounds(geom) if geom is not None else None,
+            )
+        )
+
+    node_size = 0
+    index = b""
+    if (
+        index_node_size > 0
+        and records
+        and all(bb is not None for _, bb in records)
+    ):
+        node_size = min(max(index_node_size, 2), 65535)
+        minx = min(bb[0] for _, bb in records)
+        miny = min(bb[1] for _, bb in records)
+        w = max(bb[2] for _, bb in records) - minx
+        h = max(bb[3] for _, bb in records) - miny
+
+        def hkey(bb):
+            hx = int(((bb[0] + bb[2]) / 2 - minx) / w * 65535) if w else 0
+            hy = int(((bb[1] + bb[3]) / 2 - miny) / h * 65535) if h else 0
+            return _hilbert_d(hx, hy)
+
+        records.sort(key=lambda rec: hkey(rec[1]))
+        items = []
+        off = 0
+        for rec, bb in records:
+            items.append((bb[0], bb[1], bb[2], bb[3], off))
+            off += len(rec)
+        index = _build_rtree(items, node_size)
 
     hb = _Builder()
     col_offs = []
@@ -501,8 +651,8 @@ def write_fgb(
     hfields: list[tuple] = [(0, "off", hb.string(layer_name))]
     if col_offs:
         hfields.append((7, "off", hb.offset_vec(col_offs)))
-    hfields.append((8, "u64", count))
-    hfields.append((9, "u16", 0))  # no index (default is 16 → explicit)
+    hfields.append((8, "u64", len(records)))
+    hfields.append((9, "u16", node_size))  # 0 = no index (default is 16)
     if srs_code:
         org = hb.string("EPSG")
         hfields.append(
@@ -513,7 +663,8 @@ def write_fgb(
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(header)
-        for r in records:
+        f.write(index)
+        for r, _bb in records:
             f.write(r)
 
 

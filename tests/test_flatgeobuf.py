@@ -82,3 +82,76 @@ def test_fgb_spark_roundtrip(spark, tmp_path):
     assert wkb(back) == wkb(stations)
     src = {r["name"]: r["line"] for r in stations.collect()}
     assert {r["name"]: r["line"] for r in back.collect()} == src
+
+
+def test_fgb_spatial_index_roundtrip(tmp_path):
+    """Indexed write: Hilbert-sorted body + packed R-tree. Full scan
+    returns every feature; an indexed bbox read returns exactly the
+    brute-force subset while visiting fewer leaves."""
+    from polars_gdal_spark.sources.formats.flatgeobuf import (
+        _level_bounds,
+        _search_rtree,
+    )
+
+    feats = [
+        (("Point", (float(i % 10), float(i // 10))), {"n": i})
+        for i in range(100)
+    ]
+    p = str(tmp_path / "grid.fgb")
+    write_fgb(p, [("n", "bigint")], iter(feats), index_node_size=4)
+
+    d = FlatGeobufDriver()
+    assert d.feature_count(p, "layer", {}) == 100
+    full = list(d.iter_features(p, "layer", {}))
+    assert {f.props["n"] for f in full} == set(range(100))
+
+    bbox = "2.0,3.0,4.5,6.5"  # x in [2,4.5], y in [3,6.5] → 3×4 points
+    hits = list(d.iter_features(p, "layer", {"bbox": bbox}))
+    want = {n for n in range(100) if 2 <= n % 10 <= 4.5 and 3 <= n // 10 <= 6.5}
+    assert {f.props["n"] for f in hits} == want
+
+    # the traversal visited only the matching leaves, not all 100
+    with open(p, "rb") as fh:
+        data = fh.read()
+    from polars_gdal_spark.sources.formats.flatgeobuf import _read_header
+    *_head, node_size, idx_start = _read_header(data)
+    assert node_size == 4
+    found = _search_rtree(
+        data, idx_start, 100, node_size, (2.0, 3.0, 4.5, 6.5)
+    )
+    assert len(found) == len(want) < 100
+    num_nodes, bounds = _level_bounds(100, 4)
+    assert _packed_rtree_size(100, 4) == num_nodes * 40
+
+
+def test_fgb_indexed_bbox_via_datasource(spark, tmp_path):
+    """End-to-end: write indexed FGB through the Spark sink, read back
+    with the bbox reader option — index-pruned scan, exact results."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import geo
+
+    df = spark.range(50).select(
+        F.col("id").cast("bigint").alias("n"),
+        geo.wkt_to_wkb_col(
+            F.format_string(
+                "POINT (%d %d)", F.col("id") % 10, F.floor(F.col("id") / 10)
+            )
+        ).alias("geometry"),
+    )
+    out = str(tmp_path / "pts.fgb")
+    (
+        df.coalesce(1).write.format("gdal")
+        .option("driver", "FlatGeobuf")
+        .option("spatialIndex", "true")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("gdal")
+        .option("bbox", "1.0,1.0,3.0,2.0")
+        .load(out)
+    )
+    got = {r["n"] for r in back.collect()}
+    want = {n for n in range(50) if 1 <= n % 10 <= 3 and 1 <= n // 10 <= 2}
+    assert got == want
