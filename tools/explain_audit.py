@@ -31,6 +31,17 @@ EXPECT = {
     # WindowGroupLimit = rank-filter pushdown: partitions are trimmed to
     # top-N before the full window materializes (critical at scale)
     "window_topn_per_group": ["Window", "WindowGroupLimit"],
+    # multi-way stars: every dim side must broadcast, facts shuffle once
+    "q7_volume_shipping": ["BroadcastHashJoin", "PushedFilters"],
+    "q8_market_share": ["BroadcastHashJoin"],
+    "q9_product_profit": ["BroadcastHashJoin", "PushedFilters"],
+    # HAVING + top-100: global sort must collapse to TakeOrdered
+    "q18_large_volume_customers": ["TakeOrderedAndProject"],
+    # double correlation: semi + anti joins, no cartesian anywhere
+    "q21_waiting_suppliers": ["LeftSemi", "LeftAnti"],
+    # corpus filtered before the digest shuffle: gates are in the same
+    # stage as the scan (project/filter fused), agg is partial-first
+    "pipeline_training_prep": ["partial"],
 }
 
 
