@@ -148,3 +148,53 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: the training-pipeline exact-dedup operator
+    (functions.dedup.exact_dedup) re-expressed for continuous ingestion.
+    ``dropDuplicatesWithinWatermark`` keys state on the content digest and
+    expires it once event time passes the watermark — bounded state, so
+    the stream runs forever; the batch operator's digest definition is
+    reused verbatim so batch and stream agree row-for-row inside any
+    watermark horizon."""
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("digest", F.md5(F.lower(F.trim(F.col(text_col)))))
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
+def stream_click_purchase_pairs(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a preceding
+    click by the same user within ``max_gap``. Both sides carry
+    watermarks and the join condition bounds purchase_ts to a finite
+    interval after click_ts, so Spark can expire join state — the only
+    shape under which an unbounded stream-stream join is feasible.
+    Works identically on batch DataFrames (the equivalence test)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")

@@ -125,3 +125,77 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in QUERIES["events_sessionize"].func(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def _events_stream(spark, events_dir):
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .parquet(str(events_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _drain_append(stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming digest dedup keeps exactly one row per distinct text and
+    agrees with the batch dropDuplicates on the same digest."""
+    from polars_gdal_spark.streaming import streaming_exact_dedup
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    # props is a JSON string column with heavy repetition → natural dups
+    batch = load_tables(spark, SF_SMOKE)["events"]
+    n_batch = (
+        batch.withColumn("digest", F.md5(F.lower(F.trim(F.col("props")))))
+        .dropDuplicates(["digest"])
+        .count()
+    )
+    got = _drain_append(
+        streaming_exact_dedup(
+            _events_stream(spark, events_dir), text_col="props"
+        ),
+        "stream_dedup",
+    )
+    assert got.count() == n_batch
+    assert got.select("digest").distinct().count() == got.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (click→purchase within
+    1 hour) returns the same pairs as the identical batch join."""
+    from polars_gdal_spark.streaming import stream_click_purchase_pairs
+
+    events_dir = tmp_path / "ev2"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    batch = load_tables(spark, SF_SMOKE)["events"]
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_click_purchase_pairs(batch).collect()
+    }
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in _drain_append(
+            stream_click_purchase_pairs(_events_stream(spark, events_dir)),
+            "stream_cp_join",
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
