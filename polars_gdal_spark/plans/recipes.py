@@ -48,12 +48,39 @@ def ogr_sql(
         ogr_sql(spark, "my.shp",
                 "SELECT kind, is_bridge, highway FROM layer "
                 "WHERE highway = 'pedestrian'")
+
+    OGR SQL's documented *special fields* are honored when the statement
+    references them (per the public GDAL OGR SQL dialect docs):
+    ``FID`` (source feature id), ``OGR_GEOMETRY`` (geometry type name),
+    ``OGR_GEOM_WKT`` (WKT text), ``OGR_GEOM_AREA`` (planar area) — each
+    materialized as a computed column on the view, so plain Spark SQL
+    resolves them.
     """
+    import re
+
     from polars_gdal_spark import register_gdal_source
+    from polars_gdal_spark.functions import geo
 
     register_gdal_source(spark)
+    wants = {
+        name
+        for name in ("FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA")
+        if re.search(rf"\b{name}\b", sql, flags=re.IGNORECASE)
+    }
     reader = spark.read.format("gdal")
+    if "FID" in wants:
+        options.setdefault("fidColumn", "FID")
     for k, v in options.items():
         reader = reader.option(k, v)
-    reader.load(path).createOrReplaceTempView(view_name)
+    df = reader.load(path)
+    geom_col = options.get("geometryColumn", "geometry")
+    if "OGR_GEOMETRY" in wants:
+        df = df.withColumn(
+            "OGR_GEOMETRY", geo.geometry_type_col(df[geom_col])
+        )
+    if "OGR_GEOM_WKT" in wants:
+        df = df.withColumn("OGR_GEOM_WKT", geo.wkb_to_wkt_col(df[geom_col]))
+    if "OGR_GEOM_AREA" in wants:
+        df = df.withColumn("OGR_GEOM_AREA", geo.st_area(df[geom_col]))
+    df.createOrReplaceTempView(view_name)
     return spark.sql(sql)

@@ -99,6 +99,23 @@ def test_ogr_sql_recipe(spark):
     assert df.columns == ["name", "line"]
 
 
+def test_ogr_sql_special_fields(spark):
+    """OGR SQL special fields (public GDAL dialect docs): FID,
+    OGR_GEOMETRY, OGR_GEOM_WKT, OGR_GEOM_AREA resolve on the view."""
+    from polars_gdal_spark.plans import ogr_sql
+
+    rows = ogr_sql(
+        spark,
+        f"{REF_DATA}/stations.shp",
+        "SELECT FID, name, OGR_GEOMETRY, OGR_GEOM_WKT, OGR_GEOM_AREA "
+        "FROM layer ORDER BY FID LIMIT 3",
+    ).collect()
+    assert [r["FID"] for r in rows] == [0, 1, 2]
+    assert all(r["OGR_GEOMETRY"] == "Point" for r in rows)
+    assert all(r["OGR_GEOM_WKT"].startswith("POINT") for r in rows)
+    assert all(r["OGR_GEOM_AREA"] == 0.0 for r in rows)  # points: no area
+
+
 def test_geoparquet_roundtrip(spark, tmp_path):
     from polars_gdal_spark import read_gdal
     from polars_gdal_spark.sources.geoparquet import (
