@@ -155,3 +155,46 @@ def test_fgb_indexed_bbox_via_datasource(spark, tmp_path):
     got = {r["n"] for r in back.collect()}
     want = {n for n in range(50) if 1 <= n % 10 <= 3 and 1 <= n // 10 <= 2}
     assert got == want
+
+
+def test_fgb_rtree_search_equals_bruteforce(tmp_path):
+    """Property: for random query boxes, index traversal returns exactly
+    the brute-force envelope-intersection set (on a deterministic
+    pseudo-random point cloud)."""
+    from polars_gdal_spark.sources.formats.flatgeobuf import (
+        _read_header,
+        _search_rtree,
+    )
+
+    pts = [
+        (((i * 37) % 101) / 7.0, ((i * 61) % 89) / 5.0) for i in range(257)
+    ]
+    feats = [(("Point", (x, y)), {"n": i}) for i, (x, y) in enumerate(pts)]
+    p = str(tmp_path / "cloud.fgb")
+    write_fgb(p, [("n", "bigint")], iter(feats), index_node_size=7)
+    with open(p, "rb") as fh:
+        data = fh.read()
+    *_h, node_size, idx_start = _read_header(data)
+
+    d = FlatGeobufDriver()
+    order = [f.props["n"] for f in d.iter_features(p, "layer", {})]
+
+    boxes = [
+        (2.0, 3.0, 9.0, 8.0),
+        (0.0, 0.0, 15.0, 18.0),   # everything
+        (14.3, 17.7, 14.4, 17.8),  # likely empty sliver
+        (5.0, 5.0, 5.0, 5.0),      # degenerate point box
+    ]
+    for bb in boxes:
+        got = {
+            f.props["n"]
+            for f in d.iter_features(p, "layer", {"bbox": ",".join(map(str, bb))})
+        }
+        want = {
+            i for i, (x, y) in enumerate(pts)
+            if bb[0] <= x <= bb[2] and bb[1] <= y <= bb[3]
+        }
+        assert got == want
+        # leaf ordinals reported by the raw search agree with file order
+        for off, ordinal in _search_rtree(data, idx_start, 257, node_size, bb):
+            assert order[ordinal] in want
