@@ -85,30 +85,69 @@ def pairwise_cosine(
     threshold: float = 0.8,
 ) -> DataFrame:
     """All-pairs cosine above threshold, optionally blocked by a group
-    column (e.g. a cluster label or LSH bucket) so the join is equi-keyed
-    rather than a full cross product."""
-    # Precompute each vector's norm BEFORE the join: the pairwise stage
-    # then does one dot product per pair instead of three (dot + 2 norms).
-    base = df.select(
-        F.col(id_col).alias("id"),
-        quantize(F.col(vec_col)).alias("v"),
-        *( [F.col(group_col).alias("g")] if group_col else [] ),
-    ).withColumn("nrm", F.sqrt(norm_sq_q(F.col("v")).cast("double")))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if group_col:
-        cond = cond & (F.col("a.g") == F.col("b.g"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                dot_q(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
+    column (e.g. a cluster label or LSH bucket) so the pair space is
+    per-block, never corpus².
+
+    Blocked path: one numpy int64 GEMM per block via ``applyInPandas`` —
+    the vectorized replacement for per-pair ``F.aggregate`` lambdas,
+    which Catalyst interprets (higher-order functions don't codegen) and
+    which cost ~30× more per pair. Bit-exact with the expression form:
+    quantization is the same cast→multiply→floor in float64, int64 dots
+    stay below 2^53 (exactly representable), and the cosine divides in
+    the same operand order. Block size bounds the n×n matrix; at 100 TB
+    the group key must keep blocks executor-sized (LSH bucket / label),
+    which is the same contract the join form had.
+    """
+    if group_col is None:
+        base = df.select(
+            F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+        ).withColumn("nrm", F.sqrt(norm_sq_q(F.col("v")).cast("double")))
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (
+                    dot_q(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
         )
-        .where(F.col("cosine") >= threshold)
+
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = dict(df.dtypes)[id_col]
+    out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cosine double"
+    thr = float(threshold)
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[vec_col])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        raw = pdf[vec_col].to_numpy()[order]
+        M = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in raw]) * QUANT
+        ).astype(np.int64)
+        dots = M @ M.T
+        nrm = np.sqrt(np.diag(dots).astype(np.float64))
+        cos = dots.astype(np.float64) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, 1)
+        c = cos[ia, ib]
+        keep = c >= thr
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": c[keep]}
+        )
+
+    return (
+        df.select(id_col, vec_col, group_col)
+        .groupBy(group_col)
+        .applyInPandas(gemm, out_schema)
     )
 
 
