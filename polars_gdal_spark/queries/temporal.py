@@ -102,3 +102,38 @@ def sim_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") >= 8)
     qv = emb.where(F.col("vec_id") == 8)
     return ivf_search(corpus, centroids, qv, k=5, n_probe=2)
+
+
+@query(
+    "events_click_attribution",
+    oracle="""
+    SELECT c.user_id AS c_user,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within a 1-hour window — the SAME
+    operator `streaming.stream_click_purchase_pairs` runs as a
+    watermarked stream-stream join (§2.K); on a batch DataFrame it
+    executes as a range self-join, so the oracle gate certifies the
+    streaming operator's join semantics. Timestamps emitted as epoch
+    micros (determinism contract: never hash raw timestamps)."""
+    from polars_gdal_spark.streaming import stream_click_purchase_pairs
+
+    events = load_tables(spark, sf_dir)["events"]
+    return stream_click_purchase_pairs(events).select(
+        "c_user",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
