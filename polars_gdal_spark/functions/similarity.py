@@ -274,3 +274,79 @@ def lsh_bucketed_pairs(
     return pairwise_cosine(
         withb, id_col=id_col, vec_col=vec_col, group_col="bkt", threshold=threshold
     ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN join: top-k corpus neighbours for EVERY query vector.
+
+    The at-scale brute-force design: the (small, explicitly bounded)
+    query set is materialized on the driver into one numpy matrix and
+    broadcast — the same smallness contract as ``F.broadcast`` on a dim
+    table; the corpus is never moved. Each corpus partition computes a
+    batch × queries int64 GEMM (``mapInPandas``) and emits only its
+    LOCAL top-k per query, so the shuffle into the global top-k window
+    carries at most ``k × partitions`` rows per query, not the corpus.
+    Exact-int quantization keeps results engine-reproducible
+    (bit-identical to the SQL oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    Q = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]) * QUANT
+    ).astype(np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn))
+
+    out_schema = (
+        f"qid {dict(queries.dtypes)[id_col]}, "
+        f"{id_col} {dict(corpus.dtypes)[id_col]}, cosine double"
+    )
+
+    def score(batches):
+        qids_b, Q_b, qn_b = bq.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            M = np.floor(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                * QUANT
+            ).astype(np.int64)
+            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            cos = (M @ Q_b.T).astype(np.float64) / np.outer(cn, qn_b)
+            ids = pdf[id_col].to_numpy()
+            for j in range(len(qids_b)):
+                col = cos[:, j]
+                take = min(k, len(col))
+                # local top-k with the global tie order (desc cos, asc id)
+                top = np.lexsort((ids, -col))[:take]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids_b[j], take),
+                        id_col: ids[top],
+                        "cosine": col[top],
+                    }
+                )
+
+    from pyspark.sql import Window
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

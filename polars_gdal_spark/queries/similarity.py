@@ -107,3 +107,38 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_pairs(
         emb, id_col="vec_id", vec_col="embedding", planes=8, threshold=0.25
     )
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH {_Q_SQL},
+    qs AS (SELECT vec_id, v FROM q WHERE vec_id < 10),
+    corpus AS (SELECT vec_id, v FROM q WHERE vec_id >= 10),
+    scored AS (
+      SELECT qs.vec_id AS qid, corpus.vec_id AS vec_id,
+             list_dot_product(qs.v, corpus.v)
+               / (sqrt(list_dot_product(qs.v, qs.v))
+                  * sqrt(list_dot_product(corpus.v, corpus.v))) AS cosine
+      FROM qs, corpus
+    )
+    SELECT qid, vec_id, cosine
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query brute-force kNN join: top-5 neighbours for each of 10
+    query vectors — broadcast query matrix, per-partition numpy GEMM,
+    local top-k, then a global top-k window over k×partitions rows (the
+    distributed dense-retrieval baseline)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.knn_join(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+    )

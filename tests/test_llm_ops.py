@@ -136,3 +136,30 @@ def test_fingerprint_prefix_sensitivity(spark):
     }
     assert fp[1] == fp[2]  # same first-8-token prefix
     assert fp[1] != fp[3]
+
+
+def test_knn_join_matches_bruteforce(spark):
+    """knn_join (partition-local GEMM + global merge) must equal the
+    single-query brute force for every query, including across a
+    many-partition corpus (exercises the local-top-k merge)."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import similarity as S
+    from polars_gdal_spark.queries import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10).repartition(7)
+    queries = emb.where(F.col("vec_id") < 3)
+    got = {
+        (r["qid"], r["vec_id"])
+        for r in S.knn_join(corpus, queries, k=4).collect()
+    }
+    want = set()
+    for q in range(3):
+        for r in S.cosine_topk(
+            corpus, emb.where(F.col("vec_id") == q), k=4
+        ).collect():
+            want.add((q, r["vec_id"]))
+    assert got == want
