@@ -23,7 +23,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -141,3 +143,76 @@ def frame_sample(
     return df.select(
         F.col(id_col), F.explode(frames).alias("f")
     ).select(id_col, F.col("f.frame_no").alias("frame_no"), F.col("f.frame").alias("frame"))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    decoded: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbour resize over decoded pixel buffers (the stub
+    codec's w×h byte raster) via mapInPandas — same batch shape a real
+    PIL/torchvision resize would use. Deterministic: output pixel (x,y)
+    samples input (x*w//out_w, y*h//out_h)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pixels": []}
+            for i, w, h, px in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                px = bytes(px)
+                resized = bytes(
+                    px[(y * h // out_h) * w + (x * w // out_w)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                )
+                out["doc_id"].append(i)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["pixels"].append(resized)
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def extract_features(
+    decoded: DataFrame, bins: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-histogram feature vector (``bins`` buckets, L1-normalized)
+    per decoded image — the feature-extraction stage shape: Arrow batch
+    in, fixed-width embedding out, ready for the similarity operators
+    (knn_join / pairwise_cosine take its output directly)."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vecs = [], []
+            for i, px in zip(pdf[id_col], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // bins), minlength=bins)
+                vecs.append(
+                    (hist / max(1, len(arr))).astype(np.float32).tolist()
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return decoded.select(id_col, "pixels").mapInPandas(batches, schema)

@@ -52,3 +52,40 @@ def test_frame_sample(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     out = frame_sample(df, "doc_id", "payload", every_n=4).collect()
     assert [r["frame_no"] for r in out] == [0, 4, 8]
+
+
+def test_resize_and_extract_features(spark):
+    """resize: exact nearest-neighbour dims + bytes; features: L1-normed
+    byte histogram feeds straight into the similarity operators."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import similarity as S
+    from polars_gdal_spark.functions.multimodal import (
+        decode_image,
+        extract_features,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytes([i * 7 % 251]) * (100 + i)) for i in range(6)],
+        "doc_id bigint, payload binary",
+    )
+    decoded = decode_image(df)
+    resized = resize_image(decoded, 8, 8)
+    rows = resized.collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(bytes(r["pixels"])) == 64 for r in rows)
+
+    feats = extract_features(decoded)
+    got = feats.collect()
+    assert all(len(r["embedding"]) == 8 for r in got)
+    assert all(abs(sum(r["embedding"]) - 1.0) < 1e-6 for r in got)
+
+    # features plug into the similarity surface unchanged
+    pairs = S.pairwise_cosine(
+        feats.withColumn("label", F.lit(1)),
+        id_col="doc_id",
+        group_col="label",
+        threshold=-1.0,
+    )
+    assert pairs.count() == 15  # 6 choose 2
