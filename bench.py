@@ -34,10 +34,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_knn_bruteforce",
+    "sim_knn_join",
     "sim_pairwise_label_blocked",
     "sim_lsh_bucketed",
     "text_token_counts",
     "text_quality_features",
+    "q18_large_volume_customers",
+    "geo_spatial_join_pip",
+    "pipeline_training_prep",
 ]
 
 
