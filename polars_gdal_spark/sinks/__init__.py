@@ -90,7 +90,13 @@ def _write_fgb(
                 feat.get("properties") or {},
             )
 
-    with_index = str(options.get("spatialIndex", "false")).lower() == "true"
+    # DataSource writer options arrive lower-cased (CaseInsensitiveDict).
+    with_index = (
+        str(
+            options.get("spatialindex", options.get("spatialIndex", "false"))
+        ).lower()
+        == "true"
+    )
     write_fgb(
         path,
         fields,
@@ -98,7 +104,9 @@ def _write_fgb(
         layer_name=options.get("layer", "layer"),
         srs_code=srs_code,
         index_node_size=(
-            int(options.get("indexNodeSize", 16)) if with_index else 0
+            int(options.get("indexnodesize", options.get("indexNodeSize", 16)))
+            if with_index
+            else 0
         ),
     )
 

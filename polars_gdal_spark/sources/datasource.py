@@ -244,6 +244,10 @@ class GdalInputPartition(InputPartition):
     # contaminating a later unfiltered count). partitions() snapshots
     # the current query's filters here and resets the instance.
     filters: tuple = ()
+    # True only for the sentinel partition emitted when spatial pruning
+    # eliminates every input file (the DataSource API requires ≥1
+    # partition); read() yields nothing for it.
+    empty: bool = False
 
 
 def _passes(filters: list[tuple], props: dict) -> bool:
@@ -327,6 +331,16 @@ class GdalDataSourceReader(DataSourceReader):
             local = _localize(p)
             driver = find_driver(local, self.allowed)
             layer = _resolve_layer(driver, local, self.options)
+            if self.bbox is not None:
+                # Spatial partition pruning: drop whole files whose
+                # header/index envelope misses the filter box (the
+                # spatial analogue of parquet min/max pruning; the
+                # per-feature envelope test in read() stays exact).
+                bb = driver.layer_bbox(local, layer, self.options)
+                if bb is not None:
+                    bx0, by0, bx1, by1 = self.bbox
+                    if bb[2] < bx0 or bb[0] > bx1 or bb[3] < by0 or bb[1] > by1:
+                        continue
             ranges = (
                 None
                 if sequential
@@ -337,6 +351,8 @@ class GdalDataSourceReader(DataSourceReader):
                     parts.append(GdalInputPartition(p, layer, s, e, pushed))
             else:
                 parts.append(GdalInputPartition(p, layer, filters=pushed))
+        if not parts:  # every file spatially pruned
+            parts.append(GdalInputPartition(paths[0], "", empty=True))
         return parts
 
     # -- execution --------------------------------------------------------
@@ -383,6 +399,8 @@ class GdalDataSourceReader(DataSourceReader):
     def read(self, partition: GdalInputPartition) -> Iterator[tuple]:
         from polars_gdal_spark.sources.formats import find_driver
 
+        if partition.empty:
+            return
         local = _localize(partition.path)
         driver = find_driver(local, self.allowed)
         if partition.start is not None:

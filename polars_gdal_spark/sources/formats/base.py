@@ -68,6 +68,16 @@ class FormatDriver:
         """Cheap count if the format stores one (else None)."""
         return None
 
+    def layer_bbox(
+        self, path: str, layer: str, options: dict
+    ) -> tuple[float, float, float, float] | None:
+        """Layer envelope if knowable from headers/indexes WITHOUT a
+        feature scan (else None). Drives spatial partition pruning: a
+        multi-file read with a ``bbox`` filter skips whole files whose
+        envelope misses the box — the spatial analogue of parquet
+        min/max partition pruning."""
+        return None
+
     def split_ranges(
         self, path: str, layer: str, options: dict, target_splits: int
     ) -> list[tuple[int, int]] | None:

@@ -537,6 +537,17 @@ class FlatGeobufDriver(FormatDriver):
         _, (_c, _g, n, _crs, _b, _ns, _ix) = self._header(path)
         return n or None
 
+    def layer_bbox(
+        self, path: str, layer: str, options: dict
+    ) -> tuple[float, float, float, float] | None:
+        """Envelope from the packed R-tree's root node (only indexed
+        files carry one — the index IS the spatial metadata)."""
+        data, (_c, _g, n, _crs, _b, node_size, idx_start) = self._header(path)
+        if node_size == 0 or n == 0:
+            return None
+        mnx, mny, mxx, mxy, _off = struct.unpack_from("<4dQ", data, idx_start)
+        return (mnx, mny, mxx, mxy)
+
     def _decode_at(self, data, pos, cols, geom_type, fid) -> tuple[Feature, int]:
         (fsize,) = struct.unpack_from("<I", data, pos)
         fstart = pos + 4

@@ -226,6 +226,20 @@ class ShapefileDriver(FormatDriver):
         except OSError:
             return None
 
+    def layer_bbox(
+        self, path: str, layer: str, options: dict
+    ) -> tuple[float, float, float, float] | None:
+        """.shp main-file header words 9-16 (Xmin Ymin Xmax Ymax) — free
+        spatial pruning metadata every shapefile carries."""
+        with open(path, "rb") as f:
+            head = f.read(68)
+        if len(head) < 68:
+            return None
+        mnx, mny, mxx, mxy = struct.unpack_from("<4d", head, 36)
+        if mnx > mxx:  # empty shapefile writes a degenerate box
+            return None
+        return (mnx, mny, mxx, mxy)
+
     def split_ranges(
         self, path: str, layer: str, options: dict, target_splits: int
     ) -> list[tuple[int, int]] | None:

@@ -73,3 +73,57 @@ def test_https_read(spark):
     )
     df = spark.read.format("gdal").load(url)
     assert df.count() == 51
+
+
+def test_spatial_partition_pruning(spark, tmp_path):
+    """Multi-file read with bbox skips whole files via header/index
+    envelopes (shapefile header bbox; FGB R-tree root node), and an
+    all-pruned read yields an empty result, not an error."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import geo
+    from polars_gdal_spark.sources.datasource import GdalDataSourceReader, infer_schema
+    from polars_gdal_spark.sources.formats.flatgeobuf import FlatGeobufDriver
+
+    d = tmp_path / "tiles"
+    d.mkdir()
+    for tile, x0 in (("west", 0), ("east", 100)):
+        df = spark.range(5).select(
+            (F.col("id") + x0).alias("n"),
+            geo.wkt_to_wkb_col(
+                F.format_string("POINT (%d 5)", F.col("id") + x0)
+            ).alias("geometry"),
+        )
+        (
+            df.coalesce(1).write.format("gdal")
+            .option("driver", "FlatGeobuf")
+            .option("spatialIndex", "true")
+            .mode("overwrite")
+            .save(str(d / f"{tile}.fgb"))
+        )
+
+    fgb = FlatGeobufDriver()
+    bb_west = fgb.layer_bbox(str(d / "west.fgb"), "layer", {})
+    assert bb_west == (0.0, 5.0, 4.0, 5.0)
+
+    # reader-level: only the east file survives pruning
+    opts = {"path": str(d), "bbox": "100,0,200,10"}
+    reader = GdalDataSourceReader(infer_schema(opts), opts)
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("east.fgb")
+
+    got = {
+        r["n"]
+        for r in spark.read.format("gdal")
+        .option("bbox", "100,0,200,10")
+        .load(str(d))
+        .collect()
+    }
+    assert got == {100, 101, 102, 103, 104}
+
+    none = (
+        spark.read.format("gdal")
+        .option("bbox", "50,50,60,60")
+        .load(str(d))
+    )
+    assert none.count() == 0
