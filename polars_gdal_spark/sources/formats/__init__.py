@@ -24,6 +24,7 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     csv_xy,
     flatgeobuf,
     geojson,
+    gml,
     kml_gpx,
     shapefile,
     sqlite_vec,

@@ -134,3 +134,89 @@ def test_geoparquet_roundtrip(spark, tmp_path):
     a = sorted(bytes(r["geometry"]) for r in src.select("geometry").collect())
     b = sorted(bytes(r["geometry"]) for r in back.select("geometry").collect())
     assert a == b
+
+
+GML2_DOC = """<?xml version="1.0"?>
+<ogr:FeatureCollection xmlns:ogr="http://ogr.maptools.org/"
+    xmlns:gml="http://www.opengis.net/gml">
+  <gml:featureMember>
+    <ogr:cities fid="cities.0">
+      <ogr:name>alpha</ogr:name>
+      <ogr:pop>120</ogr:pop>
+      <ogr:geometryProperty>
+        <gml:Point><gml:coordinates>1.5,2.5</gml:coordinates></gml:Point>
+      </ogr:geometryProperty>
+    </ogr:cities>
+  </gml:featureMember>
+  <gml:featureMember>
+    <ogr:cities fid="cities.1">
+      <ogr:name>beta</ogr:name>
+      <ogr:pop>88</ogr:pop>
+      <ogr:geometryProperty>
+        <gml:Polygon>
+          <gml:outerBoundaryIs><gml:LinearRing>
+            <gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates>
+          </gml:LinearRing></gml:outerBoundaryIs>
+          <gml:innerBoundaryIs><gml:LinearRing>
+            <gml:coordinates>1,1 2,1 2,2 1,2 1,1</gml:coordinates>
+          </gml:LinearRing></gml:innerBoundaryIs>
+        </gml:Polygon>
+      </ogr:geometryProperty>
+    </ogr:cities>
+  </gml:featureMember>
+</ogr:FeatureCollection>
+"""
+
+GML3_DOC = """<?xml version="1.0"?>
+<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs/2.0"
+    xmlns:app="http://example.com/app"
+    xmlns:gml="http://www.opengis.net/gml/3.2">
+  <wfs:member>
+    <app:roads gml:id="r1">
+      <app:label>main</app:label>
+      <app:geom>
+        <gml:LineString>
+          <gml:posList>0 0 3 4 3 16</gml:posList>
+        </gml:LineString>
+      </app:geom>
+    </app:roads>
+  </wfs:member>
+  <wfs:member>
+    <app:roads gml:id="r2">
+      <app:label>ring</app:label>
+      <app:geom>
+        <gml:Polygon>
+          <gml:exterior><gml:LinearRing>
+            <gml:posList>0 0 2 0 2 2 0 2 0 0</gml:posList>
+          </gml:LinearRing></gml:exterior>
+        </gml:Polygon>
+      </app:geom>
+    </app:roads>
+  </wfs:member>
+</wfs:FeatureCollection>
+"""
+
+
+def test_gml2_read(spark, tmp_path):
+    p = tmp_path / "cities.gml"
+    p.write_text(GML2_DOC)
+    df = spark.read.format("gdal").load(str(p))
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"alpha", "beta"}
+    assert rows["alpha"]["pop"] == "120"
+    assert wkb_to_geom(bytes(rows["alpha"]["geometry"])) == ("Point", (1.5, 2.5))
+    t, rings = wkb_to_geom(bytes(rows["beta"]["geometry"]))
+    assert t == "Polygon" and len(rings) == 2
+    assert rings[0][0] == (0.0, 0.0) and rings[1][0] == (1.0, 1.0)
+
+
+def test_gml3_read(spark, tmp_path):
+    p = tmp_path / "roads.gml"
+    p.write_text(GML3_DOC)
+    df = spark.read.format("gdal").load(str(p))
+    assert df.count() == 2
+    rows = {r["label"]: r for r in df.collect()}
+    assert wkb_to_geom(bytes(rows["main"]["geometry"])) == (
+        "LineString", [(0.0, 0.0), (3.0, 4.0), (3.0, 16.0)]
+    )
+    assert wkb_to_geom(bytes(rows["ring"]["geometry"]))[0] == "Polygon"
