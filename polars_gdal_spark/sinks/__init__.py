@@ -54,6 +54,8 @@ def assemble(
         _write_shapefile(parts, path, options, schema, geom_col)
     elif d == "kml":
         _write_kml(parts, path, options, schema, geom_col)
+    elif d == "gml":
+        _write_gml(parts, path, options, schema, geom_col)
     elif d == "gpx":
         _write_gpx(parts, path, options, schema, geom_col)
     elif d in ("flatgeobuf", "fgb"):
@@ -62,7 +64,7 @@ def assemble(
         raise ValueError(
             f"unsupported write driver {driver!r} "
             "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, "
-            "GPX, FlatGeobuf)"
+            "GPX, GML, FlatGeobuf)"
         )
 
 
@@ -216,6 +218,93 @@ def _kml_geom_xml(gj: dict) -> str:
             + "</MultiGeometry>"
         )
     raise ValueError(f"cannot encode geometry type {t!r} as KML")
+
+
+def _gml_coord_str(pts) -> str:
+    return " ".join(f"{p[0]:.17g},{p[1]:.17g}" for p in pts)
+
+
+def _gml_geom_xml(gj: dict) -> str:
+    """GeoJSON geometry dict → GML2 geometry element (inverse of
+    GmlDriver's coordinates-based read path)."""
+    t = gj["type"]
+    c = gj.get("coordinates")
+    if t == "Point":
+        return (
+            f"<gml:Point><gml:coordinates>{_gml_coord_str([c])}"
+            "</gml:coordinates></gml:Point>"
+        )
+    if t == "LineString":
+        return (
+            f"<gml:LineString><gml:coordinates>{_gml_coord_str(c)}"
+            "</gml:coordinates></gml:LineString>"
+        )
+    if t == "Polygon":
+        out = ["<gml:Polygon>"]
+        for i, ring in enumerate(c):
+            b = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            out.append(
+                f"<gml:{b}><gml:LinearRing><gml:coordinates>"
+                f"{_gml_coord_str(ring)}"
+                f"</gml:coordinates></gml:LinearRing></gml:{b}>"
+            )
+        out.append("</gml:Polygon>")
+        return "".join(out)
+    if t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        sub_t = t[5:]
+        member = {
+            "MultiPoint": "pointMember",
+            "MultiLineString": "lineStringMember",
+            "MultiPolygon": "polygonMember",
+        }[t]
+        inner = "".join(
+            f"<gml:{member}>"
+            + _gml_geom_xml({"type": sub_t, "coordinates": sc})
+            + f"</gml:{member}>"
+            for sc in c
+        )
+        return f"<gml:{t}>{inner}</gml:{t}>"
+    if t == "GeometryCollection":
+        inner = "".join(
+            "<gml:geometryMember>" + _gml_geom_xml(g) + "</gml:geometryMember>"
+            for g in gj["geometries"]
+        )
+        return f"<gml:MultiGeometry>{inner}</gml:MultiGeometry>"
+    raise ValueError(f"unsupported geometry type {t!r}")
+
+
+def _write_gml(
+    parts: list[str], path: str, options: dict, schema, geom_col: str
+) -> None:
+    """GML2 FeatureCollection writer — round-trips through GmlDriver."""
+    import re
+
+    layer = re.sub(r"[^A-Za-z0-9_]", "_", options.get("layer", "layer"))
+    attr_cols = [f.name for f in schema.fields if f.name != geom_col]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write(
+            '<ogr:FeatureCollection xmlns:ogr="http://ogr.maptools.org/" '
+            'xmlns:gml="http://www.opengis.net/gml">\n'
+        )
+        for feat in _iter_features(parts):
+            props = feat.get("properties") or {}
+            f.write(f"<gml:featureMember><ogr:{layer}>")
+            for c in attr_cols:
+                v = props.get(c)
+                if v is None:
+                    continue
+                tag = re.sub(r"[^A-Za-z0-9_]", "_", c)
+                f.write(f"<ogr:{tag}>{_xml_escape(str(v))}</ogr:{tag}>")
+            gj = feat.get("geometry")
+            if gj:
+                f.write(
+                    "<ogr:geometryProperty>"
+                    + _gml_geom_xml(gj)
+                    + "</ogr:geometryProperty>"
+                )
+            f.write(f"</ogr:{layer}></gml:featureMember>\n")
+        f.write("</ogr:FeatureCollection>\n")
 
 
 def _write_kml(

@@ -220,3 +220,32 @@ def test_gml3_read(spark, tmp_path):
         "LineString", [(0.0, 0.0), (3.0, 4.0), (3.0, 16.0)]
     )
     assert wkb_to_geom(bytes(rows["ring"]["geometry"]))[0] == "Polygon"
+
+
+def test_gml_write_roundtrip(spark, tmp_path):
+    """Write GML through the sink, read back through GmlDriver: WKB
+    byte-equality on geometry, string values preserved."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("a", 1, "POINT (1.5 2.5)"),
+         ("b", 2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+         ("c", 3, "MULTIPOINT ((1 2), (3 4))")],
+        "name string, n bigint, wkt string",
+    ).select("name", "n", geo.wkt_to_wkb_col(F.col("wkt")).alias("geometry"))
+    out = str(tmp_path / "rt.gml")
+    (
+        df.coalesce(1).write.format("gdal")
+        .option("driver", "GML")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("gdal").load(out)
+    src = {r["name"]: r for r in df.collect()}
+    got = {r["name"]: r for r in back.collect()}
+    assert set(got) == set(src)
+    for k in src:
+        assert bytes(got[k]["geometry"]) == bytes(src[k]["geometry"])
+        assert got[k]["n"] == str(src[k]["n"])  # GML attrs are strings
