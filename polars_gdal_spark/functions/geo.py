@@ -283,6 +283,27 @@ def _impl_st_centroid(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"x": xs, "y": ys})
 
 
+def _impl_st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Euclidean distance between two Point geometries (null for other
+    types — planar point distance, the OGR Distance() fast path)."""
+    import math
+
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    def fn(va, vb):
+        if va is None or vb is None:
+            return None
+        ta, ca = wkb_to_geom(bytes(va))
+        tb, cb = wkb_to_geom(bytes(vb))
+        if ta != "Point" or tb != "Point":
+            return None
+        dx = ca[0] - cb[0]
+        dy = ca[1] - cb[1]
+        return math.sqrt(dx * dx + dy * dy)
+
+    return pd.Series([fn(va, vb) for va, vb in zip(a, b)], dtype="float64")
+
+
 _SPECS = {
     "wkb_to_wkt_col": (_impl_wkb_to_wkt, "string"),
     "wkb_to_geojson_col": (_impl_wkb_to_geojson, "string"),
@@ -302,6 +323,7 @@ _SPECS = {
     "st_length": (_impl_st_length, "double"),
     "st_perimeter": (_impl_st_perimeter, "double"),
     "st_centroid": (_impl_st_centroid, "struct<x:double,y:double>"),
+    "st_distance": (_impl_st_distance, "double"),
 }
 
 

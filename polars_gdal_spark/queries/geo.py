@@ -253,3 +253,79 @@ def geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.getField("y").alias("cy"),
         geo.st_length(F.col("line")).alias("line_len"),
     )
+
+
+_NEAREST_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7 % 1000) / 10.0 + 0.05 AS x,
+             (c_custkey * 13 % 1000) / 10.0 + 0.03 AS y
+      FROM customer
+    ),
+    ctr AS (
+      SELECT n_nationkey,
+             (n_nationkey % 5) * 20 + 10.0 AS cx,
+             (n_nationkey // 5) * 20 + 10.0 AS cy
+      FROM nation
+    ),
+    d AS (
+      SELECT c_custkey, n_nationkey,
+             sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) AS dist
+      FROM pts, ctr
+    )
+    SELECT c_custkey, n_nationkey AS nearest_nation
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY dist, n_nationkey) AS rn
+      FROM d
+    )
+    WHERE rn = 1
+"""
+
+
+@query("geo_nearest_center", oracle=_NEAREST_ORACLE)
+def geo_nearest_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbour: each customer point snaps to its
+    closest nation center via ``st_distance`` over real WKB columns —
+    broadcast the (small) center set, score per partition, argmin by a
+    per-point window. Only the argmin ids are emitted: identical IEEE
+    double pipelines on both engines make the ranking deterministic, and
+    the .05/.03 coordinate offsets rule out exact midpoints (ties)."""
+    from polars_gdal_spark.functions import geo
+    from polars_gdal_spark.queries import load_tables
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        geo.wkt_to_wkb_col(
+            F.format_string(
+                "POINT (%s %s)",
+                (F.col("c_custkey") * 7 % 1000) / 10.0 + 0.05,
+                (F.col("c_custkey") * 13 % 1000) / 10.0 + 0.03,
+            )
+        ).alias("pt"),
+    )
+    centers = t["nation"].select(
+        "n_nationkey",
+        geo.wkt_to_wkb_col(
+            F.format_string(
+                "POINT (%s %s)",
+                (F.col("n_nationkey") % 5) * 20 + 10.0,
+                F.floor(F.col("n_nationkey") / 5) * 20 + 10.0,
+            )
+        ).alias("ctr"),
+    )
+    scored = pts.crossJoin(F.broadcast(centers)).select(
+        "c_custkey",
+        "n_nationkey",
+        geo.st_distance(F.col("pt"), F.col("ctr")).alias("dist"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.asc("dist"), F.asc("n_nationkey")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("c_custkey", F.col("n_nationkey").alias("nearest_nation"))
+    )
