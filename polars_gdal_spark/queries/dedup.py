@@ -233,3 +233,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature itself is the hash-checked artifact."""
     aug = _augmented(spark, sf_dir)
     return D.simhash_bits(aug, "doc", "text", bits=32)
+
+
+@query(
+    "dedup_near_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL.strip().lstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_LSH_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc = e.b
+    ),
+    comp AS (SELECT doc, min(lab) AS component FROM reach GROUP BY doc)
+    SELECT a.doc FROM aug a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp c WHERE c.doc = a.doc AND c.component <> c.doc
+    )
+    """,
+)
+def dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup DROP step — what a training pipeline actually
+    ships: LSH pairs → connected components → anti-join every document
+    that is not its cluster's min-id representative. Composes the three
+    verified operators; the anti join touches only the (small) cluster
+    membership relation, never re-shuffling the corpus."""
+    aug = _augmented(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(aug, "doc", "text", 16, 4, 3)
+    comp = D.connected_components(pairs)
+    dropped = comp.where(F.col("component") != F.col("doc")).select("doc")
+    return aug.join(dropped, "doc", "left_anti").select("doc")
