@@ -644,3 +644,115 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@query(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             min(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 / CAST(l.l_quantity AS DECIMAL(18,2))) AS unit_price
+      FROM lineitem l
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM ps
+    JOIN part p     ON p.p_partkey = ps.partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 10 AND p.p_type = 'SMALL'
+      AND ps.unit_price = (
+        SELECT min(ps2.unit_price) FROM ps ps2
+        WHERE ps2.partkey = ps.partkey
+      )
+    ORDER BY p.p_partkey, s.s_suppkey
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: observed lineitem unit price stands in for the
+    absent ps_supplycost): for filtered parts, the supplier(s) offering
+    the minimum unit price — the correlated-min pattern, decorrelated
+    into a per-part min + equality join exactly as Catalyst rewrites the
+    subquery form. DECIMAL division keeps the min comparison exact."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(_dec("l_extendedprice") / _dec("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    dim = t["part"].where(
+        (F.col("p_size") == 10) & (F.col("p_type") == "SMALL")
+    )
+    ps_f = ps.join(F.broadcast(dim), F.col("partkey") == F.col("p_partkey"))
+    best = ps_f.groupBy(F.col("partkey").alias("bpk")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        ps_f.join(
+            best,
+            (F.col("partkey") == F.col("bpk"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS part_value
+      FROM lineitem
+      GROUP BY 1
+    )
+    SELECT l_partkey AS partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(part_value AS DOUBLE) > (
+      SELECT 0.0007 * CAST(sum(part_value) AS DOUBLE) FROM val
+    )
+    ORDER BY partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: lineitem revenue stands in for partsupp stock
+    value): parts whose traded value exceeds a fraction of the total —
+    aggregate, then compare against an uncorrelated scalar aggregate of
+    the SAME relation (one extra reduce over the small post-agg set, not
+    a second corpus scan). The 0.0007 threshold multiplies in double on
+    both engines (exact decimal sums cast first)."""
+    t = load_tables(spark, sf_dir)
+    val = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(_rev().alias("part_value"))
+    )
+    total = val.agg(
+        (F.lit(0.0007) * F.sum("part_value").cast("double")).alias("cut")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("part_value").cast("double") > F.col("cut"))
+        .select(
+            "partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+        .orderBy("partkey")
+    )
