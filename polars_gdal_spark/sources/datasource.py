@@ -396,7 +396,71 @@ class GdalDataSourceReader(DataSourceReader):
             return v.lower() in ("true", "t", "yes", "1")
         return v
 
-    def read(self, partition: GdalInputPartition) -> Iterator[tuple]:
+    def read(self, partition: GdalInputPartition) -> Iterator:
+        """Yield pyarrow RecordBatches (the fast path: one Arrow block
+        per ~4096 rows crosses the Python↔JVM boundary instead of one
+        pickled tuple per row — SURVEY §1.5's "better: Arrow batches");
+        falls back to row tuples for any schema Arrow can't mirror."""
+        rows = self._read_rows(partition)
+        pa_schema = self._arrow_schema()
+        if pa_schema is None:
+            yield from rows
+            return
+        import pyarrow as pa
+
+        cols = [f.name for f in self.schema.fields]
+        chunk: list[tuple] = []
+
+        def flush():
+            arrays = [
+                pa.array([r[i] for r in chunk], type=pa_schema.field(i).type)
+                for i in range(len(cols))
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+        for row in rows:
+            chunk.append(row)
+            if len(chunk) >= 4096:
+                yield flush()
+                chunk = []
+        if chunk:
+            yield flush()
+
+    def _arrow_schema(self):
+        """pyarrow mirror of the Spark schema, or None if a field's type
+        has no safe mapping (→ tuple fallback)."""
+        try:
+            import pyarrow as pa
+        except ImportError:  # pragma: no cover
+            return None
+        atomic = {
+            "string": pa.string(),
+            "bigint": pa.int64(),
+            "int": pa.int32(),
+            "smallint": pa.int16(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "boolean": pa.bool_(),
+            "binary": pa.binary(),
+        }
+
+        def conv(ddl: str):
+            if ddl in atomic:
+                return atomic[ddl]
+            if ddl.startswith("array<") and ddl.endswith(">"):
+                inner = conv(ddl[6:-1])
+                return pa.list_(inner) if inner is not None else None
+            return None
+
+        fields = []
+        for f in self.schema.fields:
+            t = conv(f.dataType.simpleString())
+            if t is None:
+                return None
+            fields.append(pa.field(f.name, t))
+        return pa.schema(fields)
+
+    def _read_rows(self, partition: GdalInputPartition) -> Iterator[tuple]:
         from polars_gdal_spark.sources.formats import find_driver
 
         if partition.empty:
