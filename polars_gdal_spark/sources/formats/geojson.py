@@ -144,6 +144,61 @@ class GeoJsonDriver(FormatDriver):
             fid = fid if isinstance(fid, int) else i
             yield Feature(fid=fid, geom=geom, props=raw.get("properties") or {})
 
+    # -- NDJSON parallelism ----------------------------------------------
+    # One-feature-per-line files are splittable by feature ordinal: each
+    # partition iterates lines (cheap) but JSON-parses only its slice
+    # (the ~10× part). A FeatureCollection document is one JSON value and
+    # stays unsplittable.
+
+    def _is_ndjson(self, path: str) -> bool:
+        with open(path, "rb") as f:
+            first = f.readline()
+            rest = f.readline()
+        if not rest.strip():
+            return False
+        try:
+            json.loads(first)
+            return True
+        except ValueError:
+            return False
+
+    def feature_count(self, path: str, layer: str, options: dict) -> int | None:
+        if not self._is_ndjson(path):
+            return None
+        with open(path, "rb") as f:
+            return sum(1 for line in f if line.strip())
+
+    def split_ranges(
+        self, path: str, layer: str, options: dict, target_splits: int
+    ) -> list[tuple[int, int]] | None:
+        n = self.feature_count(path, layer, options)
+        if not n or n < 8192:  # below this, split overhead beats the win
+            return None
+        step = -(-n // max(1, target_splits))
+        return [(s, min(s + step, n)) for s in range(0, n, step)]
+
+    def iter_features_range(
+        self, path: str, layer: str, options: dict, start: int, end: int
+    ) -> Iterator[Feature]:
+        idx = 0
+        with open(path, "rb") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                if idx >= end:
+                    return
+                if idx >= start:
+                    raw = json.loads(line)
+                    gj = raw.get("geometry")
+                    geom = geojson_to_geom(gj) if gj else None
+                    fid = raw.get("id")
+                    yield Feature(
+                        fid=fid if isinstance(fid, int) else idx,
+                        geom=geom,
+                        props=raw.get("properties") or {},
+                    )
+                idx += 1
+
 
 register(GeoJsonDriver())
 
