@@ -411,3 +411,4 @@ def __getattr__(name: str):
 # st_length(col)           curve length (OGR Length(): curves only)
 # st_perimeter(col)        ring-length sum of areal geometries
 # st_centroid(col)         struct<x,y> area-weighted centroid
+# st_distance(a, b)        planar point-point distance
