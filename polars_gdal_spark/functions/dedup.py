@@ -298,8 +298,17 @@ def ngram_jaccard_pairs(
 
     |A∩B| from a shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Jaccard is an
     exact int/int ratio (bit-identical across engines). The shingle join
-    bounds the pair space to docs that actually share content."""
-    sh = shingle_table(df, id_col, text_col, n)
+    bounds the pair space to docs that actually share content.
+
+    The shingle table feeds FOUR consumers (both self-join sides, both
+    size lookups); without a persist Spark re-runs the tokenize/explode
+    subtree per consumer — four corpus scans at 100 TB. MEMORY_AND_DISK
+    keeps it one scan and spills rather than OOMing on big corpora."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
