@@ -146,6 +146,72 @@ class CsvDriver(FormatDriver):
         finally:
             f.close()
 
+    # -- row-range parallelism -------------------------------------------
+    # CSV is record-per-line (quoted embedded newlines excepted — probe
+    # below rejects those files): partitions parse only their row slice,
+    # like the NDJSON split in the geojson driver.
+
+    def _splittable_count(self, path: str, options: dict) -> int | None:
+        rdr, f = self._open(path, options)
+        try:
+            next(rdr, [])  # header
+            n = 0
+            for row in rdr:
+                if any("\n" in v for v in row):
+                    return None  # embedded newline → byte slicing unsafe
+                n += 1
+            return n
+        finally:
+            f.close()
+
+    def split_ranges(
+        self, path: str, layer: str, options: dict, target_splits: int
+    ) -> list[tuple[int, int]] | None:
+        n = self._splittable_count(path, options)
+        if not n or n < 8192:
+            return None
+        step = -(-n // max(1, target_splits))
+        return [(s, min(s + step, n)) for s in range(0, n, step)]
+
+    def iter_features_range(
+        self, path: str, layer: str, options: dict, start: int, end: int
+    ) -> Iterator[Feature]:
+        # split_ranges verified no embedded newlines, so rows before
+        # `start` can be skipped as raw lines — only this partition's
+        # slice pays csv parsing + geometry synthesis.
+        delim = "\t" if path.lower().endswith(".tsv") else ","
+        with open(path, "r", encoding="utf-8-sig", newline="") as f:
+            header = next(csv.reader([f.readline()], delimiter=delim), [])
+            x, y, g = self._geometry_config(header, options)
+            idx = {c: i for i, c in enumerate(header)}
+            keep = [c for c in header if c not in (x, y, g)]
+            for _ in range(start):
+                if not f.readline():
+                    return
+            for i, row in enumerate(csv.reader(f, delimiter=delim)):
+                fid = start + i
+                if fid >= end:
+                    return
+                geom = None
+                if x and y:
+                    try:
+                        geom = (
+                            "Point",
+                            (float(row[idx[x]]), float(row[idx[y]])),
+                        )
+                    except (ValueError, IndexError):
+                        geom = None
+                elif g:
+                    try:
+                        geom = wkt_to_geom(row[idx[g]])
+                    except Exception:  # noqa: BLE001
+                        geom = None
+                props = {
+                    c: (row[idx[c]] if idx[c] < len(row) else None)
+                    for c in keep
+                }
+                yield Feature(fid=fid, geom=geom, props=props)
+
 
 register(CsvDriver())
 
