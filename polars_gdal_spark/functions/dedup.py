@@ -114,6 +114,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band signature are
@@ -122,9 +123,17 @@ def minhash_lsh_pairs(
     Pair generation groups docs per (band, band_sig) bucket and explodes
     in-bucket combinations — one aggregation pass over the signatures,
     no self-join (a self-join would recompute the signature lineage on
-    both sides and shuffle it twice). Bucket membership lists are bounded
-    by duplicate-cluster size, which stays small under any realistic
-    near-dup rate; this is the canonical fuzzy-dedup shape at 100 TB.
+    both sides and shuffle it twice).
+
+    Degenerate buckets are dropped, not collected: a pathological band
+    signature (near-empty docs, templated boilerplate) would otherwise
+    concentrate an unbounded membership list in a single row/task and
+    emit O(bucket²) pairs. Bucket sizes are counted first (count-only
+    agg, map-side combinable, never materializes membership); only
+    buckets with 2..``max_bucket`` members — real near-dup clusters —
+    proceed to membership collection. Oversized buckets carry no usable
+    Jaccard signal (they are hash collisions or boilerplate floods) and
+    their docs still pair up through their other, selective bands.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
@@ -142,10 +151,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band_sig"),
     )
-    buckets = (
+    eligible = (
         banded.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("_bsz"))
+        .where((F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket))
+        .select("band", "band_sig")
+    )
+    buckets = (
+        banded.join(eligible, ["band", "band_sig"])
+        .groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
-        .where(F.size("docs") > 1)
     )
     n = F.size("docs")
     pairs = F.flatten(
@@ -172,7 +187,14 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
 
     bit_i = sign of Σ_tokens (±1 depending on the i-th hex digit of
     md5(token) being >= '8'). Distinct tokens weighted once (set
-    semantics), making the signature oracle-reproducible."""
+    semantics), making the signature oracle-reproducible.
+
+    All ``bits`` per-position vote sums are parallel agg columns in ONE
+    ``groupBy(doc)`` pass over the token table — the same shape as
+    :func:`minhash_signatures`. (An earlier version exploded tokens ×
+    bit-positions, a ``bits``× shuffle amplification of the token table;
+    here the shuffle carries ``bits`` partially-combined ints per doc.)
+    """
     assert bits <= 32, "md5 hex gives 32 positions"
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -185,41 +207,22 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
             )
         ).alias("tok"),
     ).withColumn("th", F.md5("tok"))
-    pos = toks.select(
-        "doc",
-        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
-        "th",
-    ).select(
-        "doc",
-        "i",
-        F.when(
-            F.substring(F.col("th"), F.col("i"), 1).isin(
-                *"89abcdef"
-            ),
-            1,
-        )
-        .otherwise(-1)
-        .alias("v"),
+    vote = [
+        F.sum(
+            F.when(
+                F.substring(F.col("th"), i, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(1, bits + 1)
+    ]
+    sums = toks.groupBy("doc").agg(*vote)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"_s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, bits + 1)
+        ]
     )
-    return (
-        pos.groupBy("doc", "i")
-        .agg(F.sum("v").alias("s"))
-        .select(
-            "doc",
-            "i",
-            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-        )
-        .groupBy("doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "bit"))),
-                    lambda s: s["bit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
-    )
+    return sums.select("doc", sig.alias("simhash"))
 
 
 def connected_components(
@@ -293,6 +296,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -300,15 +304,33 @@ def ngram_jaccard_pairs(
     exact int/int ratio (bit-identical across engines). The shingle join
     bounds the pair space to docs that actually share content.
 
-    The shingle table feeds FOUR consumers (both self-join sides, both
-    size lookups); without a persist Spark re-runs the tokenize/explode
-    subtree per consumer — four corpus scans at 100 TB. MEMORY_AND_DISK
-    keeps it one scan and spills rather than OOMing on big corpora."""
+    **Hot-shingle cap**: the shingle self-join is quadratic per shingle —
+    one boilerplate n-gram shared by 10⁶ docs would emit ~10¹² join rows
+    at web scale. Shingles whose document frequency exceeds
+    ``max_shingle_df`` are dropped from the working set (both the join
+    AND the per-doc sizes, keeping the Jaccard a consistent ratio over
+    the retained-shingle universe). High-DF shingles carry no
+    near-duplicate signal — they are corpus-wide boilerplate — so this is
+    the standard web-dedup practice, and it bounds the join fan-out at
+    ``max_shingle_df²`` rows per shingle.
+
+    The shingle table feeds FIVE consumers (DF count, both self-join
+    sides, both size lookups); without a persist Spark re-runs the
+    tokenize/explode subtree per consumer. MEMORY_AND_DISK keeps it one
+    corpus scan and spills rather than OOMing on big corpora. The result
+    (small: thresholded near-dup pairs) is eagerly localCheckpoint-ed so
+    the cache can be released before returning — repeated calls in a
+    long-lived session don't accumulate cached blocks."""
     from pyspark import StorageLevel
 
-    sh = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh_raw = shingle_table(df, id_col, text_col, n)
+    keep = (
+        sh_raw.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_shingle_df)
+        .select("shingle")
     )
+    sh = sh_raw.join(keep, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -322,7 +344,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -334,4 +356,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return result

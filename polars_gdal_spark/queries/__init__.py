@@ -68,23 +68,47 @@ _NS_TIMESTAMP_COLS = {
 }
 
 
+# (applicationId, sf_dir) -> {table: DataFrame}; plus which sf_dir the
+# session's temp views currently point at. DataFrames are lazy plans, so
+# caching them only avoids repeated parquet footer/schema reads — it does
+# NOT pin data in memory and leaves Catalyst pushdown/pruning intact.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_ACTIVE_VIEW_SF: dict[str, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables and register temp views.
 
     Parquet scans give Catalyst pushdown/pruning for free; views let query
     bodies mix DataFrame API and ``spark.sql`` freely.
+
+    Memoized per (session, sf_dir): a registry sweep calls this once per
+    query, and without the cache every call re-reads 10 parquet footers
+    and re-registers 10 views — pure fixed overhead at any scale factor.
     """
     import pyspark.sql.functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables = {}
-    for name in TABLE_NAMES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for c in _NS_TIMESTAMP_COLS.get(name, ()):
-            if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-        df.createOrReplaceTempView(name)
-        tables[name] = df
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    tables = _TABLE_CACHE.get(key)
+    if tables is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        tables = {}
+        for name in TABLE_NAMES:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            for c in _NS_TIMESTAMP_COLS.get(name, ()):
+                if dict(df.dtypes).get(c) == "bigint":
+                    df = df.withColumn(
+                        c, F.expr(f"timestamp_micros({c} div 1000)")
+                    )
+            tables[name] = df
+        _TABLE_CACHE[key] = tables
+    # Temp views are session-global; re-point them only when the sf_dir
+    # actually changes (e.g. the driver's sf0.001 smoke then sf0.01 sweep).
+    if _ACTIVE_VIEW_SF.get(app_id) != sf_dir:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        _ACTIVE_VIEW_SF[app_id] = sf_dir
     return tables
 
 

@@ -115,19 +115,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc, seed // 4 AS band,
              md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
       FROM mh GROUP BY doc, seed // 4
+    ),
+    bkt AS (
+      SELECT b.* FROM bands b
+      JOIN (SELECT band, band_sig FROM bands
+            GROUP BY band, band_sig HAVING count(*) BETWEEN 2 AND 64) e
+      USING (band, band_sig)
     )
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    FROM bkt a
+    JOIN bkt b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows) over
-    3-word shingles. Pair generation is an equi-join on (band, band_sig)
-    — bucket-local, never O(n²); the canonical fuzzy-dedup at scale."""
+    3-word shingles, bucket-size-capped at 64 (degenerate buckets are
+    dropped before membership collection). Pair generation is an
+    equi-join on (band, band_sig) — bucket-local, never O(n²); the
+    canonical fuzzy-dedup at scale."""
     aug = _augmented(spark, sf_dir)
     return D.minhash_lsh_pairs(
-        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3
+        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3, max_bucket=64
     )
 
 
@@ -136,10 +144,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_AUG_SQL},
     {_SHINGLE_SQL},
-    sizes AS (SELECT doc, count(*) AS sz FROM shing GROUP BY doc),
+    shc AS (
+      SELECT s.* FROM shing s
+      JOIN (SELECT shingle FROM shing
+            GROUP BY shingle HAVING count(*) <= 1024) k
+      USING (shingle)
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM shc GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
-      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -151,10 +165,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard verification pairs (≥0.3). Pair space bounded
-    by the shingle equi-join; jaccard is an exact int/int ratio."""
+    """Exact 3-gram Jaccard verification pairs (≥0.3), hot-shingle DF cap
+    at 1024 (corpus-wide boilerplate shingles are dropped from both the
+    join and the sizes — they carry no near-dup signal and would make
+    the self-join quadratic). Pair space bounded by the shingle
+    equi-join; jaccard is an exact int/int ratio."""
     aug = _augmented(spark, sf_dir)
-    return D.ngram_jaccard_pairs(aug, "doc", "text", n=3, threshold=0.3)
+    return D.ngram_jaccard_pairs(
+        aug, "doc", "text", n=3, threshold=0.3, max_shingle_df=1024
+    )
 
 
 _LSH_PAIRS_SQL = """
@@ -168,10 +187,16 @@ _LSH_PAIRS_SQL = """
            md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
     FROM mh GROUP BY doc, seed // 4
   ),
+  bkt AS (
+    SELECT b.* FROM bands b
+    JOIN (SELECT band, band_sig FROM bands
+          GROUP BY band, band_sig HAVING count(*) BETWEEN 2 AND 64) e
+    USING (band, band_sig)
+  ),
   pairs AS (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    FROM bkt a
+    JOIN bkt b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
   )
 """
 

@@ -1,10 +1,14 @@
 """Geospatial queries through the ``gdal`` DataSource (driver contract).
 
-DuckDB in this environment has no spatial extension, so these entries
-omit ``oracle_sql`` — the driver records the weaker rows-only check.
-Full value-level verification (row counts, golden WKB bytes, round-trip
-byte equality) lives in tests/test_datasource_read.py and
-tests/test_datasource_write.py.
+DuckDB in this environment has no spatial extension, but the ``gdal_*``
+entries are still fully oracle-checked: DuckDB reads the same fixture
+files directly (``read_json_auto`` on the GeoJSON FeatureCollection,
+``read_csv`` on the points CSV), and geometry-derived outputs are
+expressed arithmetically — every fixture geometry is a Point, whose WKB
+encoding is exactly 21 bytes (1 byte order + 4 type + 2×8 coords), and
+point coordinates come straight from the JSON/CSV source. Byte-level WKB
+verification (golden bytes, round-trip equality) additionally lives in
+tests/test_datasource_read.py and tests/test_datasource_write.py.
 
 The fixtures are engine-generated (tools/gen_fixtures.py), committed
 under tests/data/.
@@ -34,17 +38,46 @@ def _gdal(spark: SparkSession):
     return spark.read.format("gdal")
 
 
-@query("gdal_read_geojson")
+# DuckDB-side view of the GeoJSON fixture: one row per feature.
+_GEOJSON_FEATURES = f"""
+  feat AS (
+    SELECT unnest(features) AS f
+    FROM read_json_auto('{_DATA}/cities.geojson')
+  )
+"""
+
+
+@query(
+    "gdal_read_geojson",
+    oracle=f"""
+    WITH {_GEOJSON_FEATURES}
+    SELECT f.properties."name" AS name,
+           f.properties.population AS population,
+           f.properties.region AS region,
+           21 AS wkb_len
+    FROM feat
+    ORDER BY name
+    """,
+)
 def gdal_read_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON scan through the custom DataSource (reference
-    df_from_resource, src/lib.rs:294-312): attributes + WKB geometry."""
+    df_from_resource, src/lib.rs:294-312): attributes + WKB geometry.
+    Every fixture geometry is a Point → WKB is always 21 bytes, which the
+    oracle states arithmetically."""
     df = _gdal(spark).load(f"{_DATA}/cities.geojson")
     return df.select(
         "name", "population", "region", F.length("geometry").alias("wkb_len")
     ).orderBy("name")
 
 
-@query("gdal_read_csv_points")
+@query(
+    "gdal_read_csv_points",
+    oracle=f"""
+    SELECT "name", population, lon AS x, lat AS y
+    FROM read_csv('{_DATA}/cities.csv', header=true)
+    ORDER BY name
+    """,
+)
 def gdal_read_csv_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV with coordinate-synthesis open options (reference
     README.md:46-54) + point accessors through the geo function library."""
@@ -65,11 +98,23 @@ def gdal_read_csv_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
-@query("gdal_roundtrip_gpkg")
+@query(
+    "gdal_roundtrip_gpkg",
+    oracle=f"""
+    WITH {_GEOJSON_FEATURES}
+    SELECT f.properties.region AS region,
+           count(*) AS n,
+           21 * count(*) AS wkb_bytes
+    FROM feat
+    GROUP BY 1
+    ORDER BY region
+    """,
+)
 def gdal_roundtrip_gpkg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full read→write→read round-trip through the GPKG sink (reference
     gdal_resource_from_df, src/lib.rs:629-642): returns per-region WKB
-    byte totals, which only match if geometry survives byte-exact."""
+    byte totals, which only match if geometry survives byte-exact (each
+    Point is 21 WKB bytes, so the oracle can state the total exactly)."""
     import tempfile
 
     src = _gdal(spark).load(f"{_DATA}/cities.geojson")
@@ -88,10 +133,23 @@ def gdal_roundtrip_gpkg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gdal_grid_bucket_agg")
+@query(
+    "gdal_grid_bucket_agg",
+    oracle=f"""
+    WITH {_GEOJSON_FEATURES}
+    SELECT CAST(floor(f.geometry.coordinates[1] / 30) AS INT) || ':'
+           || CAST(floor(f.geometry.coordinates[2] / 30) AS INT) AS cell30,
+           count(*) AS n
+    FROM feat
+    GROUP BY 1
+    ORDER BY cell30
+    """,
+)
 def gdal_grid_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial bucketing: 30-degree grid cells over the cities layer —
-    the equi-join blocking key for scalable spatial joins (SURVEY §2.E)."""
+    the equi-join blocking key for scalable spatial joins (SURVEY §2.E).
+    The oracle recomputes the cell key from the raw JSON coordinates
+    (identical IEEE doubles on both sides)."""
     from polars_gdal_spark.functions import geo
 
     df = _gdal(spark).load(f"{_DATA}/cities.geojson")
@@ -108,10 +166,22 @@ def gdal_grid_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gdal_geometry_formats")
+@query(
+    "gdal_geometry_formats",
+    oracle=f"""
+    WITH {_GEOJSON_FEATURES}
+    SELECT f.properties."name" AS name,
+           f.geometry."type" AS gtype,
+           true AS wkt_fixed_point
+    FROM feat
+    ORDER BY name
+    """,
+)
 def gdal_geometry_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry encode conversions (reference GeometryFormat,
-    src/lib.rs:126-139): WKB→WKT→WKB fixed point per row."""
+    src/lib.rs:126-139): WKB→WKT→WKB fixed point per row. The oracle
+    asserts the fixed-point invariant (true for every row) and checks
+    the decoded geometry type against the raw JSON."""
     from polars_gdal_spark.functions import geo
 
     df = _gdal(spark).load(f"{_DATA}/cities.geojson")

@@ -63,6 +63,53 @@ def test_ngram_jaccard_values(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_minhash_lsh_degenerate_bucket_capped(spark):
+    """Adversarial corpus: many docs with IDENTICAL text land in one LSH
+    bucket per band. With max_bucket below the flood size the bucket is
+    dropped before membership collection (no O(bucket²) pair explosion);
+    a genuine small near-dup cluster in the same corpus still pairs."""
+    flood = [(i, "common boilerplate template text repeated verbatim always")
+             for i in range(100)]
+    pair = [(200, "unique story about a fox crossing a frozen river at dawn"),
+            (201, "unique story about a fox crossing a frozen river at dusk")]
+    df = spark.createDataFrame(flood + pair, "doc bigint, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(
+            df, "doc", "text", 16, 4, 3, max_bucket=64
+        ).collect()
+    }
+    assert (200, 201) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # flood dropped
+    # raising the cap re-admits the flood: 100*99/2 pairs + the cluster
+    uncapped = D.minhash_lsh_pairs(
+        df, "doc", "text", 16, 4, 3, max_bucket=1000
+    ).count()
+    assert uncapped == 100 * 99 // 2 + 1
+
+
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    """Adversarial corpus: one boilerplate sentence shared by every doc.
+    With the DF cap the shared shingles drop out of the join, so the
+    pair count is bounded by real (rare-shingle) overlap instead of
+    flood² — and docs whose only commonality is boilerplate never pair."""
+    n = 60
+    rows = [
+        (i, f"all rights reserved copyright footer text plus unique token{i}"
+            f" extra{i} more{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc bigint, text string")
+    capped = D.ngram_jaccard_pairs(
+        df, "doc", "text", n=3, threshold=0.01, max_shingle_df=50
+    )
+    uncapped = D.ngram_jaccard_pairs(
+        df, "doc", "text", n=3, threshold=0.01, max_shingle_df=10**6
+    )
+    assert capped.count() == 0  # only boilerplate overlaps → all dropped
+    assert uncapped.count() == n * (n - 1) // 2  # flood² without the cap
+
+
 def test_simhash_near_dups_close(spark, docs):
     sh = {r["doc"]: r["simhash"] for r in
           D.simhash_bits(docs, "doc", "text", 32).collect()}
