@@ -74,8 +74,31 @@ def _impl_st_bounds(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _point_xy_vectorized(s: pd.Series):
+    """Fast path: if every non-null value is a 21-byte little-endian WKB
+    Point, decode all coordinates with one ``np.frombuffer`` instead of
+    per-row Python parsing. Returns (xs, ys) float ndarrays, or None when
+    the batch has nulls or isn't uniformly simple points (slow path keeps
+    exact null semantics)."""
+    import numpy as np
+
+    vals = [None if v is None else bytes(v) for v in s]
+    if not vals or any(
+        v is None or len(v) != 21 or v[:5] != b"\x01\x01\x00\x00\x00"
+        for v in vals
+    ):
+        return None
+    buf = np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(-1, 21)
+    xy = buf[:, 5:21].copy().view("<f8").reshape(-1, 2)
+    return xy[:, 0].copy(), xy[:, 1].copy()
+
+
 def _impl_st_x(s: pd.Series) -> pd.Series:
     from polars_gdal_spark.geometry import wkb_to_geom
+
+    fast = _point_xy_vectorized(s)
+    if fast is not None:
+        return pd.Series(fast[0])
 
     def fn(v):
         t, c = wkb_to_geom(bytes(v))
@@ -86,6 +109,10 @@ def _impl_st_x(s: pd.Series) -> pd.Series:
 
 def _impl_st_y(s: pd.Series) -> pd.Series:
     from polars_gdal_spark.geometry import wkb_to_geom
+
+    fast = _point_xy_vectorized(s)
+    if fast is not None:
+        return pd.Series(fast[1])
 
     def fn(v):
         t, c = wkb_to_geom(bytes(v))
@@ -134,28 +161,60 @@ def _rings_of(geom):
     raise ValueError(f"st_contains_xy needs Polygon/MultiPolygon, got {t}")
 
 
+def _poly_edges(wkb: bytes):
+    """Parse a polygon WKB once into packed numpy edge arrays
+    (x1, y1, x2, y2) over every ring (shells + holes, even-odd)."""
+    import numpy as np
+
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for ring in _rings_of(wkb_to_geom(wkb)):
+        arr = np.asarray(ring, dtype=np.float64)[:, :2]
+        x1s.append(arr[:-1, 0])
+        y1s.append(arr[:-1, 1])
+        x2s.append(arr[1:, 0])
+        y2s.append(arr[1:, 1])
+    cat = np.concatenate
+    return cat(x1s), cat(y1s), cat(x2s), cat(y2s)
+
+
 def _impl_st_contains_xy(
     s: pd.Series, xs: pd.Series, ys: pd.Series
 ) -> pd.Series:
-    """Even-odd ray cast over all rings (holes subtract)."""
-    from polars_gdal_spark.geometry import wkb_to_geom
+    """Even-odd ray cast over all rings (holes subtract).
 
-    def fn(v, x, y):
-        if v is None or x is None or y is None:
-            return None
-        inside = False
-        for ring in _rings_of(wkb_to_geom(bytes(v))):
-            for i in range(len(ring) - 1):
-                x1, y1 = ring[i][0], ring[i][1]
-                x2, y2 = ring[i + 1][0], ring[i + 1][1]
-                if (y1 > y) != (y2 > y):
-                    if x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
-                        inside = not inside
-        return inside
+    Vectorized per unique polygon: a spatial-join batch repeats few
+    polygons across many candidate points, so each distinct WKB is parsed
+    once into packed edge arrays and all its points are tested in one
+    (points × edges) numpy broadcast — identical IEEE expression to the
+    scalar ray cast (``x < x1 + (y-y1)*(x2-x1)/(y2-y1)``), so results are
+    bit-for-bit the same as the per-row loop it replaces."""
+    import numpy as np
 
-    return pd.Series(
-        [fn(v, x, y) for v, x, y in zip(s, xs, ys)], dtype="object"
-    )
+    out = np.empty(len(s), dtype=object)
+    vals = s.to_numpy(dtype=object)
+    pxs = xs.to_numpy(dtype=object)
+    pys = ys.to_numpy(dtype=object)
+    groups: dict[bytes, list[int]] = {}
+    for i, v in enumerate(vals):
+        if v is None or pxs[i] is None or pys[i] is None:
+            out[i] = None
+        else:
+            groups.setdefault(bytes(v), []).append(i)
+    for wkb, idx in groups.items():
+        x1, y1, x2, y2 = _poly_edges(wkb)
+        ii = np.asarray(idx, dtype=np.int64)
+        px = np.asarray([pxs[i] for i in idx], dtype=np.float64)[:, None]
+        py = np.asarray([pys[i] for i in idx], dtype=np.float64)[:, None]
+        straddles = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        crossings = (straddles & (px < xint)).sum(axis=1)
+        inside = (crossings % 2).astype(bool)
+        for k, i in enumerate(ii):
+            out[i] = bool(inside[k])
+    return pd.Series(out, dtype="object")
 
 
 def _polys_of(geom):
