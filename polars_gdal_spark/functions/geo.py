@@ -227,19 +227,23 @@ def _polys_of(geom):
 
 
 def _ring_terms(ring):
-    """(2*signed_area, 6*cx*area-ish, 6*cy*area-ish) shoelace sums.
+    """(2*signed_area, 6*cx*area-ish, 6*cy*area-ish) shoelace sums,
+    vectorized over the ring's vertex array (one numpy pass per ring
+    instead of an interpreted per-vertex loop).
 
     Integer/half-integer coordinates stay exact in doubles, which is what
     keeps these bit-identical to an arithmetic SQL oracle."""
-    a2 = cx6 = cy6 = 0.0
-    for i in range(len(ring) - 1):
-        x1, y1 = ring[i][0], ring[i][1]
-        x2, y2 = ring[i + 1][0], ring[i + 1][1]
-        cross = x1 * y2 - x2 * y1
-        a2 += cross
-        cx6 += (x1 + x2) * cross
-        cy6 += (y1 + y2) * cross
-    return a2, cx6, cy6
+    import numpy as np
+
+    arr = np.asarray(ring, dtype=np.float64)[:, :2]
+    x1, y1 = arr[:-1, 0], arr[:-1, 1]
+    x2, y2 = arr[1:, 0], arr[1:, 1]
+    cross = x1 * y2 - x2 * y1
+    return (
+        float(np.add.reduce(cross)),
+        float(np.add.reduce((x1 + x2) * cross)),
+        float(np.add.reduce((y1 + y2) * cross)),
+    )
 
 
 def _impl_st_area(s: pd.Series) -> pd.Series:
@@ -268,20 +272,26 @@ def _curves_of(geom):
     return []
 
 
+def _segments_length(pts) -> float:
+    """Polyline length of one vertex sequence, vectorized (numpy diff +
+    hypot over the packed coordinate array; elementwise IEEE identical
+    to the per-segment ``math.sqrt`` loop it replaces)."""
+    import numpy as np
+
+    arr = np.asarray(pts, dtype=np.float64)[:, :2]
+    d = np.diff(arr, axis=0)
+    return float(np.add.reduce(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)))
+
+
 def _impl_st_length(s: pd.Series) -> pd.Series:
     """Curve length (LineString/MultiLineString); 0.0 otherwise —
     matches OGR Geometry.Length() semantics (curves only)."""
-    import math
-
     from polars_gdal_spark.geometry import wkb_to_geom
 
     def fn(v):
         total = 0.0
         for line in _curves_of(wkb_to_geom(bytes(v))):
-            for i in range(len(line) - 1):
-                dx = line[i + 1][0] - line[i][0]
-                dy = line[i + 1][1] - line[i][1]
-                total += math.sqrt(dx * dx + dy * dy)
+            total += _segments_length(line)
         return total
 
     return _map(s, fn)
@@ -289,18 +299,13 @@ def _impl_st_length(s: pd.Series) -> pd.Series:
 
 def _impl_st_perimeter(s: pd.Series) -> pd.Series:
     """Sum of all ring lengths (shells + holes) of areal geometries."""
-    import math
-
     from polars_gdal_spark.geometry import wkb_to_geom
 
     def fn(v):
         total = 0.0
         for rings in _polys_of(wkb_to_geom(bytes(v))):
             for ring in rings:
-                for i in range(len(ring) - 1):
-                    dx = ring[i + 1][0] - ring[i][0]
-                    dy = ring[i + 1][1] - ring[i][1]
-                    total += math.sqrt(dx * dx + dy * dy)
+                total += _segments_length(ring)
         return total
 
     return _map(s, fn)
@@ -344,10 +349,24 @@ def _impl_st_centroid(s: pd.Series) -> pd.DataFrame:
 
 def _impl_st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Euclidean distance between two Point geometries (null for other
-    types — planar point distance, the OGR Distance() fast path)."""
+    types — planar point distance, the OGR Distance() fast path).
+
+    Batch fast path: when both sides are uniformly simple WKB points,
+    all coordinates decode with one ``np.frombuffer`` each and the
+    distance is a single vectorized hypot (elementwise IEEE identical
+    to the scalar ``math.sqrt`` expression)."""
     import math
 
+    import numpy as np
+
     from polars_gdal_spark.geometry import wkb_to_geom
+
+    fa = _point_xy_vectorized(a)
+    fb = _point_xy_vectorized(b)
+    if fa is not None and fb is not None:
+        dx = fa[0] - fb[0]
+        dy = fa[1] - fb[1]
+        return pd.Series(np.sqrt(dx * dx + dy * dy), dtype="float64")
 
     def fn(va, vb):
         if va is None or vb is None:
