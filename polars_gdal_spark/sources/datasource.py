@@ -401,8 +401,17 @@ class GdalDataSourceReader(DataSourceReader):
         per ~4096 rows crosses the Python↔JVM boundary instead of one
         pickled tuple per row — SURVEY §1.5's "better: Arrow batches");
         falls back to row tuples for any schema Arrow can't mirror."""
-        rows = self._read_rows(partition)
         pa_schema = self._arrow_schema()
+        fast = self._columnar_batches(partition, pa_schema)
+        if fast is not None:
+            import pyarrow as pa
+
+            for b in fast:
+                # Rebuild against the declared schema so nullability and
+                # field metadata match what Spark asserts on.
+                yield pa.RecordBatch.from_arrays(list(b.columns), schema=pa_schema)
+            return
+        rows = self._read_rows(partition)
         if pa_schema is None:
             yield from rows
             return
@@ -425,6 +434,44 @@ class GdalDataSourceReader(DataSourceReader):
                 chunk = []
         if chunk:
             yield flush()
+
+    def _columnar_batches(self, partition: GdalInputPartition, pa_schema):
+        """Driver columnar fast path (iter_arrow_batches), applicable only
+        to the plain full-scan shape — no pushed filters, bbox, offset,
+        limit, or maxRows — where batch semantics provably equal the row
+        path. Returns an iterator of RecordBatches, or None."""
+        if (
+            pa_schema is None
+            or partition.empty
+            or partition.filters
+            or self.bbox is not None
+            or self.offset
+            or self.limit is not None
+            or self.max_rows is not None
+        ):
+            return None
+        from polars_gdal_spark.sources.formats import find_driver
+
+        local = _localize(partition.path)
+        driver = find_driver(local, self.allowed)
+        attr_src = {
+            name: (name[: -len("_original")] if name.endswith("_original") else name)
+            for name in self.attr_fields
+        }
+        columns = [
+            (name, attr_src[name], self.dtypes[name]) for name in self.attr_fields
+        ]
+        return driver.iter_arrow_batches(
+            local,
+            partition.layer,
+            self.options,
+            columns,
+            self.fid_col,
+            self.geom_col,
+            self.gfmt,
+            partition.start,
+            partition.end,
+        )
 
     def _arrow_schema(self):
         """pyarrow mirror of the Spark schema, or None if a field's type

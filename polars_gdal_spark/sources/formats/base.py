@@ -91,6 +91,28 @@ class FormatDriver:
     ) -> Iterator[Feature]:
         raise NotImplementedError
 
+    def iter_arrow_batches(
+        self,
+        path: str,
+        layer: str,
+        options: dict,
+        columns: list[tuple[str, str, str]],
+        fid_col: str | None,
+        geom_col: str,
+        geom_format: str,
+        start: int | None = None,
+        end: int | None = None,
+    ):
+        """Optional columnar fast path for the plain full-scan case (no
+        pushed filters / bbox / offset / limit). ``columns`` is the output
+        attribute spec ``[(out_name, source_name, spark_ddl_type), ...]``.
+        Yield ``pyarrow.RecordBatch`` objects whose columns are exactly
+        ``[fid_col?] + [out_name...] + [geom_col]`` with types mirroring
+        the Spark schema, or return None when the driver (or this file /
+        option combination) can't guarantee identical semantics to the
+        row path — the reader then falls back to ``iter_features``."""
+        return None
+
 
 DRIVERS: list[FormatDriver] = []
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import csv
 import fnmatch
 import io
+import os
 from collections.abc import Iterator
 
 from polars_gdal_spark.geometry.wkt import wkt_to_geom
@@ -151,18 +152,57 @@ class CsvDriver(FormatDriver):
     # below rejects those files): partitions parse only their row slice,
     # like the NDJSON split in the geojson driver.
 
+    _probe_cache: dict[tuple, int | None] = {}
+
     def _splittable_count(self, path: str, options: dict) -> int | None:
-        rdr, f = self._open(path, options)
+        """Record count if every record is exactly one physical line.
+
+        Byte-level probe: count ``\\n`` (and lone ``\\r``, which also
+        breaks ``readline``-based skipping) and compare against the
+        parsed record count from pyarrow's streaming reader — if a quoted
+        field contained a newline, physical lines exceed records and the
+        file is rejected. Memoized per (path, size, mtime): planning runs
+        once per query, and the probe result can't change under an
+        unchanged file."""
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+        if key in self._probe_cache:
+            return self._probe_cache[key]
+        self._probe_cache[key] = n = self._probe(path)
+        return n
+
+    def _probe(self, path: str) -> int | None:
+        delim = "\t" if path.lower().endswith(".tsv") else ","
+        nl = cr = crnl = 0
+        last = b""
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                nl += chunk.count(b"\n")
+                cr += chunk.count(b"\r")
+                crnl += chunk.count(b"\r\n")
+                if last.endswith(b"\r") and chunk.startswith(b"\n"):
+                    crnl += 1
+                last = chunk[-1:]
+        if cr != crnl:
+            return None  # lone \r: breaks readline()-based row skipping
+        lines = nl + (0 if last in (b"\n", b"") else 1)
         try:
-            next(rdr, [])  # header
+            from pyarrow import csv as pacsv
+
             n = 0
-            for row in rdr:
-                if any("\n" in v for v in row):
-                    return None  # embedded newline → byte slicing unsafe
-                n += 1
-            return n
-        finally:
-            f.close()
+            with pacsv.open_csv(
+                path,
+                parse_options=pacsv.ParseOptions(delimiter=delim),
+                convert_options=pacsv.ConvertOptions(include_columns=[]),
+            ) as rdr:
+                for batch in rdr:
+                    n += batch.num_rows
+        except Exception:  # noqa: BLE001 — ragged/odd file: not splittable
+            return None
+        return n if lines == n + 1 else None
 
     def split_ranges(
         self, path: str, layer: str, options: dict, target_splits: int
@@ -211,6 +251,137 @@ class CsvDriver(FormatDriver):
                     for c in keep
                 }
                 yield Feature(fid=fid, geom=geom, props=props)
+
+
+    # -- columnar fast path ----------------------------------------------
+    # Full scans (no filters / offset / limit) parse with pyarrow.csv —
+    # multithreaded C++ instead of interpreted-Python csv.reader — and
+    # synthesize Point WKB for the whole batch with one numpy pass.
+    # Any condition the C++ parser can't reproduce byte-for-byte
+    # (WKT geometry columns, boolean coercions, nulls in coordinate
+    # columns, ragged rows) returns None → row-path fallback, so the
+    # fast path can never change results, only speed.
+
+    def iter_arrow_batches(
+        self,
+        path: str,
+        layer: str,
+        options: dict,
+        columns: list[tuple[str, str, str]],
+        fid_col: str | None,
+        geom_col: str,
+        geom_format: str,
+        start: int | None = None,
+        end: int | None = None,
+    ):
+        import pyarrow as pa
+        from pyarrow import csv as pacsv
+
+        delim = "\t" if path.lower().endswith(".tsv") else ","
+        rdr, f = self._open(path, options)
+        try:
+            header = next(rdr, [])
+        finally:
+            f.close()
+        x, y, g = self._geometry_config(header, options)
+        if g or (geom_format != "wkb" and (x and y)):
+            return None  # WKT parse / non-WKB encode: row path only
+        type_map = {"string": pa.string(), "bigint": pa.int64(), "double": pa.float64()}
+        if any(t not in type_map for _, _, t in columns):
+            return None
+        if len(set(header)) != len(header):
+            return None  # duplicate headers: row-path dict semantics
+        src_types = {src: type_map[t] for _, src, t in columns}
+        for c in (x, y):
+            if c:
+                src_types[c] = pa.float64()
+
+        def gen():
+            convert = pacsv.ConvertOptions(
+                column_types=src_types,
+                include_columns=list(src_types),
+                include_missing_columns=False,
+            )
+            read = pacsv.ReadOptions(
+                column_names=header,
+                skip_rows=1 + (start or 0),
+                encoding="utf-8",
+            )
+            emitted = 0
+            cap = None if start is None else end - start
+            with pacsv.open_csv(
+                path,
+                read_options=read,
+                parse_options=pacsv.ParseOptions(delimiter=delim),
+                convert_options=convert,
+            ) as reader:
+                for batch in reader:
+                    if cap is not None and emitted >= cap:
+                        return
+                    if cap is not None and emitted + batch.num_rows > cap:
+                        batch = batch.slice(0, cap - emitted)
+                    out = _assemble_batch(
+                        batch, columns, fid_col, geom_col, x, y,
+                        fid_base=(start or 0) + emitted,
+                    )
+                    emitted += batch.num_rows
+                    yield out
+
+        try:
+            return _probe_gen(gen())
+        except (pa.ArrowInvalid, pa.ArrowKeyError, ValueError):
+            return None  # cast/parse divergence → row path
+
+
+def _probe_gen(it):
+    """Pull the first batch eagerly so parse/cast errors surface as a
+    clean row-path fallback instead of mid-scan, then re-chain it."""
+    import itertools
+
+    first = next(it, None)
+    if first is None:
+        return iter(())
+    return itertools.chain([first], it)
+
+
+def _assemble_batch(batch, columns, fid_col, geom_col, x, y, fid_base):
+    """Reorder a parsed pyarrow batch into the reader's output schema,
+    synthesizing fid ordinals and 21-byte Point WKB columnar-ly."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = batch.num_rows
+    arrays, names = [], []
+    if fid_col:
+        arrays.append(pa.array(np.arange(fid_base, fid_base + n, dtype=np.int64)))
+        names.append(fid_col)
+    for out_name, src, _t in columns:
+        arrays.append(batch.column(batch.schema.get_field_index(src)))
+        names.append(out_name)
+    if x and y:
+        xa = batch.column(batch.schema.get_field_index(x))
+        ya = batch.column(batch.schema.get_field_index(y))
+        if xa.null_count or ya.null_count:
+            raise ValueError("null coordinates: row path handles these")
+        xs = xa.to_numpy(zero_copy_only=False)
+        ys = ya.to_numpy(zero_copy_only=False)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1  # little-endian byte order mark
+        buf[:, 1] = 1  # wkbPoint
+        buf[:, 2:5] = 0
+        buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
+        offsets = np.arange(0, 21 * (n + 1), 21, dtype=np.int32)
+        geom = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        arrays.append(geom)
+        names.append(geom_col)
+    else:
+        arrays.append(pa.nulls(n, pa.binary()))
+        names.append(geom_col)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 register(CsvDriver())

@@ -207,7 +207,13 @@ class _Tbl:
 
     def doubles(self, fid: int) -> list[float]:
         p, n = self.vector(fid)
-        return list(struct.unpack_from(f"<{n}d", self.buf, p)) if n else []
+        if not n:
+            return []
+        # numpy bulk decode: one C memcpy+convert for the whole coordinate
+        # vector instead of a struct format-string parse.
+        import numpy as np
+
+        return np.frombuffer(self.buf, dtype="<f8", count=n, offset=p).tolist()
 
     def uints(self, fid: int) -> list[int]:
         p, n = self.vector(fid)
