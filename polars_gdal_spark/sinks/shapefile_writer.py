@@ -129,11 +129,17 @@ def _shape_content(geom) -> bytes:
     return out
 
 
-def _header(shape_code: int, file_words: int, bbox) -> bytes:
+def _header(
+    shape_code: int, file_words: int, bbox, zrange=(0.0, 0.0)
+) -> bytes:
     return (
         struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, file_words)
         + struct.pack("<2i", 1000, shape_code)
-        + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
+        + struct.pack(
+            "<8d",
+            bbox[0], bbox[1], bbox[2], bbox[3],
+            zrange[0], zrange[1], 0, 0,
+        )
     )
 
 
@@ -181,13 +187,24 @@ def write_shapefile(
     dbf_records: list[bytes] = []
     shape_code = None
     bbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
+    zmin, zmax = float("inf"), float("-inf")
     for geom, props in features:
         if geom is None:
             content = struct.pack("<i", 0)  # null shape
         else:
             content = _shape_content(geom)
+            code = struct.unpack("<i", content[:4])[0]
             if shape_code is None:
-                shape_code = struct.unpack("<i", content[:4])[0]
+                shape_code = code
+            elif code != shape_code:
+                # A shapefile holds exactly ONE shape type (spec p.4);
+                # GDAL errors on mismatched writes, so do we instead of
+                # emitting a spec-invalid file.
+                raise ValueError(
+                    "shapefile layers hold a single geometry type: "
+                    f"first feature wrote shape code {shape_code}, "
+                    f"got {code} ({geom[0]})"
+                )
             # accumulate bbox from the content's coordinates
             t, c = geom
             pts = []
@@ -207,6 +224,9 @@ def write_shapefile(
                 bbox[1] = min(bbox[1], p[1])
                 bbox[2] = max(bbox[2], p[0])
                 bbox[3] = max(bbox[3], p[1])
+                if len(p) >= 3:
+                    zmin = min(zmin, p[2])
+                    zmax = max(zmax, p[2])
         shp_records.append(content)
         rec = b" "  # not deleted
         for (orig, _t), (nm, ftype, length, dec) in zip(fields, specs):
@@ -217,6 +237,7 @@ def write_shapefile(
         shape_code = 1
     if bbox[0] == float("inf"):
         bbox = [0.0, 0.0, 0.0, 0.0]
+    zrange = (0.0, 0.0) if zmin == float("inf") else (zmin, zmax)
 
     # .shp + .shx
     shp_len = 100
@@ -229,9 +250,13 @@ def write_shapefile(
             f.write(content)
             shp_len += 8 + len(content)
         f.seek(0)
-        f.write(_header(shape_code, shp_len // 2, bbox))
+        f.write(_header(shape_code, shp_len // 2, bbox, zrange))
     with open(base + ".shx", "wb") as f:
-        f.write(_header(shape_code, (100 + 8 * len(shx_entries)) // 2, bbox))
+        f.write(
+            _header(
+                shape_code, (100 + 8 * len(shx_entries)) // 2, bbox, zrange
+            )
+        )
         for off, ln in shx_entries:
             f.write(struct.pack(">2i", off, ln))
 

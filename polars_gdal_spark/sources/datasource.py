@@ -248,6 +248,11 @@ class GdalInputPartition(InputPartition):
     # eliminates every input file (the DataSource API requires ≥1
     # partition); read() yields nothing for it.
     empty: bool = False
+    # Follow-on (path, layer) pairs read sequentially AFTER `path` by the
+    # same task — used when offset/limit/maxRows demand one global row
+    # counter over a multi-file input (per-file counters would apply the
+    # offset/limit once per file).
+    chain: tuple = ()
 
 
 def _passes(filters: list[tuple], props: dict) -> bool:
@@ -326,6 +331,7 @@ class GdalDataSourceReader(DataSourceReader):
         pushed = tuple(self.pushed)
         self.pushed = []  # consume: this query's filters only
         parts: list[InputPartition] = []
+        survivors: list[tuple[str, str]] = []
         target = max(1, int(_opt(self.options, "targetPartitions", 32)) // max(1, len(paths)))
         for p in paths:
             local = _localize(p)
@@ -341,16 +347,28 @@ class GdalDataSourceReader(DataSourceReader):
                     bx0, by0, bx1, by1 = self.bbox
                     if bb[2] < bx0 or bb[0] > bx1 or bb[3] < by0 or bb[1] > by1:
                         continue
-            ranges = (
-                None
-                if sequential
-                else driver.split_ranges(local, layer, self.options, target)
-            )
+            if sequential:
+                survivors.append((p, layer))
+                continue
+            ranges = driver.split_ranges(local, layer, self.options, target)
             if ranges:
                 for s, e in ranges:
                     parts.append(GdalInputPartition(p, layer, s, e, pushed))
             else:
                 parts.append(GdalInputPartition(p, layer, filters=pushed))
+        if sequential and survivors:
+            # One task walks every file in path order so the offset /
+            # limit / maxRows counters are global, matching the
+            # reference's single-threaded whole-read semantics.
+            first_path, first_layer = survivors[0]
+            parts.append(
+                GdalInputPartition(
+                    first_path,
+                    first_layer,
+                    filters=pushed,
+                    chain=tuple(survivors[1:]),
+                )
+            )
         if not parts:  # every file spatially pruned
             parts.append(GdalInputPartition(paths[0], "", empty=True))
         return parts
@@ -511,7 +529,7 @@ class GdalDataSourceReader(DataSourceReader):
         from polars_gdal_spark.sources.formats import find_driver
 
         if partition.empty:
-            return
+            return iter(())
         local = _localize(partition.path)
         driver = find_driver(local, self.allowed)
         if partition.start is not None:
@@ -526,7 +544,23 @@ class GdalDataSourceReader(DataSourceReader):
             feats = driver.iter_features(
                 local, partition.layer, self.options
             )
+            if partition.chain:
+                feats = self._chain_files(feats, partition.chain)
 
+        return self._emit_rows(feats, partition)
+
+    def _chain_files(self, feats, chain):
+        """Lazily continue the feature stream through follow-on files
+        (global offset/limit semantics: one counter over all files)."""
+        from polars_gdal_spark.sources.formats import find_driver
+
+        yield from feats
+        for p, layer in chain:
+            local = _localize(p)
+            driver = find_driver(local, self.allowed)
+            yield from driver.iter_features(local, layer, self.options)
+
+    def _emit_rows(self, feats, partition: GdalInputPartition) -> Iterator[tuple]:
         geom_col, fid_col = self.geom_col, self.fid_col
         attr_src = {
             name: (name[: -len("_original")] if name.endswith("_original") else name)
@@ -628,6 +662,19 @@ class GdalDataSourceWriter(DataSourceWriter):
         self.options = dict(options)
         self.path = _opt(options, "path")
         self.overwrite = overwrite
+        if not overwrite and self.path and os.path.exists(self.path):
+            # mode("append") (or default errorifexists) against an
+            # existing resource: the two-phase assemble() would silently
+            # REPLACE it — appending into a single-file vector format
+            # isn't supported (reference writers always create,
+            # src/lib.rs:629-642), so refuse loudly instead.
+            from polars_gdal_spark.errors import UpdateNotSupportedError
+
+            raise UpdateNotSupportedError(
+                f"cannot append to existing resource {self.path!r}: "
+                "the gdal sink only supports mode('overwrite') "
+                "(or writing to a fresh path)"
+            )
         self.geom_col = _opt(options, "geometryColumn", "geometry")
         self.gfmt = _opt(options, "geometryFormat")
         self.driver_name = _opt(options, "driver", self._sniff_driver())
