@@ -156,11 +156,46 @@ def _resolve_layer(driver, path: str, options: dict) -> str:
     return layers[0]  # name → index → 0 (reference src/lib.rs:303-309)
 
 
+#: GDAL open-flag names the engine understands (ReadParams.open_flags
+#: parity, reference src/lib.rs:30-39). READONLY/VECTOR/VERBOSE_ERROR/
+#: SHARED/ALL are accepted no-ops (this engine always opens vector data
+#: read-only and raises typed errors); UPDATE and RASTER are rejected.
+_OPEN_FLAG_NOOPS = {"READONLY", "VECTOR", "VERBOSE_ERROR", "SHARED", "ALL"}
+
+
+def _check_open_flags(options: dict) -> None:
+    raw = _opt(options, "open_flags") or _opt(options, "openFlags")
+    if raw is None:
+        return
+    for tok in str(raw).split("|"):
+        tok = tok.strip().upper().removeprefix("GDAL_OF_")
+        if not tok:
+            continue
+        if tok == "UPDATE":
+            from polars_gdal_spark.errors import UpdateNotSupportedError
+
+            raise UpdateNotSupportedError(
+                "open_flags=UPDATE: this engine opens sources read-only "
+                "(reference rejects update on byte input the same way, "
+                "src/lib.rs:213-217)"
+            )
+        if tok == "RASTER":
+            raise UnsupportedFormatError(
+                "open_flags=RASTER: only vector sources are supported"
+            )
+        if tok not in _OPEN_FLAG_NOOPS:
+            raise ValueError(
+                f"unknown open_flags token {tok!r}; known: "
+                f"{sorted(_OPEN_FLAG_NOOPS | {'UPDATE', 'RASTER'})}"
+            )
+
+
 def infer_schema(options: dict) -> StructType:
     """Driver-side inference pass (SURVEY §1.4): column order is
     fid?, attributes (first-seen), geometry last (src/lib.rs:466-482)."""
     from polars_gdal_spark.sources.formats import find_driver
 
+    _check_open_flags(options)
     path = _opt(options, "path")
     paths = _resolve_paths(path)
     allowed = _opt(options, "drivers")

@@ -180,9 +180,25 @@ class _Dbf:
 # --------------------------------------------------------------------- shp
 
 
-def _shx_offsets(shp_path: str) -> list[tuple[int, int]]:
+def _sibling(path: str, ext: str, options: dict) -> str | None:
+    """Auxiliary-file path (.shx/.dbf/.prj) honoring the reference's
+    ``sibling_files`` ReadParams (src/lib.rs:56-59): when the option is
+    set, only listed filenames may be consulted — no filesystem probing
+    beyond the list; when absent, probe as GDAL does by default."""
+    cand = os.path.splitext(path)[0] + ext
+    allowed = options.get("sibling_files")
+    if allowed is not None:
+        names = {n.strip().lower() for n in str(allowed).split(",")}
+        if os.path.basename(cand).lower() not in names:
+            return None
+    return cand if os.path.exists(cand) else None
+
+
+def _shx_offsets(shp_path: str, options: dict | None = None) -> list[tuple[int, int]]:
     """(byte_offset, content_len_bytes) per record, from .shx."""
-    shx = os.path.splitext(shp_path)[0] + ".shx"
+    shx = _sibling(shp_path, ".shx", options or {})
+    if shx is None:
+        raise OSError(f"no usable .shx for {shp_path}")
     out = []
     with open(shx, "rb") as f:
         f.seek(100)
@@ -205,24 +221,24 @@ class ShapefileDriver(FormatDriver):
     def list_layers(self, path: str, options: dict) -> list[str]:
         return [os.path.splitext(os.path.basename(path))[0]]
 
-    def _dbf(self, path: str) -> _Dbf | None:
-        dbf_path = os.path.splitext(path)[0] + ".dbf"
-        return _Dbf(dbf_path) if os.path.exists(dbf_path) else None
+    def _dbf(self, path: str, options: dict | None = None) -> _Dbf | None:
+        dbf_path = _sibling(path, ".dbf", options or {})
+        return _Dbf(dbf_path) if dbf_path else None
 
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
-        dbf = self._dbf(path)
+        dbf = self._dbf(path, options)
         return dbf.spark_fields() if dbf else []
 
     def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
-        prj = os.path.splitext(path)[0] + ".prj"
-        if os.path.exists(prj):
+        prj = _sibling(path, ".prj", options)
+        if prj:
             with open(prj, encoding="utf-8", errors="replace") as f:
                 return f.read().strip() or None
         return None
 
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
         try:
-            return len(_shx_offsets(path))
+            return len(_shx_offsets(path, options))
         except OSError:
             return None
 
@@ -252,8 +268,8 @@ class ShapefileDriver(FormatDriver):
     def iter_features_range(
         self, path: str, layer: str, options: dict, start: int, end: int
     ) -> Iterator[Feature]:
-        offsets = _shx_offsets(path)[start:end]
-        dbf = self._dbf(path)
+        offsets = _shx_offsets(path, options)[start:end]
+        dbf = self._dbf(path, options)
         props_iter = dbf.read_range(start, end) if dbf else iter(dict, None)
         with open(path, "rb") as f:
             for i, (off, length) in enumerate(offsets):
@@ -269,7 +285,7 @@ class ShapefileDriver(FormatDriver):
         n = self.feature_count(path, layer, options)
         if n is None:
             # no .shx: sequential scan of .shp records
-            dbf = self._dbf(path)
+            dbf = self._dbf(path, options)
             props_iter = dbf.read_range(0, dbf.n_records) if dbf else iter(dict, None)
             with open(path, "rb") as f:
                 f.seek(100)
