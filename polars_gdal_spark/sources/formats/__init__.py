@@ -28,5 +28,6 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     kml_gpx,
     shapefile,
     sqlite_vec,
+    topojson,
     zipped,
 )

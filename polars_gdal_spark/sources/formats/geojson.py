@@ -104,7 +104,8 @@ class GeoJsonDriver(FormatDriver):
         stripped = head.lstrip()
         if not stripped.startswith(b"{"):
             return False
-        return b'"type"' in head
+        # A Topology document is TopoJSON (its own driver), not GeoJSON.
+        return b'"type"' in head and b'"Topology"' not in head
 
     def list_layers(self, path: str, options: dict) -> list[str]:
         return [LAYER]
