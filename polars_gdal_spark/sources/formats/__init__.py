@@ -26,6 +26,7 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     geojson,
     gml,
     kml_gpx,
+    mapinfo_mif,
     shapefile,
     sqlite_vec,
     topojson,
