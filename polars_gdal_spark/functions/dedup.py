@@ -297,6 +297,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int = 1024,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -324,13 +325,19 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     sh_raw = shingle_table(df, id_col, text_col, n)
-    keep = (
+    # The *hot* set (DF > cap) is tiny — corpus-wide boilerplate only —
+    # so the cap is a broadcast anti-join: the shingle table is filtered
+    # map-side with NO extra shuffle. (Joining against the complement
+    # "keep" set would shuffle the full shingle table a second time.)
+    hot = (
         sh_raw.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") <= max_shingle_df)
+        .where(F.col("_df") > max_shingle_df)
         .select("shingle")
     )
-    sh = sh_raw.join(keep, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -356,7 +363,11 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .localCheckpoint(eager=True)
     )
+    if not checkpoint:  # plan-inspection path: caller owns the cache
+        return result
+    # Eager checkpoint of the (small) thresholded result lets the big
+    # shingle cache be released before returning.
+    result = result.localCheckpoint(eager=True)
     sh.unpersist()
     return result

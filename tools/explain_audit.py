@@ -42,6 +42,9 @@ EXPECT = {
     # corpus filtered before the digest shuffle: gates are in the same
     # stage as the scan (project/filter fused), agg is partial-first
     "pipeline_training_prep": ["partial"],
+    # hot-shingle cap is a broadcast ANTI join (map-side filter): the
+    # shingle table must NOT shuffle a second time for the DF cap
+    "dedup_ngram_jaccard": ["BroadcastHashJoin", "LeftAnti"],
 }
 
 
@@ -51,7 +54,23 @@ def main() -> int:
     names = sys.argv[1:] or list(EXPECT)
     bad = 0
     for name in names:
-        df = QUERIES[name].func(spark, SF)
+        if name == "dedup_ngram_jaccard":
+            # The query wrapper eagerly localCheckpoints (truncating the
+            # lineage the audit needs) — rebuild the plan un-checkpointed.
+            from polars_gdal_spark.functions import dedup as D
+            from polars_gdal_spark.queries.dedup import _augmented
+
+            df = D.ngram_jaccard_pairs(
+                _augmented(spark, SF),
+                "doc",
+                "text",
+                n=3,
+                threshold=0.3,
+                max_shingle_df=1024,
+                checkpoint=False,
+            )
+        else:
+            df = QUERIES[name].func(spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
