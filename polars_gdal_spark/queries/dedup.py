@@ -294,3 +294,94 @@ def dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = D.connected_components(pairs)
     dropped = comp.where(F.col("component") != F.col("doc")).select("doc")
     return aug.join(dropped, "doc", "left_anti").select("doc")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH RECURSIVE augv AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS FLOAT)],
+                         embedding[2:])
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM augv
+    ),
+    proj AS (
+      SELECT q.vec_id, p.p,
+             sum(q.v[i.i + 1] * ((((p.p * 31) + (i.i * 17)) % 7) - 3)) AS s
+      FROM q,
+           (SELECT unnest(generate_series(0, 7)) AS p) p,
+           (SELECT unnest(generate_series(0, 63)) AS i) i
+      GROUP BY q.vec_id, p.p
+    ),
+    bkt AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bkt
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT q.vec_id, q.v, bkt.bkt FROM q JOIN bkt USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM qb a JOIN qb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc = e.b
+    ),
+    comp AS (SELECT doc, min(lab) AS component FROM reach GROUP BY doc)
+    SELECT vec_id FROM augv a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp c WHERE c.doc = a.vec_id AND c.component <> c.doc
+    )
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup resolve — the semantic-dedup step of a
+    training pipeline: SRP-LSH buckets (8 hyperplanes over the exact-int
+    quantization) → bucket-local exact cosine ≥ 0.95 → connected
+    components → drop every vector that is not its cluster's min-id
+    representative. The corpus is augmented with a deterministic
+    near-duplicate of every vector (+0.1 on the first coordinate,
+    vec_id+10000 — cosine ≈ 0.995 on unit vectors) so hits are
+    guaranteed; all pair generation is bucket-equi-join, never corpus².
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    mut = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(
+                (F.element_at("embedding", 1).cast("double") + 0.1).cast(
+                    "float"
+                )
+            ),
+            F.slice(F.col("embedding"), 2, F.size(F.col("embedding"))),
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(mut)
+    import polars_gdal_spark.functions.similarity as S
+
+    pairs = S.lsh_bucketed_pairs(
+        aug, id_col="vec_id", vec_col="embedding", planes=8, threshold=0.95
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = D.connected_components(pairs)
+    dropped = comp.where(F.col("component") != F.col("doc")).select(
+        F.col("doc").alias("vec_id")
+    )
+    return aug.join(dropped, "vec_id", "left_anti").select("vec_id")
