@@ -2,10 +2,14 @@
 
 ``assemble`` is the driver-side half of the two-phase write
 (reference write path ``src/lib.rs:499-573``): executors produced
-NDJSON feature part files; this turns them into the final resource in
-the requested driver format. Completes what the reference left
-``todo!()``: Date/Datetime/List values are written, not panicked on
-(SURVEY §4.3.4).
+columnar Arrow IPC part files (geometry stays WKB/WKT bytes — zero
+per-row Python on the executors); this decodes each feature ONCE and
+turns the stream into the final resource in the requested driver
+format. Completes what the reference left ``todo!()``: Date/Datetime/
+List values are written, not panicked on (SURVEY §4.3.4).
+
+Legacy NDJSON part files (the ``partitioned=true`` escape hatch still
+emits them — they ARE its output format) are also accepted.
 """
 
 from __future__ import annotations
@@ -16,15 +20,75 @@ import shutil
 import sqlite3
 from collections.abc import Iterator
 
-from polars_gdal_spark.geometry import geojson_to_geom, geom_to_wkb, geom_to_wkt
+from polars_gdal_spark.geometry import (
+    geojson_to_geom,
+    geom_to_geojson,
+    geom_to_wkb,
+    geom_to_wkt,
+    wkb_to_geom,
+    wkt_to_geom,
+)
 
 
-def _iter_features(parts: list[str]) -> Iterator[dict]:
+def _jsonish(v):
+    """Match the value semantics of the old JSON round-trip: bytes→hex,
+    non-JSON-native scalars (date/datetime/Decimal)→str, containers
+    recursed. Keeps assembler output byte-identical to the NDJSON era."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return [_jsonish(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonish(x) for k, x in v.items()}
+    return str(v)
+
+
+def _iter_rows(
+    parts: list[str], geom_col: str = "geometry", gfmt: str = "wkb"
+) -> Iterator[tuple]:
+    """(internal geom | None, props dict) per feature, across part files
+    in partition order. Arrow parts decode the geometry column per
+    ``gfmt``; NDJSON parts carry GeoJSON geometry objects."""
     for p in sorted(parts):
-        with open(p, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    yield json.loads(line)
+        if p.endswith(".ndjson"):
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        feat = json.loads(line)
+                        gj = feat.get("geometry")
+                        yield (
+                            geojson_to_geom(gj) if gj else None,
+                            feat.get("properties") or {},
+                        )
+            continue
+        import pyarrow as pa
+
+        with pa.OSFile(p, "rb") as src:
+            for batch in pa.ipc.open_stream(src):
+                for d in batch.to_pylist():
+                    gv = d.pop(geom_col, None)
+                    if gv is None:
+                        geom = None
+                    elif gfmt == "wkb":
+                        geom = wkb_to_geom(bytes(gv))
+                    elif gfmt == "wkt":
+                        geom = wkt_to_geom(gv)
+                    else:  # geojson strings
+                        geom = geojson_to_geom(json.loads(gv))
+                    yield geom, {k: _jsonish(v) for k, v in d.items()}
+
+
+def _iter_features(
+    parts: list[str], geom_col: str = "geometry", gfmt: str = "wkb"
+) -> Iterator[dict]:
+    for geom, props in _iter_rows(parts, geom_col, gfmt):
+        yield {
+            "type": "Feature",
+            "geometry": geom_to_geojson(geom) if geom else None,
+            "properties": props,
+        }
 
 
 def assemble(
@@ -35,6 +99,7 @@ def assemble(
     schema,
     geom_col: str,
     partitioned: bool = False,
+    gfmt: str = "wkb",
 ) -> None:
     if partitioned:
         os.makedirs(path, exist_ok=True)
@@ -43,23 +108,23 @@ def assemble(
         return
     d = driver.lower()
     if d in ("geojson",):
-        _write_geojson(parts, path)
+        _write_geojson(parts, path, geom_col, gfmt)
     elif d in ("geojsonseq", "ndjson"):
-        _write_ndjson(parts, path)
+        _write_ndjson(parts, path, geom_col, gfmt)
     elif d == "csv":
-        _write_csv(parts, path, schema, geom_col)
+        _write_csv(parts, path, schema, geom_col, gfmt)
     elif d == "gpkg":
-        _write_gpkg(parts, path, options, schema, geom_col)
+        _write_gpkg(parts, path, options, schema, geom_col, gfmt)
     elif d in ("esri shapefile", "shapefile", "shp"):
-        _write_shapefile(parts, path, options, schema, geom_col)
+        _write_shapefile(parts, path, options, schema, geom_col, gfmt)
     elif d == "kml":
-        _write_kml(parts, path, options, schema, geom_col)
+        _write_kml(parts, path, options, schema, geom_col, gfmt)
     elif d == "gml":
-        _write_gml(parts, path, options, schema, geom_col)
+        _write_gml(parts, path, options, schema, geom_col, gfmt)
     elif d == "gpx":
-        _write_gpx(parts, path, options, schema, geom_col)
+        _write_gpx(parts, path, options, schema, geom_col, gfmt)
     elif d in ("flatgeobuf", "fgb"):
-        _write_fgb(parts, path, options, schema, geom_col)
+        _write_fgb(parts, path, options, schema, geom_col, gfmt)
     else:
         raise ValueError(
             f"unsupported write driver {driver!r} "
@@ -69,7 +134,8 @@ def assemble(
 
 
 def _write_fgb(
-    parts: list[str], path: str, options: dict, schema, geom_col: str
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
 ) -> None:
     from polars_gdal_spark.sources.formats.flatgeobuf import write_fgb
 
@@ -85,12 +151,7 @@ def _write_fgb(
         srs_code = 4326
 
     def feats():
-        for feat in _iter_features(parts):
-            gj = feat.get("geometry")
-            yield (
-                geojson_to_geom(gj) if gj else None,
-                feat.get("properties") or {},
-            )
+        yield from _iter_rows(parts, geom_col, gfmt)
 
     # DataSource writer options arrive lower-cased (CaseInsensitiveDict).
     with_index = (
@@ -113,11 +174,14 @@ def _write_fgb(
     )
 
 
-def _write_geojson(parts: list[str], path: str) -> None:
+def _write_geojson(
+    parts: list[str], path: str, geom_col: str = "geometry",
+    gfmt: str = "wkb",
+) -> None:
     with open(path, "w", encoding="utf-8") as f:
         f.write('{"type": "FeatureCollection", "features": [\n')
         first = True
-        for feat in _iter_features(parts):
+        for feat in _iter_features(parts, geom_col, gfmt):
             if not first:
                 f.write(",\n")
             json.dump(feat, f)
@@ -125,29 +189,33 @@ def _write_geojson(parts: list[str], path: str) -> None:
         f.write("\n]}\n")
 
 
-def _write_ndjson(parts: list[str], path: str) -> None:
+def _write_ndjson(
+    parts: list[str], path: str, geom_col: str = "geometry",
+    gfmt: str = "wkb",
+) -> None:
     with open(path, "w", encoding="utf-8") as f:
-        for feat in _iter_features(parts):
+        for feat in _iter_features(parts, geom_col, gfmt):
             json.dump(feat, f)
             f.write("\n")
 
 
-def _write_csv(parts: list[str], path: str, schema, geom_col: str) -> None:
+def _write_csv(
+    parts: list[str], path: str, schema, geom_col: str, gfmt: str = "wkb"
+) -> None:
     import csv
 
     attr_cols = [f.name for f in schema.fields if f.name != geom_col]
     with open(path, "w", encoding="utf-8", newline="") as f:
         w = csv.writer(f)
         w.writerow(attr_cols + [geom_col])
-        for feat in _iter_features(parts):
-            props = feat.get("properties") or {}
-            geom = feat.get("geometry")
-            wkt = geom_to_wkt(geojson_to_geom(geom)) if geom else ""
+        for geom, props in _iter_rows(parts, geom_col, gfmt):
+            wkt = geom_to_wkt(geom) if geom else ""
             w.writerow([props.get(c) for c in attr_cols] + [wkt])
 
 
 def _write_shapefile(
-    parts: list[str], path: str, options: dict, schema, geom_col: str
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
 ) -> None:
     from polars_gdal_spark.sinks.shapefile_writer import (
         _WGS84_WKT,
@@ -161,10 +229,7 @@ def _write_shapefile(
     ]
 
     def feats():
-        for feat in _iter_features(parts):
-            gj = feat.get("geometry")
-            geom = geojson_to_geom(gj) if gj else None
-            yield geom, feat.get("properties") or {}
+        yield from _iter_rows(parts, geom_col, gfmt)
 
     srs = options.get("srs")
     srs_wkt = srs if srs and srs.upper().startswith(("GEOGCS", "PROJCS")) else _WGS84_WKT
@@ -274,7 +339,8 @@ def _gml_geom_xml(gj: dict) -> str:
 
 
 def _write_gml(
-    parts: list[str], path: str, options: dict, schema, geom_col: str
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
 ) -> None:
     """GML2 FeatureCollection writer — round-trips through GmlDriver."""
     import re
@@ -287,7 +353,7 @@ def _write_gml(
             '<ogr:FeatureCollection xmlns:ogr="http://ogr.maptools.org/" '
             'xmlns:gml="http://www.opengis.net/gml">\n'
         )
-        for feat in _iter_features(parts):
+        for feat in _iter_features(parts, geom_col, gfmt):
             props = feat.get("properties") or {}
             f.write(f"<gml:featureMember><ogr:{layer}>")
             for c in attr_cols:
@@ -308,7 +374,8 @@ def _write_gml(
 
 
 def _write_kml(
-    parts: list[str], path: str, options: dict, schema, geom_col: str
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
 ) -> None:
     """KML Placemark writer — name/description map to KML elements,
     remaining attributes go to ExtendedData (matching KmlDriver read)."""
@@ -318,7 +385,7 @@ def _write_kml(
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
         f.write('<kml xmlns="http://www.opengis.net/kml/2.2"><Document>')
         f.write(f"<name>{_xml_escape(layer)}</name>\n")
-        for feat in _iter_features(parts):
+        for feat in _iter_features(parts, geom_col, gfmt):
             props = feat.get("properties") or {}
             f.write("<Placemark>")
             if props.get("name") is not None:
@@ -348,13 +415,14 @@ def _write_kml(
 
 
 def _write_gpx(
-    parts: list[str], path: str, options: dict, schema, geom_col: str
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
 ) -> None:
     """GPX writer: Points → <wpt>, LineStrings/MultiLineStrings → <trk>
     (matching GpxDriver's waypoints/tracks layers on read)."""
     wpts: list[str] = []
     trks: list[str] = []
-    for feat in _iter_features(parts):
+    for feat in _iter_features(parts, geom_col, gfmt):
         props = feat.get("properties") or {}
         gj = feat.get("geometry")
         if not gj:
@@ -418,7 +486,8 @@ def gpkg_geom_blob(geom: tuple, srid: int = 4326) -> bytes:
 
 
 def _write_gpkg(
-    parts: list[str], path: str, options: dict, schema, geom_col: str
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
 ) -> None:
     layer = options.get("layer", "layer")
     srs = options.get("srs", "4326")
@@ -471,12 +540,9 @@ def _write_gpkg(
         geom_type = "GEOMETRY"
         placeholders = ", ".join(["?"] * (len(attr_cols) + 1))
         names = ", ".join([f'"{c}"' for c, _ in attr_cols] + [f'"{geom_col}"'])
-        for feat in _iter_features(parts):
-            props = feat.get("properties") or {}
-            gj = feat.get("geometry")
+        for geom, props in _iter_rows(parts, geom_col, gfmt):
             blob = None
-            if gj:
-                geom = geojson_to_geom(gj)
+            if geom:
                 geom_type = geom[0].upper() if geom_type == "GEOMETRY" else geom_type
                 blob = gpkg_geom_blob(geom, srid)
             con.execute(

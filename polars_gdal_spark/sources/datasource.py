@@ -44,8 +44,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -684,13 +684,16 @@ class GdalCommitMessage(WriterCommitMessage):
     count: int
 
 
-class GdalDataSourceWriter(DataSourceWriter):
-    """Two-phase write: partitions serialize features to NDJSON part
-    files (the parallel half), ``commit`` assembles the final resource
-    through the chosen format encoder (single-writer formats like
-    GeoJSON need one assembler — reference discussion SURVEY §7.4.3).
-    ``partitioned=true`` skips assembly and leaves one NDJSON feature
-    file per partition — the 100 TB escape hatch."""
+class GdalDataSourceWriter(DataSourceArrowWriter):
+    """Two-phase write: partitions stream their Arrow record batches to
+    IPC part files verbatim (geometry stays WKB/WKT — ZERO per-row
+    Python on the executors), ``commit`` assembles the final resource
+    through the chosen format encoder, decoding each feature exactly
+    once (single-writer formats like GeoJSON need one assembler —
+    reference discussion SURVEY §7.4.3). ``partitioned=true`` skips
+    assembly and leaves one NDJSON feature file per partition — the
+    100 TB escape hatch (NDJSON is that mode's *output* format, so its
+    parts are still built row-wise)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.schema = schema
@@ -760,29 +763,51 @@ class GdalDataSourceWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.tmp_dir, exist_ok=True)
-        part = os.path.join(self.tmp_dir, f"part-{pid:05d}.ndjson")
         n = 0
-        with open(part, "w", encoding="utf-8") as f:
-            for row in iterator:
-                d = row.asDict()
-                geom = self._decode_geom(d.pop(self.geom_col, None))
-                feat = {
-                    "type": "Feature",
-                    "geometry": geom,
-                    "properties": {
-                        k: _json_safe(v) for k, v in d.items()
-                    },
-                }
-                f.write(json.dumps(feat, default=str))
-                f.write("\n")
-                n += 1
-        return GdalCommitMessage(part_path=part, count=n)
+        if self.partitioned:
+            # NDJSON is this mode's OUTPUT format — build it row-wise.
+            part = os.path.join(self.tmp_dir, f"part-{pid:05d}.ndjson")
+            with open(part, "w", encoding="utf-8") as f:
+                for batch in iterator:
+                    for d in batch.to_pylist():
+                        geom = self._decode_geom(d.pop(self.geom_col, None))
+                        feat = {
+                            "type": "Feature",
+                            "geometry": geom,
+                            "properties": {
+                                k: _json_safe(v) for k, v in d.items()
+                            },
+                        }
+                        f.write(json.dumps(feat, default=str))
+                        f.write("\n")
+                        n += 1
+            return GdalCommitMessage(part_path=part, count=n)
+        # Assembled path: pass batches through untouched — columnar I/O,
+        # no per-row Python; commit() decodes once while encoding.
+        import pyarrow as pa
+
+        part = os.path.join(self.tmp_dir, f"part-{pid:05d}.arrow")
+        writer = sink = None
+        for batch in iterator:
+            if writer is None:
+                sink = pa.OSFile(part, "wb")
+                writer = pa.ipc.new_stream(sink, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+            sink.close()
+        return GdalCommitMessage(part_path=part if n else None, count=n)
 
     def commit(self, messages) -> None:
         from polars_gdal_spark.errors import EmptyDataframeError
         from polars_gdal_spark.sinks import assemble
 
-        parts = [m.part_path for m in messages if m is not None]
+        parts = [
+            m.part_path
+            for m in messages
+            if m is not None and m.part_path is not None
+        ]
         total = sum(m.count for m in messages if m is not None)
         if total == 0:
             self._cleanup()
@@ -796,6 +821,7 @@ class GdalDataSourceWriter(DataSourceWriter):
             self.schema,
             self.geom_col,
             partitioned=self.partitioned,
+            gfmt=self.gfmt,
         )
         self._cleanup(keep_parts=self.partitioned)
 
