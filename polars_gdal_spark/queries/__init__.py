@@ -59,8 +59,12 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver parquet. Spark reads
-# them as long (nanosAsLong); truncate ns->us exactly like DuckDB does.
+# Timestamp columns in the driver parquet. The generator has used two
+# encodings across rounds: TIMESTAMP(NANOS) (Spark reads as long via
+# nanosAsLong; truncate ns->us exactly like DuckDB does) and plain
+# timestamp[us] without UTC adjustment (Spark reads as TIMESTAMP_NTZ;
+# cast to session-TZ TIMESTAMP — a numeric no-op under the UTC session
+# timezone — so `unix_micros` et al resolve and values match round 1).
 _NS_TIMESTAMP_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -97,10 +101,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for name in TABLE_NAMES:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             for c in _NS_TIMESTAMP_COLS.get(name, ()):
-                if dict(df.dtypes).get(c) == "bigint":
+                dtype = dict(df.dtypes).get(c)
+                if dtype == "bigint":
                     df = df.withColumn(
                         c, F.expr(f"timestamp_micros({c} div 1000)")
                     )
+                elif dtype == "timestamp_ntz":
+                    df = df.withColumn(c, F.col(c).cast("timestamp"))
             tables[name] = df
         _TABLE_CACHE[key] = tables
     # Temp views are session-global; re-point them only when the sf_dir

@@ -63,6 +63,30 @@ def test_gdal_stream_reader(spark, tmp_path):
     assert spark.table("gdal_stream2").count() == 8
 
 
+def _events_stream(spark, events_dir):
+    """Streaming twin of ``load_tables(...)["events"]``: adapts to either
+    ts encoding the driver's generator has used (int64 nanoseconds in
+    round 1, parquet timestamp[us] in round 2)."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(
+        pq.read_schema(str(events_dir / "events.parquet")).field("ts").type
+    )
+    cols = (
+        "event_id bigint, ts {}, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    if ts_type.startswith("timestamp"):
+        return spark.readStream.schema(cols.format("timestamp")).parquet(
+            str(events_dir)
+        )
+    return (
+        spark.readStream.schema(cols.format("long"))
+        .parquet(str(events_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     # copy events.parquet into its own dir (readStream consumes a dir)
     events_dir = tmp_path / "events_stream"
@@ -74,14 +98,7 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
         "window_start", "event_type"
     )
 
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts long, user_id bigint, event_type string,"
-            " value double, props string"
-        )
-        .parquet(str(events_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, events_dir)
     got = run_available_now(
         windowed_event_counts(stream), "win_counts"
     ).orderBy("window_start", "event_type")
@@ -99,14 +116,7 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     events_dir.mkdir()
     shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
 
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts long, user_id bigint, event_type string,"
-            " value double, props string"
-        )
-        .parquet(str(events_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, events_dir)
     q = (
         stateful_sessionize(stream)
         .writeStream.format("memory")
@@ -125,17 +135,6 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in QUERIES["events_sessionize"].func(spark, SF_SMOKE).collect()
     }
     assert got == expected
-
-
-def _events_stream(spark, events_dir):
-    return (
-        spark.readStream.schema(
-            "event_id bigint, ts long, user_id bigint, event_type string,"
-            " value double, props string"
-        )
-        .parquet(str(events_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
 
 
 def _drain_append(stream_df, name: str):
