@@ -22,6 +22,7 @@ from polars_gdal_spark.sources.formats.base import (  # noqa: F401
 from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     arrow_ipc,
     csv_xy,
+    dxf,
     flatgeobuf,
     geojson,
     gml,
