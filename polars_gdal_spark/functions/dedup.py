@@ -135,6 +135,8 @@ def minhash_lsh_pairs(
     Jaccard signal (they are hash collisions or boilerplate floods) and
     their docs still pair up through their other, selective bands.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     banded = sigs.select(
@@ -151,6 +153,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band_sig"),
     )
+    # Two consumers below (bucket-size count, membership collect): persist
+    # so the signature lineage — a full shingle-table groupBy — runs ONCE.
+    # banded is bands× the doc count (4 small columns), spillable to disk.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     eligible = (
         banded.groupBy("band", "band_sig")
         .agg(F.count("*").alias("_bsz"))
@@ -175,11 +181,16 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    return (
+    result = (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+    # Eager checkpoint of the (small) pair set releases the banded cache
+    # before returning — same lifecycle as ngram_jaccard_pairs.
+    result = result.localCheckpoint(eager=True)
+    banded.unpersist()
+    return result
 
 
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -371,3 +382,60 @@ def ngram_jaccard_pairs(
     result = result.localCheckpoint(eager=True)
     sh.unpersist()
     return result
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Per-document n-gram overlap with a benchmark/eval corpus.
+
+    Training-data hygiene: before training, drop (or flag) corpus
+    documents that share long word n-grams with an evaluation set — the
+    standard "13-gram decontamination" recipe from the GPT-3 appendix,
+    expressed Spark-first.
+
+    Shape for 100 TB: the benchmark side is an eval set (thousands of
+    rows), so its distinct shingle set is collected into a **broadcast**
+    hash relation — the corpus-side shingle stream is probed map-side
+    with NO shuffle of the corpus. The only shuffle is the final
+    ``groupBy(doc)``, whose partial counts are map-side combined; the
+    wire carries two longs per document. Nothing here is quadratic and
+    no corpus-sized structure ever sits on one node.
+
+    Output: one row per input document —
+    ``(doc, n_shingles, n_overlap, contamination)`` where contamination
+    is the exact int/int overlap fraction (0.0 for documents too short
+    to produce a single n-gram — they cannot be contaminated).
+    """
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle")
+    ).distinct()
+    sh = shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc")).distinct()
+    return (
+        all_docs.join(sizes, "doc", "left")
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("n_overlap", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
