@@ -385,3 +385,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("vec_id")
     )
     return aug.join(dropped, "vec_id", "left_anti").select("vec_id")
+
+
+_BENCH_SHINGLE_SQL = """
+  bt AS (
+    SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+    FROM documents WHERE doc_id % 23 = 0
+  ),
+  bs AS (
+    SELECT DISTINCT unnest(list_distinct(
+      CASE WHEN len(tk) >= 5 THEN
+        list_transform(generate_series(1, len(tk) - 4),
+                       i -> array_to_string(array_slice(tk, i, i + 4), ' '))
+      ELSE []::VARCHAR[] END)) AS shingle
+    FROM bt
+  ),
+  corp AS (
+    SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM aug
+  ),
+  cs AS (
+    SELECT doc, unnest(list_distinct(
+      CASE WHEN len(tk) >= 5 THEN
+        list_transform(generate_series(1, len(tk) - 4),
+                       i -> array_to_string(array_slice(tk, i, i + 4), ' '))
+      ELSE []::VARCHAR[] END)) AS shingle
+    FROM corp
+  )
+"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    {_BENCH_SHINGLE_SQL.strip()},
+    sizes AS (SELECT doc, count(*) AS n_shingles FROM cs GROUP BY doc),
+    hits AS (
+      SELECT cs.doc, count(*) AS n_overlap
+      FROM cs JOIN bs USING (shingle) GROUP BY cs.doc
+    )
+    SELECT s.doc,
+           s.n_shingles,
+           h.n_overlap,
+           h.n_overlap / CAST(s.n_shingles AS DOUBLE) AS contamination
+    FROM sizes s JOIN hits h ON s.doc = h.doc
+    WHERE h.n_overlap > 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-appendix recipe, 5-grams here so
+    the synthetic short docs shingle): flag augmented-corpus documents
+    sharing word n-grams with the deterministic "eval set"
+    (doc_id % 23 == 0 of the raw corpus). The eval side is broadcast —
+    corpus shingles are probed map-side; the only corpus shuffle is the
+    per-doc count groupBy."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    aug = _augmented(spark, sf_dir)
+    return D.benchmark_contamination(
+        aug, bench, "doc", "text", "text", n=5
+    ).where(F.col("n_overlap") > 0)

@@ -210,3 +210,33 @@ def test_knn_join_matches_bruteforce(spark):
         ).collect():
             want.add((q, r["vec_id"]))
     assert got == want
+
+
+def test_benchmark_contamination(spark, docs):
+    """Docs 1-3 share 3-grams with the benchmark doc; 4 is clean; 5 is
+    too short to shingle (contamination defined as 0.0)."""
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    got = {
+        r["doc"]: r
+        for r in D.benchmark_contamination(
+            docs, bench, "doc", "text", "text", n=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # bench text has three 3-grams, all present in docs 1/2
+    assert got[1]["n_overlap"] == 3 and got[2]["n_overlap"] == 3
+    assert got[1]["n_shingles"] == 7
+    assert got[1]["contamination"] == pytest.approx(3 / 7)
+    assert got[3]["n_overlap"] == 3  # shares the same prefix 3-grams
+    assert got[4]["n_overlap"] == 0 and got[4]["contamination"] == 0.0
+    assert got[5]["n_shingles"] == 0 and got[5]["contamination"] == 0.0
+
+
+def test_benchmark_contamination_broadcasts_eval_side(spark, docs):
+    bench = spark.createDataFrame([("the quick brown fox",)], "text string")
+    plan = D.benchmark_contamination(
+        docs, bench, "doc", "text", "text", n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
