@@ -1,0 +1,72 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A 100 TB training pipeline needs reproducible subsampling: fixed-rate
+corpus thinning, and per-domain/language quota mixing ("data recipes").
+Spark's ``df.sample`` is seed-stable only per partitioning, so these are
+built on content hashes instead — the sample is a pure function of the
+row, independent of partitioning, executor count, or input split order,
+and exactly reproducible by any other engine (the DuckDB oracles run the
+same expressions).
+
+Scale shapes:
+
+- ``hash_sample`` is a WHERE clause — fully partition-parallel, zero
+  shuffle, pushed into the scan like any other predicate.
+- ``stratified_sample_exact`` is one window (hash-rank per stratum) —
+  a single shuffle on the stratum key. A stratum's rows land on one
+  task (the usual window skew caveat); for web-scale strata use
+  ``hash_sample`` per stratum-rate instead (the two compose: exact
+  quotas for curated mixes, rate-based for bulk thinning).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _rank_hex(key_col, seed: str):
+    """md5 of seed:key — a uniform, engine-reproducible rank in hex."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), key_col.cast("string")))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "s"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5 rank falls in
+    the first ``fraction`` of hash space (lexicographic compare on the
+    hex digest — md5 is uniform, so the kept share converges to
+    ``fraction``). Pure filter: no shuffle, partition-parallel,
+    reproducible under any repartitioning."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return df  # threshold would need 17 hex chars; keep-all is exact
+    # hex threshold at fraction of the 128-bit space (16 hex chars is
+    # plenty of resolution; compare needs equal-length strings)
+    thr = format(int(fraction * 16**16), "016x")
+    return df.where(F.substring(_rank_hex(F.col(key_col), seed), 1, 16) < thr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    quota: int,
+    seed: str = "s",
+) -> DataFrame:
+    """Exactly ``quota`` rows per stratum (all rows when the stratum is
+    smaller), chosen by md5 rank — deterministic and engine-reproducible.
+    One shuffle on the stratum key; the per-stratum top-``quota`` is
+    rank-limited so Spark applies WindowGroupLimit (per-partition
+    pre-truncation to ``quota`` rows before the shuffle)."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    w = Window.partitionBy(strata_col).orderBy(
+        _rank_hex(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

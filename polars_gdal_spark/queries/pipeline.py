@@ -103,3 +103,52 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).alias("ws_tokens"),
         T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
     )
+
+
+@query(
+    "pipeline_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 16)
+          < '3333333333333333'
+    """,
+)
+def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli thinning of the corpus by md5 rank —
+    a pure pushed-down filter (zero shuffle, reproducible under any
+    partitioning). 0x3333333333333333 / 16^16 = 0.2."""
+    from polars_gdal_spark.functions.sampling import hash_sample
+    from polars_gdal_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return hash_sample(docs, "doc_id", 0.2, seed="s").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rk <= 15
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated data recipe: exactly 15 of the 25 documents per source domain,
+    selected by deterministic md5 rank (one shuffle on the stratum key;
+    WindowGroupLimit pre-truncates per input partition)."""
+    from polars_gdal_spark.functions.sampling import stratified_sample_exact
+    from polars_gdal_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return stratified_sample_exact(
+        docs, "source", "doc_id", 15, seed="mix"
+    ).select("doc_id", "lang", "source")
