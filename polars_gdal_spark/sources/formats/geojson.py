@@ -200,6 +200,177 @@ class GeoJsonDriver(FormatDriver):
                     )
                 idx += 1
 
+    # -- columnar fast path ----------------------------------------------
+    # Point-geometry NDJSON parses through pyarrow.json (multithreaded
+    # C++), properties land as a struct whose children ARE the output
+    # columns, and 21-byte Point WKB is synthesized with numpy — no
+    # per-feature Python. Anything the explicit schema can't represent
+    # (non-Point coordinates nesting, string ids, list-typed properties,
+    # conflicting value types) raises ArrowInvalid at parse time and the
+    # reader falls back to the row path with identical semantics.
+
+    def iter_arrow_batches(
+        self,
+        path: str,
+        layer: str,
+        options: dict,
+        columns: list[tuple[str, str, str]],
+        fid_col: str | None,
+        geom_col: str,
+        geom_format: str,
+        start: int | None = None,
+        end: int | None = None,
+    ):
+        import pyarrow as pa
+
+        if geom_format != "wkb":
+            return None
+        type_map = {
+            "string": pa.string(),
+            "bigint": pa.int64(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        if any(t not in type_map for _, _, t in columns):
+            return None  # array-typed / exotic props: row path
+        if len({src for _, src, _ in columns}) != len(columns):
+            return None
+        if not self._is_ndjson(path):
+            return None
+
+        schema = pa.schema(
+            [
+                ("id", pa.int64()),
+                (
+                    "geometry",
+                    pa.struct(
+                        [
+                            ("type", pa.string()),
+                            ("coordinates", pa.list_(pa.float64())),
+                        ]
+                    ),
+                ),
+                (
+                    "properties",
+                    pa.struct([(src, type_map[t]) for _, src, t in columns]),
+                ),
+            ]
+        )
+
+        def gen():
+            from pyarrow import json as pajson
+
+            data, base = _ndjson_byte_slice(path, start, end)
+            table = pajson.read_json(
+                pa.BufferReader(data),
+                parse_options=pajson.ParseOptions(
+                    explicit_schema=schema,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            emitted = 0
+            for batch in table.to_batches():
+                yield _assemble_ndjson_batch(
+                    batch, columns, fid_col, geom_col, base + emitted
+                )
+                emitted += batch.num_rows
+
+        from polars_gdal_spark.sources.formats.csv_xy import _probe_gen
+
+        try:
+            return _probe_gen(gen())
+        except (pa.ArrowInvalid, pa.ArrowKeyError, ValueError):
+            return None  # schema divergence → row path
+
+
+def _ndjson_byte_slice(
+    path: str, start: int | None, end: int | None
+) -> tuple[bytes, int]:
+    """Bytes covering non-empty-line ordinals [start, end) and the base
+    ordinal — the byte-range analogue of ``iter_features_range``'s raw
+    line skip (parse only the slice; line scanning is the cheap part)."""
+    with open(path, "rb") as f:
+        if start is None:
+            return f.read(), 0
+        idx = 0
+        pos = 0
+        off_start = None
+        off_end = None
+        for line in f:
+            if line.strip():
+                if idx == start:
+                    off_start = pos
+                if idx == end:
+                    off_end = pos
+                    break
+                idx += 1
+            pos += len(line)
+        if off_start is None:
+            return b"", start
+        f.seek(off_start)
+        n = -1 if off_end is None else off_end - off_start
+        return f.read(n), start
+
+
+def _assemble_ndjson_batch(batch, columns, fid_col, geom_col, ordinal_base):
+    """Flatten the parsed (id, geometry, properties) batch into the
+    reader's output schema; numpy-synthesize Point WKB (null geometry →
+    null WKB, matching the row path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    arrays, names = [], []
+    if fid_col:
+        ordinals = pa.array(
+            np.arange(ordinal_base, ordinal_base + n, dtype=np.int64)
+        )
+        arrays.append(pc.coalesce(batch.column(0), ordinals))
+        names.append(fid_col)
+    props = batch.column(2)
+    for out_name, src, _t in columns:
+        arrays.append(pc.struct_field(props, src))
+        names.append(out_name)
+    geom = batch.column(1)
+    gtype = pc.struct_field(geom, "type")
+    coords = pc.struct_field(geom, "coordinates")
+    non_point = pc.any(
+        pc.not_equal(pc.drop_null(gtype), "Point")
+    ).as_py()
+    if non_point:
+        raise ValueError("non-Point geometry: row path handles these")
+    valid = coords.is_valid().to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(coords)
+    if pc.any(pc.not_equal(pc.drop_null(lengths), 2)).as_py():
+        raise ValueError("non-2D coordinates: row path handles these")
+    xy = coords.flatten().to_numpy(zero_copy_only=False)  # valid rows only
+    nv = int(valid.sum())
+    buf = np.empty((nv, 21), dtype=np.uint8)
+    buf[:, 0] = 1  # little-endian byte order mark
+    buf[:, 1] = 1  # wkbPoint
+    buf[:, 2:5] = 0
+    pts = xy.astype("<f8").reshape(nv, 2)
+    buf[:, 5:13] = pts[:, 0].copy().view(np.uint8).reshape(nv, 8)
+    buf[:, 13:21] = pts[:, 1].copy().view(np.uint8).reshape(nv, 8)
+    row_lens = np.where(valid, 21, 0).astype(np.int64)
+    offsets = np.concatenate(
+        ([0], np.cumsum(row_lens))
+    ).astype(np.int32)
+    validity = (
+        None
+        if valid.all()
+        else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    )
+    wkb = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    arrays.append(wkb)
+    names.append(geom_col)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
 
 register(GeoJsonDriver())
 
