@@ -45,6 +45,12 @@ EXPECT = {
     # hot-shingle cap is a broadcast ANTI join (map-side filter): the
     # shingle table must NOT shuffle a second time for the DF cap
     "dedup_ngram_jaccard": ["BroadcastHashJoin", "LeftAnti"],
+    # eval-set shingles broadcast; the corpus side is probed map-side
+    "text_decontaminate": ["BroadcastHashJoin", "partial"],
+    # hash-Bernoulli thinning is a pure filter: no exchange anywhere
+    "pipeline_hash_sample": ["!Exchange"],
+    # exact quotas: rank filter must pre-truncate per input partition
+    "pipeline_domain_mix": ["WindowGroupLimit"],
 }
 
 
@@ -79,7 +85,10 @@ def main() -> int:
         print(f"\n===== {name} =====")
         checks = EXPECT.get(name, [])
         for want in checks:
-            ok = want.lower() in plan.lower()
+            if want.startswith("!"):  # must NOT appear
+                ok = want[1:].lower() not in plan.lower()
+            else:
+                ok = want.lower() in plan.lower()
             bad += 0 if ok else 1
             print(f"  {'OK ' if ok else 'MISS'} expect: {want}")
         # always-on checks
