@@ -125,11 +125,15 @@ def assemble(
         _write_gpx(parts, path, options, schema, geom_col, gfmt)
     elif d in ("flatgeobuf", "fgb"):
         _write_fgb(parts, path, options, schema, geom_col, gfmt)
+    elif d in ("mapinfo file", "mif", "mif/mid"):
+        _write_mif(parts, path, options, schema, geom_col, gfmt)
+    elif d == "dxf":
+        _write_dxf(parts, path, options, schema, geom_col, gfmt)
     else:
         raise ValueError(
             f"unsupported write driver {driver!r} "
             "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, "
-            "GPX, GML, FlatGeobuf)"
+            "GPX, GML, FlatGeobuf, MapInfo File, DXF)"
         )
 
 
@@ -561,3 +565,163 @@ def _write_gpkg(
         con.commit()
     finally:
         con.close()
+
+
+def _write_mif(
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
+) -> None:
+    """MapInfo MIF/MID writer — round-trips through MapInfoMifDriver.
+
+    Spark type → MIF column type: string→Char(254), bigint→Integer,
+    double→Float, boolean→Logical, date→Date. Null geometry → NONE.
+    MultiPolygon regions merge into one Region on read-back (the MIF
+    Region object has no multi-feature boundary; same as MapInfo).
+    """
+    import csv
+
+    type_map = {
+        "string": "Char(254)",
+        "bigint": "Integer",
+        "int": "Integer",
+        "smallint": "Integer",
+        "double": "Float",
+        "float": "Float",
+        "boolean": "Logical",
+        "date": "Date",
+    }
+    attr = [f for f in schema.fields if f.name != geom_col]
+    base, _ = os.path.splitext(path)
+    mid_path = base + ".mid"
+
+    def fmt_pts(pts) -> list[str]:
+        return [f"{x!r} {y!r}" for x, y in pts]
+
+    with open(path, "w", encoding="latin-1") as mif:
+        mif.write("Version 300\nCharset \"Neutral\"\nDelimiter \",\"\n")
+        mif.write(f"Columns {len(attr)}\n")
+        for f in attr:
+            mt = type_map.get(f.dataType.simpleString(), "Char(254)")
+            mif.write(f"  {f.name} {mt}\n")
+        mif.write("Data\n\n")
+        with open(mid_path, "w", encoding="latin-1", newline="") as midf:
+            w = csv.writer(midf)
+            for geom, props in _iter_rows(parts, geom_col, gfmt):
+                row = []
+                for f in attr:
+                    v = props.get(f.name)
+                    if isinstance(v, bool):
+                        v = "T" if v else "F"
+                    row.append("" if v is None else v)
+                w.writerow(row)
+                if geom is None:
+                    mif.write("NONE\n")
+                    continue
+                t, c = geom
+                if t == "Point":
+                    mif.write(f"Point {c[0]!r} {c[1]!r}\n")
+                elif t == "MultiPoint":
+                    mif.write(f"Multipoint {len(c)}\n")
+                    for pt in fmt_pts(c):
+                        mif.write(pt + "\n")
+                elif t == "LineString":
+                    mif.write(f"Pline {len(c)}\n")
+                    for pt in fmt_pts(c):
+                        mif.write(pt + "\n")
+                elif t == "MultiLineString":
+                    mif.write(f"Pline Multiple {len(c)}\n")
+                    for seg in c:
+                        mif.write(f"  {len(seg)}\n")
+                        for pt in fmt_pts(seg):
+                            mif.write(pt + "\n")
+                elif t in ("Polygon", "MultiPolygon"):
+                    rings = (
+                        [r for poly in c for r in poly]
+                        if t == "MultiPolygon"
+                        else c
+                    )
+                    mif.write(f"Region {len(rings)}\n")
+                    for ring in rings:
+                        mif.write(f"  {len(ring)}\n")
+                        for pt in fmt_pts(ring):
+                            mif.write(pt + "\n")
+                else:
+                    raise ValueError(f"MIF writer: unsupported geometry {t}")
+
+
+def _write_dxf(
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
+) -> None:
+    """ASCII DXF writer (ENTITIES section) — round-trips through
+    DxfDriver. Attribute mapping mirrors the reader's GDAL-parity
+    subset: a ``Layer`` column (default ``"0"``) and a ``Text`` column
+    (written as TEXT entities at the point location). Polygon interior
+    rings are dropped (the DXF line-work model has no holes — same loss
+    as GDAL's DXF writer); Multi* parts emit one entity each, sharing
+    the feature's handle.
+    """
+
+    def pair(f, code, val):
+        f.write(f"{code}\n{val}\n")
+
+    with open(path, "w", encoding="latin-1") as f:
+        pair(f, 0, "SECTION")
+        pair(f, 2, "ENTITIES")
+        handle = 0
+        for geom, props in _iter_rows(parts, geom_col, gfmt):
+            layer = props.get("Layer") or "0"
+            text = props.get("Text")
+            handle += 1
+            hx = format(handle, "X")
+
+            def head(kind):
+                pair(f, 0, kind)
+                pair(f, 5, hx)
+                pair(f, 8, layer)
+
+            def lwpolyline(pts, closed):
+                head("LWPOLYLINE")
+                pair(f, 90, len(pts))
+                pair(f, 70, 1 if closed else 0)
+                for x, y in pts:
+                    pair(f, 10, repr(x))
+                    pair(f, 20, repr(y))
+
+            if geom is None:
+                if text is None:
+                    continue  # nothing representable
+                t, c = "Point", (0.0, 0.0)
+            else:
+                t, c = geom
+            if t == "Point":
+                head("TEXT" if text is not None else "POINT")
+                pair(f, 10, repr(c[0]))
+                pair(f, 20, repr(c[1]))
+                if text is not None:
+                    pair(f, 1, text)
+            elif t == "MultiPoint":
+                for pt in c:
+                    head("POINT")
+                    pair(f, 10, repr(pt[0]))
+                    pair(f, 20, repr(pt[1]))
+            elif t == "LineString":
+                lwpolyline(c, closed=False)
+            elif t == "MultiLineString":
+                for seg in c:
+                    lwpolyline(seg, closed=False)
+            elif t == "Polygon":
+                ring = list(c[0])
+                if len(ring) > 1 and ring[0] == ring[-1]:
+                    ring = ring[:-1]  # closed flag carries the closure
+                lwpolyline(ring, closed=True)
+            elif t == "MultiPolygon":
+                for poly in c:
+                    ring = list(poly[0])
+                    if len(ring) > 1 and ring[0] == ring[-1]:
+                        ring = ring[:-1]
+                    lwpolyline(ring, closed=True)
+            else:
+                raise ValueError(f"DXF writer: unsupported geometry {t}")
+        pair(f, 0, "ENDSEC")
+        pair(f, 0, "EOF")

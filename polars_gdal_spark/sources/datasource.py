@@ -745,6 +745,10 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             return "GPKG"
         if p.endswith((".ndjson", ".geojsonl")):
             return "GeoJSONSeq"
+        if p.endswith(".mif"):
+            return "MapInfo File"
+        if p.endswith(".dxf"):
+            return "DXF"
         return "GeoJSON"
 
     def _decode_geom(self, v) -> dict | None:

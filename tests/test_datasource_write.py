@@ -155,3 +155,68 @@ def test_gpx_roundtrip(spark, stations, tmp_path):
     assert _wkb_multiset(back) == _wkb_multiset(stations)
     src = sorted(r["name"] for r in stations.collect())
     assert sorted(r["name"] for r in back.collect()) == src
+
+
+def test_mif_roundtrip(spark, stations, tmp_path):
+    out = str(tmp_path / "out.mif")
+    _write(stations, out, driver="MapInfo File")
+    assert os.path.exists(out) and os.path.exists(str(tmp_path / "out.mid"))
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+    names = {r["name"] for r in back.select("name").collect()}
+    assert names == {r["name"] for r in stations.select("name").collect()}
+
+
+def test_mif_region_with_hole_roundtrip(spark, tmp_path):
+    from polars_gdal_spark.geometry import geojson_to_geom, geom_to_wkb
+
+    poly = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+            [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]],
+        ],
+    }
+    df = spark.createDataFrame(
+        [("a", bytearray(geom_to_wkb(geojson_to_geom(poly))))],
+        "name string, geometry binary",
+    )
+    out = str(tmp_path / "hole.mif")
+    _write(df, out, driver="MIF")
+    back = spark.read.format("gdal").load(out)
+    [row] = back.collect()
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    t, rings = wkb_to_geom(bytes(row["geometry"]))
+    assert t == "Polygon" and len(rings) == 2  # hole survives
+
+
+def test_dxf_roundtrip(spark, tmp_path):
+    from polars_gdal_spark.geometry import geojson_to_geom, geom_to_wkb
+
+    def wkb(gj):
+        return bytearray(geom_to_wkb(geojson_to_geom(gj)))
+
+    rows = [
+        ("sites", None, wkb({"type": "Point", "coordinates": [1.5, 2.5]})),
+        ("roads", None, wkb({"type": "LineString", "coordinates": [[0, 0], [3, 4], [5, 0]]})),
+        ("parcels", None, wkb({"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]})),
+        ("labels", "hello", wkb({"type": "Point", "coordinates": [9.0, 9.0]})),
+    ]
+    df = spark.createDataFrame(rows, "Layer string, Text string, geometry binary")
+    out = str(tmp_path / "plan.dxf")
+    _write(df, out)  # driver sniffed from .dxf extension
+    back = spark.read.format("gdal").load(out)
+    got = {r["Layer"]: r for r in back.collect()}
+    assert set(got) == {"sites", "roads", "parcels", "labels"}
+    assert got["labels"]["Text"] == "hello"
+    from polars_gdal_spark.geometry import wkb_to_geom
+
+    t, c = wkb_to_geom(bytes(got["sites"]["geometry"]))
+    assert t == "Point" and c == (1.5, 2.5)
+    t, c = wkb_to_geom(bytes(got["roads"]["geometry"]))
+    assert t == "LineString" and c == [(0, 0), (3, 4), (5, 0)]
+    t, rings = wkb_to_geom(bytes(got["parcels"]["geometry"]))
+    assert t == "Polygon"
+    assert rings[0] == [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
