@@ -107,3 +107,46 @@ def fingerprint(col, k: int = 8) -> Column:
     a prefix fingerprint that catches boilerplate-headed near-dups."""
     prefix = F.slice(tokens(F.lower(col)), 1, k)
     return F.md5(F.array_join(prefix, " "))
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf/df ratio.
+
+    Classic TF-IDF ranking with engine-reproducible arithmetic: tf and
+    df are exact integer counts and the score is a single IEEE-exact
+    division (no log smoothing — the ranking is identical and the value
+    hashes bit-equal across engines). Ties break on the term string.
+
+    Scale shape: one shuffle builds per-(doc, term) counts; document
+    frequency reuses that table grouped by term (map-side combined —
+    the wire carries one long per distinct (partition, term)); the
+    per-doc top-k is a rank-limited window, so WindowGroupLimit
+    pre-truncates to k rows per partition before the final shuffle.
+    The df table joins back on the near-uniform term key; no broadcast
+    is assumed (web-scale vocabularies don't fit one executor).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            "doc",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") / F.col("df")).alias("score"),
+        )
+    )

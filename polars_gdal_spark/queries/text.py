@@ -184,3 +184,37 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("payload_meta.n_bytes")).cast("bigint").alias("total_bytes"),
         F.min(F.col("payload_meta.sha256")).alias("min_sha256"),
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    ranked AS (
+      SELECT tf.doc, tf.term, tf.tf, dfreq.df,
+             tf.tf / CAST(dfreq.df AS DOUBLE) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc
+               ORDER BY tf.tf / CAST(dfreq.df AS DOUBLE) DESC, tf.term
+             ) AS rk
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc, term, tf, df, score FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by exact tf/df ratio
+    (integer counts, IEEE-exact division — no log smoothing, so the
+    hash matches the oracle bit-for-bit). WindowGroupLimit bounds the
+    per-doc rank; the df join shuffles on the near-uniform term key."""
+    from polars_gdal_spark.functions.text import tfidf_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return tfidf_topk(docs, "doc_id", "text", k=3)

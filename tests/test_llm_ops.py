@@ -240,3 +240,36 @@ def test_benchmark_contamination_broadcasts_eval_side(spark, docs):
         docs, bench, "doc", "text", "text", n=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_topk(spark):
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared"),
+        (3, "cherry date shared shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc bigint, text string")
+    got = {
+        (r["doc"], r["term"]): (r["tf"], r["df"])
+        for r in T.tfidf_topk(df, "doc", "text", k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 (score 2.0) then banana tf=1 df=2 (0.5)
+    assert got[(1, "apple")] == (2, 1)
+    assert got[(1, "banana")] == (1, 2)
+    # "shared" (df=3) never makes top-2 for doc 1 or 2
+    assert (1, "shared") not in got and (2, "shared") not in got
+    # doc 3: date tf=1 df=1 (1.0), shared tf=2 df=3 (0.667) beats cherry (0.5)
+    assert got[(3, "date")] == (1, 1)
+    assert got[(3, "shared")] == (2, 3)
+    assert len([k for k in got if k[0] == 3]) == 2
+
+
+def test_tfidf_plan_group_limit(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc bigint, text string")
+    plan = (
+        T.tfidf_topk(df, "doc", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
