@@ -326,16 +326,23 @@ def ngram_jaccard_pairs(
     the standard web-dedup practice, and it bounds the join fan-out at
     ``max_shingle_df²`` rows per shingle.
 
-    The shingle table feeds FIVE consumers (DF count, both self-join
-    sides, both size lookups); without a persist Spark re-runs the
-    tokenize/explode subtree per consumer. MEMORY_AND_DISK keeps it one
-    corpus scan and spills rather than OOMing on big corpora. The result
+    The raw shingle table feeds FIVE consumers (the DF count, both
+    self-join sides, both size lookups); without a persist Spark re-runs
+    the tokenize/explode subtree per consumer. It is persisted RAW
+    (before the cap) so the hot-shingle count shares the same
+    materialization — the cap itself is a cheap map-side broadcast
+    anti-join re-applied per consumer over cached blocks.
+    MEMORY_AND_DISK spills rather than OOMing on big corpora. The result
     (small: thresholded near-dup pairs) is eagerly localCheckpoint-ed so
     the cache can be released before returning — repeated calls in a
     long-lived session don't accumulate cached blocks."""
     from pyspark import StorageLevel
 
-    sh_raw = shingle_table(df, id_col, text_col, n)
+    # Persisted at the RAW stage: the hot-shingle count AND the capped
+    # working set both read it, so tokenize+explode runs once, not twice.
+    sh_raw = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # The *hot* set (DF > cap) is tiny — corpus-wide boilerplate only —
     # so the cap is a broadcast anti-join: the shingle table is filtered
     # map-side with NO extra shuffle. (Joining against the complement
@@ -346,9 +353,7 @@ def ngram_jaccard_pairs(
         .where(F.col("_df") > max_shingle_df)
         .select("shingle")
     )
-    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -380,7 +385,7 @@ def ngram_jaccard_pairs(
     # Eager checkpoint of the (small) thresholded result lets the big
     # shingle cache be released before returning.
     result = result.localCheckpoint(eager=True)
-    sh.unpersist()
+    sh_raw.unpersist()
     return result
 
 
