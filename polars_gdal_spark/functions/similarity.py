@@ -350,3 +350,55 @@ def knn_join(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the quantized-cosine metric —
+    trains the centroid set `ivf_assign`/`ivf_search` consume.
+
+    Fully deterministic (engine-reproducible): seeding is the ``k``
+    vectors with the smallest ids; assignment is argmax exact-int
+    cosine with smallest-centroid-id tiebreak; the update step averages
+    QUANTIZED components — integer sums are order-independent, so the
+    mean is one exact ``sum/count/QUANT`` double division with no
+    float-accumulation drift across partitionings.
+
+    Scale shape per iteration: centroids broadcast (k rows) for the
+    assignment scan; the update is one shuffle of (centroid, pos)
+    partial sums — map-side combined, the wire carries k×dim longs per
+    partition regardless of corpus size. A centroid that loses all
+    members drops out (the standard Lloyd degeneracy; deterministic, so
+    oracles agree).
+
+    Returns the final centroids: (``id_col``, ``vec_col`` array<double>).
+    """
+    centroids = df.orderBy(id_col).limit(k).select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        upd = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(quantize(F.col(vec_col))).alias("pos", "q"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg((F.sum("q") / F.count("*") / QUANT).alias("val"))
+        )
+        centroids = (
+            upd.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "val"))
+                ).alias("_s")
+            )
+            .select(
+                F.col("centroid_id").alias(id_col),
+                F.transform("_s", lambda x: x["val"]).alias(vec_col),
+            )
+        )
+    return centroids

@@ -142,3 +142,71 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 10),
         k=5,
     )
+
+
+_KMEANS_ASSIGN = """
+  a{i} AS (
+    SELECT vec_id, cid FROM (
+      SELECT q.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.qc)
+                          / (sqrt(list_dot_product(q.v, q.v))
+                             * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+                        c.cid
+             ) AS rk
+      FROM q CROSS JOIN c{j}q c) t
+    WHERE rk = 1
+  ),
+  u{i} AS (
+    SELECT a{i}.cid, d.i AS pos,
+           sum(q.v[d.i + 1]) / count(*) / 1000000 AS val
+    FROM a{i} JOIN q USING (vec_id) CROSS JOIN dims d
+    GROUP BY a{i}.cid, d.i
+  ),
+  c{i}q AS (
+    SELECT cid, list_transform(array_agg(val ORDER BY pos),
+                               x -> CAST(floor(x * 1000000) AS BIGINT)) AS qc
+    FROM u{i} GROUP BY cid
+  )
+"""
+
+
+@query(
+    "sim_kmeans_centroids",
+    oracle=(
+        """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0q AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qc
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    """
+        + _KMEANS_ASSIGN.format(i=1, j=0).strip().rstrip(",").rstrip()
+        + ","
+        + _KMEANS_ASSIGN.format(i=2, j=1).strip().rstrip(",").rstrip()
+        + """
+    SELECT cid AS centroid_id, pos, val FROM u2
+    """
+    ),
+)
+def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k=8 cosine k-means over the embeddings —
+    the IVF centroid-training step. Deterministic end to end: smallest-id
+    seeding, exact-int cosine assignment, quantized-integer mean (order-
+    independent sums, one exact double division). Output is the final
+    centroid set flattened to (centroid_id, pos, val)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_lloyd(emb, k=8, iters=2)
+    return cents.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )

@@ -273,3 +273,25 @@ def test_tfidf_plan_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_kmeans_lloyd_separates_clusters(spark):
+    # two tight clusters on orthogonal axes; ids 0 and 10 seed k=2
+    rows = [(i, [1.0 + 0.01 * i, 0.02 * i]) for i in range(5)] + [
+        (10 + i, [0.02 * i, 2.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = {
+        r["vec_id"]: r["embedding"]
+        for r in S.kmeans_lloyd(df, k=2, iters=3).collect()
+    }
+    assert set(cents) == {0, 1}  # seeded from the two smallest ids
+    vals = list(cents.values())
+    # Lloyd separates the clusters: one centroid per axis
+    assert sorted(v[0] > v[1] for v in vals) == [False, True]
+    # deterministic under repartitioning (integer-sum update step)
+    again = {
+        r["vec_id"]: r["embedding"]
+        for r in S.kmeans_lloyd(df.repartition(7), k=2, iters=3).collect()
+    }
+    assert again == cents
