@@ -137,3 +137,62 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'signup' AND e.ts >= c.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM s) AS n_signup_after_click,
+           (SELECT count(*) FROM p) AS n_purchase_after_signup
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (click -> signup -> purchase): per user,
+    the first click, the first signup at-or-after it, the first purchase
+    at-or-after that; one row of stage conversion counts. Each stage is
+    a user-key aggregate (map-side combined) joined to the previous
+    stage's (user, ts) frontier — the frontier is users-sized, far
+    smaller than the event stream, and every join is a user-key
+    equi-join (no range/window state)."""
+    events = load_tables(spark, sf_dir)["events"]
+    c = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        c.agg(F.count("*").alias("n_click"))
+        .crossJoin(s.agg(F.count("*").alias("n_signup_after_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_signup")))
+    )
