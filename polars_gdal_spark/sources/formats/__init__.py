@@ -25,6 +25,7 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     dxf,
     flatgeobuf,
     geojson,
+    georss,
     gml,
     kml_gpx,
     mapinfo_mif,
