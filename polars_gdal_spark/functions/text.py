@@ -150,3 +150,33 @@ def tfidf_topk(
             (F.col("tf") / F.col("df")).alias("score"),
         )
     )
+
+
+PII_PATTERNS = {
+    # Character-class-only regexes: identical semantics under Java
+    # regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 -]{7,}[0-9]",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / international-format phone
+    numbers, adding per-kind match counts — the pre-training scrub pass.
+
+    Pure JVM expressions (``regexp_count`` + chained ``regexp_replace``),
+    so the scrub fuses into the scan with zero shuffle and no Python in
+    the hot path. Counts are taken on the ORIGINAL text; replacements
+    apply in a fixed order (email → ipv4 → phone) with distinct
+    placeholders so downstream token statistics stay stable.
+    """
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn(f"{text_col}_scrubbed", scrubbed)

@@ -218,3 +218,60 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel +1 555 000 '
+                  || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text,
+             '\+[0-9][0-9 -]{7,}[0-9]')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+             '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_digest
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with deterministic injected PII (the raw
+    synthetic docs contain none): every doc gains an email, an IPv4 and
+    a phone; the scrub must count and redact them all. Counts are ints;
+    the redacted text is hash-compared, so replacement order and
+    placeholder text are verified byte-exactly. Pure JVM regex — fuses
+    into the scan, zero shuffle."""
+    from polars_gdal_spark.functions.text import pii_scrub
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555 000 "),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    s = pii_scrub(aug, "text")
+    return s.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.md5("text_scrubbed").alias("scrub_digest"),
+    )

@@ -295,3 +295,16 @@ def test_kmeans_lloyd_separates_clusters(spark):
         for r in S.kmeans_lloyd(df.repartition(7), k=2, iters=3).collect()
     }
     assert again == cents
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail a.b-c@foo.io and 192.168.0.1 call +1 555 123 4567 done"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc bigint, text string")
+    got = {r["doc"]: r for r in T.pii_scrub(df, "text").collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["text_scrubbed"] == "mail <EMAIL> and <IPV4> call <PHONE> done"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["text_scrubbed"] == "nothing sensitive here"
