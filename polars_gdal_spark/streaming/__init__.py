@@ -198,3 +198,50 @@ def stream_click_purchase_pairs(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
     ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Streaming twin of ``dedup.benchmark_contamination``: score each
+    arriving document's n-gram overlap with a STATIC eval corpus.
+
+    Stateless by construction — the benchmark's distinct shingle set is
+    a broadcast one-row array (eval sets are thousands of docs; their
+    n-gram vocabulary fits any executor), and per-document overlap is
+    ``array_intersect`` against the document's own shingle array. No
+    watermark, no state store, append-mode safe; the stream side never
+    shuffles. Emits the same (n_shingles, n_overlap, contamination)
+    columns as the batch operator.
+    """
+    from polars_gdal_spark.functions.dedup import word_shingles
+
+    bench_row = F.broadcast(
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("s")
+        )
+        .distinct()
+        .agg(F.collect_list("s").alias("_bench_shingles"))
+    )
+    sh = F.array_distinct(word_shingles(F.col(text_col), n))
+    return (
+        stream.crossJoin(bench_row)
+        .withColumn("n_shingles", F.size(sh).cast("bigint"))
+        .withColumn(
+            "n_overlap",
+            F.size(F.array_intersect(sh, F.col("_bench_shingles"))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_overlap") / F.col("n_shingles").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_bench_shingles")
+    )

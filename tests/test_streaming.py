@@ -198,3 +198,33 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static contamination scoring equals the batch operator on
+    the same corpus (stateless broadcast-array probe)."""
+    from polars_gdal_spark.functions.dedup import benchmark_contamination
+    from polars_gdal_spark.streaming import streaming_decontaminate
+
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    docs.coalesce(1).write.mode("overwrite").parquet(str(docs_dir))
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+
+    expected = {
+        r["doc"]: (r["n_shingles"], r["n_overlap"], r["contamination"])
+        for r in benchmark_contamination(
+            docs, bench, "doc_id", "text", "text", n=5
+        ).collect()
+    }
+    stream = spark.readStream.schema(docs.schema).parquet(str(docs_dir))
+    got_df = _drain_append(
+        streaming_decontaminate(stream, bench, "text", n=5),
+        "stream_decontam",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contamination"])
+        for r in got_df.collect()
+    }
+    assert got == expected
