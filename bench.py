@@ -42,6 +42,14 @@ HEADLINE = [
     "q18_large_volume_customers",
     "geo_spatial_join_pip",
     "pipeline_training_prep",
+    # round-2 additions
+    "text_decontaminate",
+    "text_tfidf_topk",
+    "text_pii_scrub",
+    "pipeline_hash_sample",
+    "pipeline_domain_mix",
+    "sim_kmeans_centroids",
+    "events_funnel",
 ]
 
 
