@@ -152,3 +152,35 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         docs, "source", "doc_id", 15, seed="mix"
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "pipeline_quality_percentile",
+    oracle="""
+    WITH thr AS (
+      SELECT quantile_disc(n_chars, 0.25) AS q25 FROM documents
+    )
+    SELECT d.doc_id, d.n_chars, thr.q25
+    FROM documents d CROSS JOIN thr
+    WHERE d.n_chars >= thr.q25
+    """,
+)
+def pipeline_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quantile quality gate: drop the shortest quartile of the
+    corpus. percentile_disc picks an actual data value (no
+    interpolation), so the threshold — and therefore the kept set — is
+    engine-exact. The threshold is a one-row aggregate broadcast into a
+    scan-fused filter; one pass over the corpus plus one tiny agg."""
+    from polars_gdal_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    thr = docs.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("q25")
+    )
+    return (
+        docs.crossJoin(F.broadcast(thr))
+        .where(F.col("n_chars") >= F.col("q25"))
+        .select("doc_id", "n_chars", "q25")
+    )

@@ -196,3 +196,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s.agg(F.count("*").alias("n_signup_after_click")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_signup")))
     )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = week of a user's first
+    event; one row per (cohort, week offset) with distinct active users.
+    Two user-key aggregates (map-side combined) + one user-key equi-join
+    — the frontier tables are users-sized, never event-stream-sized."""
+    events = load_tables(spark, sf_dir)["events"]
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
