@@ -50,6 +50,7 @@ HEADLINE = [
     "pipeline_domain_mix",
     "sim_kmeans_centroids",
     "events_funnel",
+    "pipeline_training_prep_v2",
 ]
 
 

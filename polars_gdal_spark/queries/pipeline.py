@@ -184,3 +184,165 @@ def pipeline_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_chars") >= F.col("q25"))
         .select("doc_id", "n_chars", "q25")
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+_V2_ORACLE = f"""
+    WITH {_AUG_SQL},
+    aug2 AS (
+      SELECT * FROM aug
+      UNION ALL
+      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text FROM toks
+    ),
+    hits AS (
+      SELECT doc, text,
+             {_H['de']} AS h_de, {_H['en']} AS h_en,
+             {_H['es']} AS h_es, {_H['fr']} AS h_fr,
+             {_NTOK.format(c='text')} AS ntok,
+             {_PUNCT.format(c='text')} AS npunct,
+             length(text) AS nchars
+      FROM aug2
+    ),
+    kept AS (
+      SELECT doc, text FROM hits
+      WHERE (CASE WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+                  WHEN h_fr > 0 THEN 'fr'
+                  ELSE 'und' END) = 'en'
+        AND ntok >= 5
+        AND 5 * npunct < nchars
+    ),
+    inj AS (
+      SELECT doc,
+             text || ' contact user' || substr(md5(text), 1, 8)
+                  || '@example.com' AS text
+      FROM kept
+    ),
+    scr AS (
+      SELECT doc,
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS text
+      FROM inj
+    ),
+    groups AS (
+      SELECT md5(text) AS digest, min(doc) AS rep_doc,
+             count(*) AS n_dups, min(text) AS text
+      FROM scr GROUP BY 1
+    ),
+    bt AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    bs AS (
+      SELECT DISTINCT unnest(list_distinct(
+        CASE WHEN len(tk) >= 5 THEN
+          list_transform(generate_series(1, len(tk) - 4),
+                         i -> array_to_string(array_slice(tk, i, i + 4), ' '))
+        ELSE []::VARCHAR[] END)) AS shingle
+      FROM bt
+    ),
+    gtk AS (
+      SELECT rep_doc, n_dups, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM groups
+    ),
+    cs AS (
+      SELECT rep_doc, unnest(list_distinct(
+        CASE WHEN len(tk) >= 5 THEN
+          list_transform(generate_series(1, len(tk) - 4),
+                         i -> array_to_string(array_slice(tk, i, i + 4), ' '))
+        ELSE []::VARCHAR[] END)) AS shingle
+      FROM gtk
+    ),
+    sizes AS (SELECT rep_doc, count(*) AS n_shingles FROM cs GROUP BY rep_doc),
+    ov AS (
+      SELECT cs.rep_doc, count(*) AS n_overlap
+      FROM cs JOIN bs USING (shingle) GROUP BY cs.rep_doc
+    )
+    SELECT g.rep_doc, g.n_dups,
+           CAST({_NTOK.format(c='g.text')} AS BIGINT) AS ws_tokens,
+           coalesce(s.n_shingles, 0) AS n_shingles,
+           coalesce(o.n_overlap, 0) AS n_overlap
+    FROM gtk g
+    LEFT JOIN sizes s USING (rep_doc)
+    LEFT JOIN ov o USING (rep_doc)
+    WHERE coalesce(o.n_overlap, 0) < 0.8 * coalesce(s.n_shingles, 0)
+      AND substr(md5('v2:' || CAST(g.rep_doc AS VARCHAR)), 1, 16)
+          < '8000000000000000'
+"""
+
+
+@query("pipeline_training_prep_v2", oracle=_V2_ORACLE)
+def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-width corpus-prep composition, chaining every hygiene
+    operator the engine ships (each independently oracle-verified):
+
+    1. language-ID + quality gates (scan-fused JVM expressions);
+    2. deterministic PII injection keyed on CONTENT (verbatim copies
+       inject identically, so dedup still fires) + ``pii_scrub``;
+    3. exact dedup by scrubbed-content digest (the one corpus shuffle);
+    4. benchmark decontamination of the surviving representatives
+       (broadcast eval-set shingles, drop docs ≥0.8 overlap);
+    5. deterministic 50% hash-Bernoulli thinning (pure filter);
+    6. token accounting on the final kept set.
+
+    Stage order is the 100 TB ordering: all row-local gates run before
+    the shuffle; decontamination probes only the deduped survivors; the
+    sampler is a free WHERE clause.
+    """
+    from polars_gdal_spark.functions.dedup import benchmark_contamination
+    from polars_gdal_spark.functions.sampling import hash_sample
+    from polars_gdal_spark.functions.text import pii_scrub
+    from polars_gdal_spark.queries import load_tables
+    from polars_gdal_spark.queries.dedup import _augmented
+
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    c = F.col("text")
+    kept = aug.where(
+        (T.lang_guess(c) == "en")
+        & (T.token_count(c) >= 5)
+        & (F.lit(5) * T.punct_count(c) < F.length(c).cast("bigint"))
+    )
+    injected = kept.withColumn(
+        "text",
+        F.concat(
+            c,
+            F.lit(" contact user"),
+            F.substring(F.md5(c), 1, 8),
+            F.lit("@example.com"),
+        ),
+    )
+    scrubbed = pii_scrub(injected, "text").select(
+        "doc", F.col("text_scrubbed").alias("text")
+    )
+    groups = scrubbed.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc").alias("rep_doc"),
+        F.count("*").alias("n_dups"),
+        F.min("text").alias("text"),
+    )
+    bench = load_tables(spark, sf_dir)["documents"].where(
+        F.col("doc_id") % 23 == 0
+    )
+    scored = (
+        benchmark_contamination(
+            groups.select("rep_doc", "n_dups", "text"),
+            bench,
+            "rep_doc",
+            "text",
+            "text",
+            n=5,
+        )
+        .withColumnRenamed("doc", "rep_doc")
+        .join(groups.select("rep_doc", "n_dups", "text"), "rep_doc")
+    )
+    survivors = scored.where(
+        F.col("n_overlap") < 0.8 * F.col("n_shingles")
+    )
+    return hash_sample(survivors, "rep_doc", 0.5, seed="v2").select(
+        F.col("rep_doc"),
+        "n_dups",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        "n_shingles",
+        "n_overlap",
+    )
