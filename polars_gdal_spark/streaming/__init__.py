@@ -40,15 +40,36 @@ class GdalStreamReader(SimpleDataSourceStreamReader):
             and not f.endswith((".shx", ".dbf", ".prj", ".cpg", ".tmp"))
         )
 
+    def _after(self, files: list[str], off: dict) -> list[str]:
+        """Files past an offset. Offsets are a lexicographic filename
+        WATERMARK (``{"last": name}``) — stable under late-listing
+        replays, unlike index slicing, which misaligns if a file whose
+        name sorts before the watermark ever appears. (Consequence,
+        shared with any watermark scheme: names must arrive in sorted
+        order; a file sorting below the watermark is skipped.) Legacy
+        ``{"n_files": N}`` index offsets are still honored."""
+        if "n_files" in off:
+            return files[int(off["n_files"]) :]
+        last = off.get("last", "")
+        return [f for f in files if f > last]
+
+    def _cap(self) -> int | None:
+        v = self.options.get(
+            "maxfilesperbatch", self.options.get("maxFilesPerBatch")
+        )
+        return int(v) if v is not None else None
+
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"last": ""}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         from polars_gdal_spark.sources.datasource import GdalInputPartition
         from polars_gdal_spark.sources.formats import find_driver
 
-        files = self._list_files()
-        new = files[int(start.get("n_files", 0)) :]
+        new = self._after(self._list_files(), start)
+        cap = self._cap()
+        if cap is not None:
+            new = new[:cap]  # rate limit; the engine re-polls for the rest
 
         # materialized list, not a generator: the engine pickles the
         # prefetched batch for replay on failure
@@ -57,14 +78,27 @@ class GdalStreamReader(SimpleDataSourceStreamReader):
             driver = find_driver(path, self._reader.allowed)
             layer = driver.list_layers(path, self.options)[0]
             rows.extend(self._reader.read(GdalInputPartition(path, layer)))
-        return iter(rows), {"n_files": len(files)}
+        if new:
+            end = {"last": new[-1]}
+        elif "n_files" in start:  # convert a legacy offset on first touch
+            files = self._list_files()
+            n = int(start["n_files"])
+            end = {"last": files[n - 1] if 0 < n <= len(files) else ""}
+        else:
+            end = {"last": start.get("last", "")}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         from polars_gdal_spark.sources.datasource import GdalInputPartition
         from polars_gdal_spark.sources.formats import find_driver
 
         files = self._list_files()
-        span = files[int(start.get("n_files", 0)) : int(end.get("n_files", 0))]
+        if "n_files" in start and "n_files" in end:
+            span = files[int(start["n_files"]) : int(end["n_files"])]
+        else:
+            lo = start.get("last", "")
+            hi = end.get("last", "")
+            span = [f for f in files if lo < f <= hi]
         for path in span:
             driver = find_driver(path, self._reader.allowed)
             layer = driver.list_layers(path, self.options)[0]

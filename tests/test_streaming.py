@@ -228,3 +228,63 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == expected
+
+
+def test_stream_reader_rate_limit(spark, tmp_path):
+    """maxFilesPerBatch caps each micro-batch; availableNow drains in
+    multiple batches and still delivers every row exactly once."""
+    src = tmp_path / "rate_in"
+    src.mkdir()
+    for i in range(5):
+        _write_batch(src, f"f{i}.geojson", [_feature(10 * i + j, "x") for j in range(3)])
+
+    stream = (
+        spark.readStream.format("gdal")
+        .option("maxFilesPerBatch", "2")
+        .load(str(src))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gdal_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains the capped batches
+    finally:
+        q.stop()
+    got = spark.table("gdal_rate")
+    assert got.count() == 15
+    assert got.select("name").distinct().count() == 15
+    batches = [
+        p for p in q.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
+    ]
+    assert len(batches) >= 3  # 5 files / 2 per batch
+    assert all(p["numInputRows"] <= 6 for p in batches)  # ≤2 files × 3 rows
+
+
+def test_stream_reader_watermark_offsets(spark, tmp_path):
+    """Filename-watermark offsets: a later file named after the watermark
+    is picked up; batches replay stably by name range."""
+    from polars_gdal_spark.streaming import GdalStreamReader
+
+    src = tmp_path / "wm_in"
+    src.mkdir()
+    _write_batch(src, "a.geojson", [_feature(1, "x")])
+    _write_batch(src, "b.geojson", [_feature(2, "x")])
+    schema = (
+        spark.read.format("gdal").load(str(src / "a.geojson")).schema
+    )
+    r = GdalStreamReader(schema, {"path": str(src)})
+    rows, off1 = r.read(r.initialOffset())
+    assert len(list(rows)) == 2 and off1["last"].endswith("b.geojson")
+    # new file after the watermark
+    _write_batch(src, "c.geojson", [_feature(3, "x")])
+    rows, off2 = r.read(off1)
+    assert len(list(rows)) == 1 and off2["last"].endswith("c.geojson")
+    # replay exactly the second batch by offset range
+    replay = list(r.readBetweenOffsets(off1, off2))
+    assert len(replay) == 1
+    # empty poll keeps the watermark
+    rows, off3 = r.read(off2)
+    assert list(rows) == [] and off3 == off2
