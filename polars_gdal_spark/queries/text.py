@@ -275,3 +275,34 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("bigint").alias("n_phone"),
         F.md5("text_scrubbed").alias("scrub_digest"),
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS v
+      FROM documents
+    ),
+    total AS (SELECT count(*) AS n FROM toks)
+    SELECT t.v AS token, count(*) AS n
+    FROM toks t
+    GROUP BY t.v
+    HAVING count(*) * 200 > (SELECT n FROM total)
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1/200-heavy-hitter tokens via the sketch-then-verify
+    pattern: per-partition Misra-Gries candidates (bounded memory,
+    mapInPandas over Arrow batches) + one exact counting pass over the
+    broadcast candidate set. The sketch is approximate; the output is
+    exact — hash-checked against a plain GROUP BY oracle."""
+    from polars_gdal_spark.functions.sketch import heavy_hitters
+    from polars_gdal_spark.functions.text import tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return heavy_hitters(toks, "token", phi_denom=200)

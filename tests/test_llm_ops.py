@@ -308,3 +308,39 @@ def test_pii_scrub(spark):
     assert got[1]["text_scrubbed"] == "mail <EMAIL> and <IPV4> call <PHONE> done"
     assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
     assert got[2]["text_scrubbed"] == "nothing sensitive here"
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """Misra-Gries candidates + exact verify equals the brute-force
+    answer for any partitioning — including skew where one partition
+    holds most of a hitter's mass."""
+    from polars_gdal_spark.functions.sketch import heavy_hitters
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 120
+        + [(f"cold{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "token string")
+    for parts in (1, 7):
+        got = {
+            (r["token"], r["n"])
+            for r in heavy_hitters(
+                df.repartition(parts), "token", phi_denom=10
+            ).collect()
+        }
+        # n = 1020; threshold n/10 = 102 → hot(500) and warm(120) only
+        assert got == {("hot", 500), ("warm", 120)}
+
+
+def test_heavy_hitters_sketch_memory_bounded(spark):
+    """Candidate kernel keeps at most m counters even over a stream of
+    mostly-distinct values."""
+    import pandas as pd
+
+    from polars_gdal_spark.functions.sketch import _mg_candidates
+
+    run = _mg_candidates(8, "v")
+    batches = [pd.DataFrame({"v": [f"x{i}" for i in range(1000)]})]
+    [out] = list(run(iter(batches)))
+    assert len(out) <= 8
