@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_kmeans_centroids",
     "events_funnel",
     "pipeline_training_prep_v2",
+    "text_heavy_hitters",
 ]
 
 
