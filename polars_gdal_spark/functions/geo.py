@@ -490,3 +490,76 @@ def __getattr__(name: str):
 # st_perimeter(col)        ring-length sum of areal geometries
 # st_centroid(col)         struct<x,y> area-weighted centroid
 # st_distance(a, b)        planar point-point distance
+
+
+def spatial_knn_join(
+    pts,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 3,
+    cell: float = 20.0,
+):
+    """Grid-blocked k-nearest-neighbour SELF-join over a point set too
+    large to broadcast.
+
+    Each point keys to one grid cell; the candidate side replicates to
+    its 3x3 cell neighbourhood (9x replication of (id, x, y) triples --
+    constant-factor, not data-squared), so candidates arrive through a
+    plain cell equi-join and the per-point top-k is a rank-limited
+    window (WindowGroupLimit). No cross join at any scale.
+
+    EXACTNESS CONTRACT: the 3x3 neighbourhood contains every point
+    within Euclidean distance ``cell``, so results are the true k-NN
+    whenever each point's k-th neighbour lies within ``cell`` -- pick
+    ``cell`` comfortably above the expected k-th-NN distance for the
+    data density (the standard fixed-radius kNN-join contract; rows
+    whose k-th neighbour is farther would need a wider radius).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    base = pts.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    cx = F.floor(F.col("_x") / cell).cast("bigint")
+    cy = F.floor(F.col("_y") / cell).cast("bigint")
+    left = base.select("_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy"))
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    right = (
+        base.select(
+            F.col("_id").alias("_nid"),
+            F.col("_x").alias("_nx"),
+            F.col("_y").alias("_ny"),
+            cx.alias("_bcx"),
+            cy.alias("_bcy"),
+        )
+        .withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .select(
+            "_nid", "_nx", "_ny",
+            (F.col("_bcx") + F.col("_dx")).alias("_cx"),
+            (F.col("_bcy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    d = F.sqrt(
+        (F.col("_x") - F.col("_nx")) * (F.col("_x") - F.col("_nx"))
+        + (F.col("_y") - F.col("_ny")) * (F.col("_y") - F.col("_ny"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.asc("_dist"), F.asc("_nid"))
+    return (
+        left.join(right, ["_cx", "_cy"])
+        .where(F.col("_nid") != F.col("_id"))
+        .withColumn("_dist", d)
+        .where(F.col("_dist") <= F.lit(cell))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_nid").alias("neighbor_id"),
+            F.col("_rk").alias("rank"),
+            F.col("_dist").alias("dist"),
+        )
+    )
