@@ -344,3 +344,55 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("distinct_supps"),
         )
     )
+
+
+@query(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_v,
+           CAST(max(l_quantity) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           CAST(count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           CAST(min(l_discount) AS VARCHAR),
+           CAST(max(l_discount) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column row/non-null/exact-distinct
+    counts and min/max, three columns in parallel aggregate columns over
+    ONE scan (count_distinct shuffles once on near-uniform values;
+    min/max/count are map-side combined). The one-scan many-stats shape
+    is how profiling must run at 100 TB — never one pass per column."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = ["l_quantity", "l_returnflag", "l_discount"]
+    aggs = [F.count("*").alias("nr")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nr, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)"
+    )

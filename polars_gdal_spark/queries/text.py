@@ -306,3 +306,54 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     return heavy_hitters(toks, "token", phi_denom=200)
+
+
+@query(
+    "text_typicality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(d.df) AS BIGINT) AS df_mass,
+           sum(d.df) / CAST(count(*) AS DOUBLE) AS typicality
+    FROM toks t JOIN dfreq d USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-typicality quality score: mean document frequency of a
+    doc's tokens (exact integer mass / token count — no log smoothing,
+    so it hashes identically cross-engine). Low scores flag documents
+    made of corpus-rare tokens — the OCR-garbage / wrong-language signal
+    a cheap unigram LM gives without float perplexity. Term-key shuffles
+    only; the df table joins on the near-uniform term key."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        toks.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").alias("df_mass"),
+            (F.sum("df") / F.count("*").cast("double")).alias("typicality"),
+        )
+    )
