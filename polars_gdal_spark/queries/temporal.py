@@ -241,3 +241,62 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "asof_click_next_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.click_id, p.purchase_id, c.ts AS cts, p.ts AS pts,
+             row_number() OVER (
+               PARTITION BY c.click_id ORDER BY p.ts, p.purchase_id
+             ) AS rk
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 2 HOUR
+    )
+    SELECT click_id,
+           purchase_id,
+           epoch_us(pts) - epoch_us(cts) AS wait_us
+    FROM j WHERE rk = 1
+    """,
+)
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each click's NEXT purchase by the
+    same user within 2 hours (union-sort-carry, one user-key shuffle —
+    never a range nested loop). Simultaneous purchases tie-break on id,
+    matching the oracle's window ordering."""
+    from polars_gdal_spark.functions.temporal import as_of_join_forward
+
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    j = as_of_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        time_col="ts",
+        right_cols=["purchase_id"],
+        tolerance_seconds=7200,
+        tiebreak_col="purchase_id",
+    )
+    return j.where(F.col("purchase_id_next").isNotNull()).select(
+        "click_id",
+        F.col("purchase_id_next").alias("purchase_id"),
+        (F.unix_micros("ts_next") - F.unix_micros("ts")).alias(
+            "wait_us"
+        ),
+    )
