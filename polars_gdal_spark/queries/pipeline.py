@@ -321,6 +321,10 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dups"),
         F.min("text").alias("text"),
     )
+    # Four consumers below (shingle sizes, overlap hits, the doc frame,
+    # the join back) would each re-run the gates+scrub+dedup lineage;
+    # checkpoint the (deduped, corpus-sized-but-small) survivors once.
+    groups = groups.localCheckpoint(eager=True)
     bench = load_tables(spark, sf_dir)["documents"].where(
         F.col("doc_id") % 23 == 0
     )
