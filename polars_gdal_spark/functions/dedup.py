@@ -444,3 +444,80 @@ def benchmark_contamination(
             .alias("contamination"),
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance ≤
+    ``max_hamming`` — the Manku-et-al banding construction.
+
+    Pigeonhole guarantee: split the ``bits``-bit signature into
+    ``max_hamming + 1`` equal bands; any pair within the hamming budget
+    differs in at most ``max_hamming`` positions, so at least one band
+    matches EXACTLY. Candidates therefore come from a band equi-join —
+    never an all-pairs scan — and an exact per-pair hamming refine
+    closes the filter. Same degenerate-bucket cap as
+    :func:`minhash_lsh_pairs` (boilerplate floods collapse to one
+    signature; those buckets are dropped by size before membership
+    collection).
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    from pyspark import StorageLevel
+
+    nb = max_hamming + 1
+    if bits % nb:
+        raise ValueError(f"bits ({bits}) must divide into {nb} bands")
+    width = bits // nb
+    sigs = simhash_bits(df, id_col, text_col, bits)
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
+    ).select(
+        "doc",
+        "simhash",
+        "band",
+        F.expr(f"substring(simhash, band * {width} + 1, {width})").alias(
+            "bv"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    eligible = (
+        banded.groupBy("band", "bv")
+        .agg(F.count("*").alias("_bsz"))
+        .where((F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket))
+        .select("band", "bv")
+    )
+    cand = banded.join(eligible, ["band", "bv"])
+    a = cand.select(
+        "band", "bv", F.col("doc").alias("doc_a"), F.col("simhash").alias("_sa")
+    )
+    b = cand.select(
+        "band", "bv", F.col("doc").alias("doc_b"), F.col("simhash").alias("_sb")
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("_sa"), ""),
+                F.split(F.col("_sb"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda t: t,
+        )
+    )
+    result = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    result = result.localCheckpoint(eager=True)
+    banded.unpersist()
+    return result

@@ -446,3 +446,68 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.benchmark_contamination(
         aug, bench, "doc", "text", "text", n=5
     ).where(F.col("n_overlap") > 0)
+
+
+_SIMHASH_SQL = """
+  tk2s AS (
+    SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM aug2
+  ),
+  dtoks AS (SELECT doc, unnest(list_distinct(tk)) AS tok FROM tk2s),
+  pos AS (
+    SELECT doc, i,
+           CASE WHEN substr(md5(tok), i, 1) IN
+                ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
+    FROM dtoks, (SELECT unnest(generate_series(1, 32)) AS i) r
+  ),
+  bitv AS (
+    SELECT doc, i, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+    FROM pos GROUP BY doc, i
+  ),
+  sh AS (
+    SELECT doc, string_agg(bit, '' ORDER BY i) AS simhash
+    FROM bitv GROUP BY doc
+  )
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    aug2 AS (
+      SELECT * FROM aug
+      UNION ALL
+      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text FROM toks
+    ),
+    {_SIMHASH_SQL.strip()},
+    banded AS (
+      SELECT doc, simhash, b.band,
+             substr(simhash, b.band * 8 + 1, 8) AS bv
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    eligible AS (
+      SELECT band, bv FROM banded
+      GROUP BY band, bv HAVING count(*) BETWEEN 2 AND 64
+    ),
+    cand AS (SELECT banded.* FROM banded JOIN eligible USING (band, bv))
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(len(list_filter(generate_series(1, 32),
+             i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
+             AS INT) AS hamming
+    FROM cand a JOIN cand b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc
+    WHERE len(list_filter(generate_series(1, 32),
+          i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 3 via the Manku banding
+    construction: 4 bands of 8 bits — a pair within the hamming budget
+    must agree exactly on ≥1 band (pigeonhole), so candidates come from
+    a band equi-join with the degenerate-bucket cap, then an exact
+    hamming refine. Never an all-pairs scan."""
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    return D.simhash_pairs(
+        aug, "doc", "text", max_hamming=3, bits=32, max_bucket=64
+    )

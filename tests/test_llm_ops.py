@@ -344,3 +344,22 @@ def test_heavy_hitters_sketch_memory_bounded(spark):
     batches = [pd.DataFrame({"v": [f"x{i}" for i in range(1000)]})]
     [out] = list(run(iter(batches)))
     assert len(out) <= 8
+
+
+def test_simhash_pairs_banding_guarantee(spark, docs):
+    """Pairs within hamming ≤ 3 are found through the band equi-join
+    (exact dup → hamming 0; near dup → small hamming), and the exact
+    refine never admits a pair beyond the budget."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, "doc", "text", max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0  # exact duplicates collide fully
+    assert all(h <= 3 for h in got.values())
+    # the unrelated doc 4 never pairs with the fox docs
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_pairs_bad_band_split(spark, docs):
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs, "doc", "text", max_hamming=4, bits=32)
