@@ -51,6 +51,16 @@ EXPECT = {
     "pipeline_hash_sample": ["!Exchange"],
     # exact quotas: rank filter must pre-truncate per input partition
     "pipeline_domain_mix": ["WindowGroupLimit"],
+    # band equi-join candidates — never an all-pairs scan
+    "dedup_simhash_pairs": ["!CartesianProduct"],
+    # grid-cell equi-join + rank-limited window — never a cross join
+    "geo_knn_join": ["!CartesianProduct", "WindowGroupLimit"],
+    # candidate set broadcast into the exact counting pass
+    "text_heavy_hitters": ["BroadcastHashJoin"],
+    # union-sort-carry: a single window pass, no range join anywhere
+    "asof_click_next_purchase": ["Window", "!CartesianProduct"],
+    # per-doc top-k rank truncates per partition
+    "text_tfidf_topk": ["WindowGroupLimit"],
 }
 
 
