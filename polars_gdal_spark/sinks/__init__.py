@@ -100,6 +100,7 @@ def assemble(
     geom_col: str,
     partitioned: bool = False,
     gfmt: str = "wkb",
+    append: bool = False,
 ) -> None:
     if partitioned:
         os.makedirs(path, exist_ok=True)
@@ -107,14 +108,17 @@ def assemble(
             shutil.move(p, os.path.join(path, os.path.basename(p)))
         return
     d = driver.lower()
+    if append and d != "gpkg":
+        raise ValueError(f"append is only supported for GPKG, not {driver!r}")
+    if d == "gpkg":
+        _write_gpkg(parts, path, options, schema, geom_col, gfmt, append)
+        return
     if d in ("geojson",):
         _write_geojson(parts, path, geom_col, gfmt)
     elif d in ("geojsonseq", "ndjson"):
         _write_ndjson(parts, path, geom_col, gfmt)
     elif d == "csv":
         _write_csv(parts, path, schema, geom_col, gfmt)
-    elif d == "gpkg":
-        _write_gpkg(parts, path, options, schema, geom_col, gfmt)
     elif d in ("esri shapefile", "shapefile", "shp"):
         _write_shapefile(parts, path, options, schema, geom_col, gfmt)
     elif d == "kml":
@@ -491,8 +495,12 @@ def gpkg_geom_blob(geom: tuple, srid: int = 4326) -> bytes:
 
 def _write_gpkg(
     parts: list[str], path: str, options: dict, schema, geom_col: str,
-    gfmt: str = "wkb",
+    gfmt: str = "wkb", append: bool = False,
 ) -> None:
+    """``append=True`` adds a NEW layer (feature table) to an existing
+    GeoPackage — the container keeps its other layers untouched; a layer
+    name collision raises instead of replacing (GDAL's create-only layer
+    semantics, reference src/lib.rs:519-528)."""
     layer = options.get("layer", "layer")
     srs = options.get("srs", "4326")
     try:
@@ -504,6 +512,27 @@ def _write_gpkg(
         for f in schema.fields
         if f.name != geom_col
     ]
+    if append:
+        if not os.path.exists(path):
+            raise ValueError(f"cannot append: {path!r} does not exist")
+        con = sqlite3.connect(path)
+        exists = con.execute(
+            "SELECT 1 FROM gpkg_contents WHERE table_name = ?", (layer,)
+        ).fetchone()
+        if exists:
+            con.close()
+            raise ValueError(
+                f"layer {layer!r} already exists in {path!r}; "
+                "pick a new layer name"
+            )
+        try:
+            _gpkg_insert_layer(
+                con, parts, layer, srid, attr_cols, geom_col, gfmt
+            )
+            con.commit()
+        finally:
+            con.close()
+        return
     if os.path.exists(path):
         os.remove(path)
     con = sqlite3.connect(path)
@@ -535,36 +564,43 @@ def _write_gpkg(
               CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
             """
         )
-        cols_sql = ", ".join(f'"{c}" {t}' for c, t in attr_cols)
-        con.execute(
-            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
-            + (f", {cols_sql}" if cols_sql else "")
-            + f', "{geom_col}" BLOB)'
-        )
-        geom_type = "GEOMETRY"
-        placeholders = ", ".join(["?"] * (len(attr_cols) + 1))
-        names = ", ".join([f'"{c}"' for c, _ in attr_cols] + [f'"{geom_col}"'])
-        for geom, props in _iter_rows(parts, geom_col, gfmt):
-            blob = None
-            if geom:
-                geom_type = geom[0].upper() if geom_type == "GEOMETRY" else geom_type
-                blob = gpkg_geom_blob(geom, srid)
-            con.execute(
-                f'INSERT INTO "{layer}" ({names}) VALUES ({placeholders})',
-                [props.get(c) for c, _ in attr_cols] + [blob],
-            )
-        con.execute(
-            "INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id)"
-            " VALUES (?, 'features', ?, ?)",
-            (layer, layer, srid),
-        )
-        con.execute(
-            "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
-            (layer, geom_col, geom_type, srid),
-        )
+        _gpkg_insert_layer(con, parts, layer, srid, attr_cols, geom_col, gfmt)
         con.commit()
     finally:
         con.close()
+
+
+def _gpkg_insert_layer(
+    con, parts, layer, srid, attr_cols, geom_col, gfmt
+) -> None:
+    """Create one feature table + its contents/geometry-columns rows."""
+    cols_sql = ", ".join(f'"{c}" {t}' for c, t in attr_cols)
+    con.execute(
+        f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
+        + (f", {cols_sql}" if cols_sql else "")
+        + f', "{geom_col}" BLOB)'
+    )
+    geom_type = "GEOMETRY"
+    placeholders = ", ".join(["?"] * (len(attr_cols) + 1))
+    names = ", ".join([f'"{c}"' for c, _ in attr_cols] + [f'"{geom_col}"'])
+    for geom, props in _iter_rows(parts, geom_col, gfmt):
+        blob = None
+        if geom:
+            geom_type = geom[0].upper() if geom_type == "GEOMETRY" else geom_type
+            blob = gpkg_geom_blob(geom, srid)
+        con.execute(
+            f'INSERT INTO "{layer}" ({names}) VALUES ({placeholders})',
+            [props.get(c) for c, _ in attr_cols] + [blob],
+        )
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id)"
+        " VALUES (?, 'features', ?, ?)",
+        (layer, layer, srid),
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
+        (layer, geom_col, geom_type, srid),
+    )
 
 
 def _write_mif(

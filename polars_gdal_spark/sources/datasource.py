@@ -700,19 +700,26 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
         self.options = dict(options)
         self.path = _opt(options, "path")
         self.overwrite = overwrite
+        self.append = False
         if not overwrite and self.path and os.path.exists(self.path):
-            # mode("append") (or default errorifexists) against an
-            # existing resource: the two-phase assemble() would silently
-            # REPLACE it — appending into a single-file vector format
-            # isn't supported (reference writers always create,
-            # src/lib.rs:629-642), so refuse loudly instead.
-            from polars_gdal_spark.errors import UpdateNotSupportedError
+            drv = str(_opt(options, "driver", self._sniff_driver())).lower()
+            if drv == "gpkg":
+                # GeoPackage is a CONTAINER: mode("append") adds a NEW
+                # LAYER to the existing dataset — the reference's
+                # layer-level write model (gdal_layer_from_df writes one
+                # layer into a dataset, src/lib.rs:499-573).
+                self.append = True
+            else:
+                # Single-file vector formats: the two-phase assemble()
+                # would silently REPLACE the resource (reference writers
+                # always create, src/lib.rs:629-642) — refuse loudly.
+                from polars_gdal_spark.errors import UpdateNotSupportedError
 
-            raise UpdateNotSupportedError(
-                f"cannot append to existing resource {self.path!r}: "
-                "the gdal sink only supports mode('overwrite') "
-                "(or writing to a fresh path)"
-            )
+                raise UpdateNotSupportedError(
+                    f"cannot append to existing resource {self.path!r}: "
+                    "only GPKG supports mode('append') (a new layer); "
+                    "other drivers need mode('overwrite') or a fresh path"
+                )
         self.geom_col = _opt(options, "geometryColumn", "geometry")
         self.gfmt = _opt(options, "geometryFormat")
         self.driver_name = _opt(options, "driver", self._sniff_driver())
@@ -826,6 +833,7 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             self.geom_col,
             partitioned=self.partitioned,
             gfmt=self.gfmt,
+            append=self.append,
         )
         self._cleanup(keep_parts=self.partitioned)
 

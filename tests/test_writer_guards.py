@@ -76,3 +76,31 @@ def test_z_range_written_to_header(tmp_path):
         zmin, zmax = struct.unpack("<2d", head[68:84])
         assert code == 11  # PointZ
         assert (zmin, zmax) == (-5.0, 12.5)
+
+
+def test_gpkg_append_adds_layer(spark, tmp_path):
+    """GPKG is a container: mode('append') adds a NEW layer, leaves the
+    existing ones untouched, and refuses a layer-name collision."""
+    out = str(tmp_path / "multi.gpkg")
+    pt = bytes.fromhex("0101000000000000000000f03f0000000000000040")
+    cities = spark.createDataFrame(
+        [("berlin", pt)], "name string, geometry binary"
+    )
+    roads = spark.createDataFrame(
+        [("a1", pt), ("a2", pt)], "road string, geometry binary"
+    )
+    cities.write.format("gdal").mode("overwrite").option(
+        "layer", "cities"
+    ).save(out)
+    roads.write.format("gdal").mode("append").option("layer", "roads").save(
+        out
+    )
+    back_c = spark.read.format("gdal").option("layer", "cities").load(out)
+    back_r = spark.read.format("gdal").option("layer", "roads").load(out)
+    assert [r["name"] for r in back_c.collect()] == ["berlin"]
+    assert sorted(r["road"] for r in back_r.collect()) == ["a1", "a2"]
+    with pytest.raises(Exception) as ei:
+        cities.write.format("gdal").mode("append").option(
+            "layer", "cities"
+        ).save(out)
+    assert "already exists" in str(ei.value)
