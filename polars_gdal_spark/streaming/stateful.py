@@ -55,3 +55,75 @@ def stateful_sessionize(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API — the successor to
+# applyInPandasWithState; typed per-key state cells, RocksDB-backed).
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas``:
+    event count, value total, and distinct event-type count accumulate
+    across micro-batches in typed state cells (a ValueState for the
+    scalar counters, a ListState for the seen-type set).
+
+    State is per-key and RocksDB-backed (set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider), so memory stays bounded per executor regardless of user
+    cardinality — the shape that survives an unbounded key space.
+    Update-mode output: one refreshed row per user per micro-batch.
+
+    Runtime requirement: transformWithState's Python state protocol
+    needs ``google.protobuf``; the equivalence test skips where it is
+    absent (this container), and ``stateful_sessionize``'s
+    applyInPandasWithState path covers the stateful surface there.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+            self._types = handle.getListState("types", "t STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, types = 0, 0.0, set()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                types |= set(pdf["event_type"].dropna())
+            if self._totals.exists():
+                pn, ptotal = self._totals.get()
+                n += int(pn)
+                total += float(ptotal)
+            seen = {t for (t,) in self._types.get()}
+            new = types - seen
+            if new:
+                self._types.appendList([(t,) for t in sorted(new)])
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_event_types": [len(seen | types)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint,"
+            " total_value double, n_event_types bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -288,3 +288,56 @@ def test_stream_reader_watermark_offsets(spark, tmp_path):
     # empty poll keeps the watermark
     rows, off3 = r.read(off2)
     assert list(rows) == [] and off3 == off2
+
+
+def test_transform_with_state_user_stats(spark, tmp_path):
+    """transformWithStateInPandas running stats equal the batch groupBy
+    when the stream drains (update mode → take each user's last row)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state protocol needs protobuf,"
+        " absent in this container",
+    )
+    from polars_gdal_spark.streaming.stateful import stateful_user_stats
+
+    events_dir = tmp_path / "tws_in"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stateful_user_stats(_events_stream(spark, events_dir))
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["n_event_types"])
+        for r in spark.table("tws_stats").collect()
+    }
+    batch = load_tables(spark, SF_SMOKE)["events"]
+    expected = {
+        r["user_id"]: (r["n"], r["tv"], r["nt"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("tv"),
+            F.count_distinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u, (n, tv, nt) in expected.items():
+        gn, gtv, gnt = got[u]
+        assert (gn, gnt) == (n, nt)
+        assert gtv == pytest.approx(tv, rel=1e-9)
