@@ -29,6 +29,7 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     gml,
     kml_gpx,
     mapinfo_mif,
+    osm_xml,
     shapefile,
     sqlite_vec,
     topojson,
