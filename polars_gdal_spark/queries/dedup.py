@@ -511,3 +511,102 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(
         aug, "doc", "text", max_hamming=3, bits=32, max_bucket=64
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    nch AS (
+      SELECT doc_id, tk,
+             CAST(ceil(len(tk) / 8.0) AS BIGINT) AS nc
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, nc),
+                    i -> doc_id * 1000000 + i)) AS pos,
+             unnest(list_transform(range(0, nc),
+                    i -> md5(array_to_string(tk[i*8+1 : i*8+8], ' ')))) AS h
+      FROM nch
+    ),
+    winners AS (
+      SELECT h, min(pos) AS wpos FROM chunks GROUP BY h
+    ),
+    kept AS (
+      SELECT wpos // 1000000 AS doc_id, count(*) AS kept_chunks
+      FROM winners GROUP BY 1
+    )
+    SELECT n.doc_id,
+           n.nc AS total_chunks,
+           CAST(coalesce(k.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           CAST(n.nc - coalesce(k.kept_chunks, 0) AS BIGINT) AS dropped_chunks
+    FROM nch n LEFT JOIN kept k ON n.doc_id = k.doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact substring dedup (the scalable stand-in for
+    suffix-array dedup): split every document into consecutive 8-token
+    chunks, hash each chunk, and keep only the corpus-wide FIRST
+    occurrence of each chunk text — first = smallest (doc_id, chunk_idx),
+    encoded as the single integer ``doc_id*1e6 + idx`` so min() orders
+    pairs exactly on both engines. Reports per-document kept/dropped
+    chunk counts.
+
+    Scale shape: chunk generation is a narrow transform fused into the
+    scan (higher-order functions, zero Python); the only shuffle is the
+    groupBy on the 128-bit chunk hash — uniform keys, map-side combined
+    min(). At 100 TB this is exactly the CCNet/RefinedWeb paragraph-hash
+    dedup plan: linear scan + one balanced shuffle, no all-pairs stage.
+    Reference parity: extends exact dedup (SURVEY §2.L) below document
+    granularity.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = _toks(F.col("text"))
+    base = docs.select("doc_id", tk.alias("tk"))
+    nch = base.select(
+        "doc_id",
+        "tk",
+        F.ceil(F.size("tk") / F.lit(8.0)).cast("bigint").alias("nc"),
+    )
+    chunks = nch.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(nc as int) - 1),"
+                " i -> array_join(slice(tk, i*8 + 1, 8), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    ).select(
+        (F.col("doc_id") * 1000000 + F.col("idx")).alias("pos"),
+        F.md5(F.col("chunk")).alias("h"),
+    )
+    winners = chunks.groupBy("h").agg(F.min("pos").alias("wpos"))
+    kept = (
+        winners.select(
+            F.expr("wpos div 1000000").cast("bigint").alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("kept_chunks"))
+    )
+    return (
+        nch.select("doc_id", F.col("nc").alias("total_chunks"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chunks",
+            F.coalesce(F.col("kept_chunks"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chunks"),
+            (
+                F.col("total_chunks")
+                - F.coalesce(F.col("kept_chunks"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dropped_chunks"),
+        )
+    )

@@ -350,3 +350,69 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_overlap",
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS ntok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, ntok,
+             sum(ntok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST((cum - ntok) // 128 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each source shard's
+    documents in deterministic (doc_id) order and cut the token stream
+    into 128-token context windows; each document is assigned to the
+    pack where its first token lands (offset-based packing accounting).
+    Output: per-pack document count and started-token mass.
+
+    Scale shape: packing is per-shard (``partitionBy source``) — the
+    window sort never needs a global order, so 1000 executors each pack
+    their own shards in parallel; one shuffle on the shard key, running
+    sum computed within partitions. This is exactly how GPT-style data
+    loaders pack at 100 TB: shard-local greedy fill, no cross-shard
+    coordination. Pure integer math (token counts, integer division)
+    keeps the result hash-identical to the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    from polars_gdal_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select(
+        "source",
+        "doc_id",
+        T.token_count(F.col("text")).alias("ntok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "source", "ntok", F.sum("ntok").over(w).alias("cum")
+    )
+    return c.groupBy(
+        "source",
+        F.expr("(cum - ntok) div 128").cast("bigint").alias("pack_id"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("pack_tokens"),
+    )

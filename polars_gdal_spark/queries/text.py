@@ -357,3 +357,103 @@ def text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("df") / F.count("*").cast("double")).alias("typicality"),
         )
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+      FROM cnt GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique,
+           CAST(coalesce(top.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(top.top_bigram_count, 0) AS BIGINT)
+             AS top_bigram_count,
+           CAST(CASE WHEN coalesce(top.n_bigrams, 0) > 0
+                      AND 5 * coalesce(top.top_bigram_count, 0)
+                          >= top.n_bigrams
+                     THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM toks t LEFT JOIN top ON t.doc_id = top.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, computed entirely
+    row-locally (zero shuffle): per document, the unique-token count and
+    the frequency of its most common bigram. Docs whose top bigram covers
+    ≥20% of all bigrams are flagged ``repetitive`` — the classic
+    boilerplate/spam gate (Rae et al. 2021 §A1.1), in pure integer math.
+
+    The max-bigram count is found without exploding rows: sort the
+    in-row bigram array, then one ``aggregate`` pass finds the longest
+    equal-run. All higher-order JVM expressions fused into the scan —
+    the 100 TB plan is a single narrow map stage, nothing to shuffle or
+    skew. (The DuckDB oracle computes the same counts by explode+groupBy,
+    proving plan-shape independence of the values.)
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    base = docs.select("doc_id", tk.alias("tk"))
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so the
+    # single-token case must short-circuit to an empty array explicitly.
+    bg = F.expr(
+        "CASE WHEN size(tk) < 2 THEN array()"
+        " ELSE array_sort(transform(sequence(1, size(tk) - 1),"
+        " i -> concat(tk[i-1], ' ', tk[i]))) END"
+    )
+    top = F.expr(
+        "aggregate(bg,"
+        " named_struct('best', 0, 'run', 0, 'prev', ''),"
+        " (acc, x) -> named_struct("
+        "   'best', greatest(acc.best,"
+        "           CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END),"
+        "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
+        "   'prev', x),"
+        " acc -> acc.best)"
+    )
+    sig = base.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("bigint").alias("n_unique"),
+        F.expr("greatest(size(tk) - 1, 0)").cast("bigint").alias("n_bigrams"),
+        bg.alias("bg"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        "n_bigrams",
+        top.cast("bigint").alias("top_bigram_count"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        "n_bigrams",
+        "top_bigram_count",
+        F.when(
+            (F.col("n_bigrams") > 0)
+            & (5 * F.col("top_bigram_count") >= F.col("n_bigrams")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("repetitive"),
+    )
