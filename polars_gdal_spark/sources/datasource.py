@@ -871,9 +871,11 @@ class GdalDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> GdalDataSourceWriter:
         return GdalDataSourceWriter(schema, self.options, overwrite)
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         """File-arrival micro-batch streaming over a directory of vector
-        files (engine extension; the reference is batch-only, SURVEY §2.K)."""
+        files (engine extension; the reference is batch-only, SURVEY §2.K).
+        Full stream-reader API: the driver only lists filenames; each
+        file's feature decode is an executor-side input partition."""
         from polars_gdal_spark.streaming import GdalStreamReader
 
         return GdalStreamReader(schema, self.options)

@@ -4,24 +4,54 @@ The reference is batch-only (SURVEY §2.K); this module is the engine's
 Spark-native extension: file-arrival micro-batches for the ``gdal``
 source plus windowed/stateful recipes over event streams.
 
-``GdalStreamReader`` (wired via ``GdalDataSource.simpleStreamReader``)
-treats a directory as an append-only stream of vector files: the offset
-is the count of processed files in sorted-name order, so replay is
-deterministic and exactly-once per file.
+``GdalStreamReader`` (wired via ``GdalDataSource.streamReader``) treats
+a directory as an append-only stream of vector files: the offset is a
+lexicographic filename watermark, so replay is deterministic and
+exactly-once per file. It is a FULL ``DataSourceStreamReader``: only the
+directory listing happens on the driver (``latestOffset``); the feature
+decode of each file in a batch runs as its own input partition on the
+executors — the shape that keeps a high-rate file stream scalable,
+unlike the Simple-reader API whose prefetch funnels every row through
+the driver process.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 
-class GdalStreamReader(SimpleDataSourceStreamReader):
-    """File-arrival micro-batch reader over a directory of vector files."""
+class GdalStreamReader(DataSourceStreamReader):
+    """File-arrival micro-batch reader over a directory of vector files.
+
+    Offsets are a lexicographic filename WATERMARK (``{"last": name}``)
+    — stable under late-listing replays, unlike index slicing, which
+    misaligns if a file whose name sorts before the watermark ever
+    appears. (Consequence, shared with any watermark scheme: names must
+    arrive in sorted order; a file sorting below the watermark is
+    skipped.) Legacy ``{"n_files": N}`` index offsets from old
+    checkpoints are still honored on the read path.
+
+    ``maxFilesPerBatch`` caps how far ``latestOffset`` advances per
+    micro-batch (admission control). Caveat: ``Trigger.AvailableNow``
+    snapshots ONE ``latestOffset`` result as its target, so with a cap
+    set it drains a single capped step — the Python stream-reader API
+    has no admission-control hook for the engine's availableNow wrapper
+    to iterate. To drain a capped backlog, run continuous with
+    ``processAllAvailable()`` (what the tests do), or leave the cap off
+    for availableNow runs. The engine holds the committed
+    offset (checkpoint); this object's ``_last`` is only a monotone
+    lower bound on it, re-learned from ``partitions``/``commit`` calls
+    (the engine's authoritative offsets) — so after a checkpoint restart
+    the reader either resumes at the replayed batch's end offset or
+    walks forward through empty batches until the watermark passes the
+    checkpoint. It never re-emits committed files, because ``partitions``
+    only spans ``(start, end]`` as given by the engine.
+    """
 
     def __init__(self, schema, options: dict):
         from polars_gdal_spark.sources.datasource import GdalDataSourceReader
@@ -29,6 +59,8 @@ class GdalStreamReader(SimpleDataSourceStreamReader):
         self.options = dict(options)
         self.path = options.get("path")
         self._reader = GdalDataSourceReader(schema, options)
+        # Monotone lower bound on the engine's committed watermark.
+        self._last: str = ""
 
     def _list_files(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -40,19 +72,6 @@ class GdalStreamReader(SimpleDataSourceStreamReader):
             and not f.endswith((".shx", ".dbf", ".prj", ".cpg", ".tmp"))
         )
 
-    def _after(self, files: list[str], off: dict) -> list[str]:
-        """Files past an offset. Offsets are a lexicographic filename
-        WATERMARK (``{"last": name}``) — stable under late-listing
-        replays, unlike index slicing, which misaligns if a file whose
-        name sorts before the watermark ever appears. (Consequence,
-        shared with any watermark scheme: names must arrive in sorted
-        order; a file sorting below the watermark is skipped.) Legacy
-        ``{"n_files": N}`` index offsets are still honored."""
-        if "n_files" in off:
-            return files[int(off["n_files"]) :]
-        last = off.get("last", "")
-        return [f for f in files if f > last]
-
     def _cap(self) -> int | None:
         v = self.options.get(
             "maxfilesperbatch", self.options.get("maxFilesPerBatch")
@@ -60,52 +79,51 @@ class GdalStreamReader(SimpleDataSourceStreamReader):
         return int(v) if v is not None else None
 
     def initialOffset(self) -> dict:
+        # Pure query — the engine may call this before or after
+        # latestOffset; it must not move the watermark.
         return {"last": ""}
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        from polars_gdal_spark.sources.datasource import GdalInputPartition
-        from polars_gdal_spark.sources.formats import find_driver
-
-        new = self._after(self._list_files(), start)
+    def latestOffset(self) -> dict:
+        pending = [f for f in self._list_files() if f > self._last]
         cap = self._cap()
         if cap is not None:
-            new = new[:cap]  # rate limit; the engine re-polls for the rest
+            pending = pending[:cap]  # engine re-polls for the rest
+        if pending:
+            self._last = pending[-1]
+        return {"last": self._last}
 
-        # materialized list, not a generator: the engine pickles the
-        # prefetched batch for replay on failure
-        rows: list[tuple] = []
-        for path in new:
-            driver = find_driver(path, self._reader.allowed)
-            layer = driver.list_layers(path, self.options)[0]
-            rows.extend(self._reader.read(GdalInputPartition(path, layer)))
-        if new:
-            end = {"last": new[-1]}
-        elif "n_files" in start:  # convert a legacy offset on first touch
-            files = self._list_files()
-            n = int(start["n_files"])
-            end = {"last": files[n - 1] if 0 < n <= len(files) else ""}
-        else:
-            end = {"last": start.get("last", "")}
-        return iter(rows), end
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from polars_gdal_spark.sources.datasource import GdalInputPartition
         from polars_gdal_spark.sources.formats import find_driver
 
         files = self._list_files()
-        if "n_files" in start and "n_files" in end:
-            span = files[int(start["n_files"]) : int(end["n_files"])]
+        if "n_files" in start:  # legacy checkpoint offset
+            lo_files = files[int(start["n_files"]) :]
         else:
             lo = start.get("last", "")
-            hi = end.get("last", "")
-            span = [f for f in files if lo < f <= hi]
+            lo_files = [f for f in files if f > lo]
+        hi = end.get("last", "")
+        # The engine's offsets are authoritative (e.g. a checkpoint
+        # replay on restart) — fold them into the watermark bound.
+        if hi > self._last:
+            self._last = hi
+        span = [f for f in lo_files if f <= hi]
+        parts: list[InputPartition] = []
         for path in span:
             driver = find_driver(path, self._reader.allowed)
             layer = driver.list_layers(path, self.options)[0]
-            yield from self._reader.read(GdalInputPartition(path, layer))
+            parts.append(GdalInputPartition(path, layer))
+        return parts
+
+    def read(self, partition: InputPartition) -> Iterator:
+        # Executor-side: full feature decode of one file/layer, exactly
+        # the batch scan path (Arrow RecordBatches where mappable).
+        return self._reader.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        last = end.get("last")
+        if last is not None and last > (self._last or ""):
+            self._last = last
 
 
 # ----------------------------------------------------------- recipes

@@ -263,9 +263,20 @@ def test_stream_reader_rate_limit(spark, tmp_path):
     assert all(p["numInputRows"] <= 6 for p in batches)  # ≤2 files × 3 rows
 
 
+def _n_rows(reader, parts) -> int:
+    """Row count across partitions; read() yields Arrow RecordBatches
+    (the scan fast path) or plain tuples (fallback)."""
+    n = 0
+    for p in parts:
+        for item in reader.read(p):
+            n += getattr(item, "num_rows", None) or 1
+    return n
+
+
 def test_stream_reader_watermark_offsets(spark, tmp_path):
-    """Filename-watermark offsets: a later file named after the watermark
-    is picked up; batches replay stably by name range."""
+    """Filename-watermark offsets on the full stream-reader API: a later
+    file named after the watermark is picked up; partition ranges replay
+    stably; the listing happens driver-side but reads are per-partition."""
     from polars_gdal_spark.streaming import GdalStreamReader
 
     src = tmp_path / "wm_in"
@@ -276,18 +287,57 @@ def test_stream_reader_watermark_offsets(spark, tmp_path):
         spark.read.format("gdal").load(str(src / "a.geojson")).schema
     )
     r = GdalStreamReader(schema, {"path": str(src)})
-    rows, off1 = r.read(r.initialOffset())
-    assert len(list(rows)) == 2 and off1["last"].endswith("b.geojson")
+    off0 = r.initialOffset()
+    off1 = r.latestOffset()
+    assert off1["last"].endswith("b.geojson")
+    parts1 = r.partitions(off0, off1)
+    assert len(parts1) == 2 and _n_rows(r, parts1) == 2
     # new file after the watermark
     _write_batch(src, "c.geojson", [_feature(3, "x")])
-    rows, off2 = r.read(off1)
-    assert len(list(rows)) == 1 and off2["last"].endswith("c.geojson")
+    off2 = r.latestOffset()
+    assert off2["last"].endswith("c.geojson")
+    parts2 = r.partitions(off1, off2)
+    assert len(parts2) == 1 and _n_rows(r, parts2) == 1
     # replay exactly the second batch by offset range
-    replay = list(r.readBetweenOffsets(off1, off2))
-    assert len(replay) == 1
+    assert _n_rows(r, r.partitions(off1, off2)) == 1
+    # legacy n_files checkpoint offsets still resolve
+    assert _n_rows(r, r.partitions({"n_files": 1}, off2)) == 2
     # empty poll keeps the watermark
-    rows, off3 = r.read(off2)
-    assert list(rows) == [] and off3 == off2
+    off3 = r.latestOffset()
+    assert off3 == off2 and r.partitions(off2, off3) == []
+
+
+def test_stream_reader_restart_resumes_from_replay(spark, tmp_path):
+    """A fresh reader instance (restarted worker) re-learns the engine's
+    checkpointed position from the replayed partitions() call and never
+    re-emits committed files; the cap applies in steady state."""
+    from polars_gdal_spark.streaming import GdalStreamReader
+
+    src = tmp_path / "rs_in"
+    src.mkdir()
+    for name in ("a.geojson", "b.geojson", "c.geojson"):
+        _write_batch(src, name, [_feature(1, "x")])
+    schema = (
+        spark.read.format("gdal").load(str(src / "a.geojson")).schema
+    )
+    r = GdalStreamReader(schema, {"path": str(src), "maxFilesPerBatch": "1"})
+    # engine replays the last uncommitted batch (b, c] from its checkpoint
+    replay = r.partitions(
+        {"last": str(src / "b.geojson")}, {"last": str(src / "c.geojson")}
+    )
+    assert len(replay) == 1 and replay[0].path.endswith("c.geojson")
+    # subsequent polls resume past the replayed end, one file per batch
+    _write_batch(src, "d.geojson", [_feature(2, "x")])
+    _write_batch(src, "e.geojson", [_feature(3, "x")])
+    assert r.latestOffset()["last"].endswith("d.geojson")
+    assert r.latestOffset()["last"].endswith("e.geojson")
+    # a brand-new instance with no replay walks forward through empty
+    # batches instead of re-reading: partitions clamps to (start, end]
+    r2 = GdalStreamReader(schema, {"path": str(src), "maxFilesPerBatch": "1"})
+    off = r2.latestOffset()  # advances from "" -> a.geojson
+    assert off["last"].endswith("a.geojson")
+    ckpt = {"last": str(src / "e.geojson")}  # engine-held committed offset
+    assert r2.partitions(ckpt, off) == []  # end < start -> nothing re-read
 
 
 def test_transform_with_state_user_stats(spark, tmp_path):
