@@ -210,3 +210,78 @@ def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.posexplode("embedding").alias("pos", "val"),
     )
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH {_Q_SQL},
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM q WHERE vec_id < 8),
+    vecs AS (SELECT vec_id, v FROM q WHERE vec_id > 8),
+    qq AS (SELECT v AS qv FROM q WHERE vec_id = 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vecs.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY list_dot_product(vecs.v, cent.cv)
+                          / (sqrt(list_dot_product(vecs.v, vecs.v))
+                             * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                          cent.centroid_id) AS rk
+        FROM vecs, cent
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM cent, qq
+      ORDER BY list_dot_product(cent.cv, qq.qv)
+               / (sqrt(list_dot_product(cent.cv, cent.cv))
+                  * sqrt(list_dot_product(qq.qv, qq.qv))) DESC, centroid_id
+      LIMIT 2
+    ),
+    ivf AS (
+      SELECT v.vec_id
+      FROM vecs v
+      JOIN assign a ON a.vec_id = v.vec_id
+      JOIN probe p ON p.centroid_id = a.centroid_id, qq
+      ORDER BY list_dot_product(v.v, qq.qv)
+               / (sqrt(list_dot_product(v.v, v.v))
+                  * sqrt(list_dot_product(qq.qv, qq.qv))) DESC, v.vec_id
+      LIMIT 5
+    ),
+    exact AS (
+      SELECT a.vec_id
+      FROM vecs a, qq
+      ORDER BY list_dot_product(a.v, qq.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(qq.qv, qq.qv))) DESC, a.vec_id
+      LIMIT 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS recall_hits,
+           count(*) / 5.0 AS recall_at_5
+    FROM exact JOIN ivf USING (vec_id)
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@5 of the IVF probe search against the
+    brute-force exact top-5 on the same corpus (centroids = vec 0-7,
+    query = vec 8, corpus = the rest). The number every production ANN
+    deployment tracks — here computed engine-side as a semi-join of the
+    two top-k lists, so the metric itself is oracle-checked.
+
+    Scale shape: both arms are the already-bounded top-k plans (pruned
+    IVF scan; single-pass TakeOrderedAndProject brute force); the recall
+    join is 5×5 rows. At 100 TB you sample queries and run this exact
+    composition per query — recall measurement costs one extra broadcast
+    join, not a second corpus pass."""
+    from polars_gdal_spark.functions.similarity import ivf_search
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") > 8)
+    qv = emb.where(F.col("vec_id") == 8)
+    ivf5 = ivf_search(corpus, centroids, qv, k=5, n_probe=2).select("vec_id")
+    exact5 = S.cosine_topk(corpus, qv, k=5).select("vec_id")
+    return exact5.join(ivf5, "vec_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("recall_hits"),
+        (F.count("*") / F.lit(5.0)).alias("recall_at_5"),
+    )
