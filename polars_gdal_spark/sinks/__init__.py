@@ -133,11 +133,15 @@ def assemble(
         _write_mif(parts, path, options, schema, geom_col, gfmt)
     elif d == "dxf":
         _write_dxf(parts, path, options, schema, geom_col, gfmt)
+    elif d in ("pgdump", "pg_dump", "postgresql"):
+        from polars_gdal_spark.sinks.pgdump_writer import write_pgdump
+
+        write_pgdump(parts, path, options, schema, geom_col, gfmt)
     else:
         raise ValueError(
             f"unsupported write driver {driver!r} "
             "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, "
-            "GPX, GML, FlatGeobuf, MapInfo File, DXF)"
+            "GPX, GML, FlatGeobuf, MapInfo File, DXF, PGDump)"
         )
 
 

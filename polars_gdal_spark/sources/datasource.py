@@ -756,6 +756,8 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             return "MapInfo File"
         if p.endswith(".dxf"):
             return "DXF"
+        if p.endswith(".sql"):
+            return "PGDump"
         return "GeoJSON"
 
     def _decode_geom(self, v) -> dict | None:
