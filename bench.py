@@ -52,6 +52,11 @@ HEADLINE = [
     "events_funnel",
     "pipeline_training_prep_v2",
     "text_heavy_hitters",
+    # round-2 continuation
+    "dedup_chunk_exact",
+    "text_repetition_signals",
+    "pipeline_pack_sequences",
+    "sim_ann_recall",
 ]
 
 

@@ -844,3 +844,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
     )
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``session_window`` (30-min
+    inactivity gap): each user's events merge into sessions whose end
+    extends 30 min past the last event — all JVM-side, and the *same
+    expression* runs under Structured Streaming with a watermark (the
+    state-store-backed sessionizer); ``events_sessionize`` counts the
+    sessions with lag+flag-sum, this one materializes their extents.
+    One shuffle on (user, session-merge); map-side partial aggregation
+    applies. The DuckDB oracle derives identical extents by
+    gaps-and-islands (lag flag → running sum → group), proving the
+    built-in operator against first principles; timestamps emitted as
+    epoch micros (never hash raw timestamps)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -297,3 +297,34 @@ def streaming_decontaminate(
         )
         .drop("_bench_shingles")
     )
+
+
+def session_event_aggs(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-session aggregates via the native ``session_window`` — the
+    state-store-backed sessionizer. The SAME expression runs in batch
+    (where queries.relational.events_session_windows oracle-checks it)
+    and under a watermark in streaming: sessions close once the
+    watermark passes their gap-extended end, so state is bounded."""
+    ev = events
+    if events.isStreaming:
+        ev = events.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -391,3 +391,47 @@ def test_transform_with_state_user_stats(spark, tmp_path):
         gn, gtv, gnt = got[u]
         assert (gn, gnt) == (n, nt)
         assert gtv == pytest.approx(tv, rel=1e-9)
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native session_window: the streaming run (watermarked, append)
+    emits exactly the batch sessions once the stream drains."""
+    from polars_gdal_spark.streaming import session_event_aggs
+
+    events_dir = tmp_path / "events_sw"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    q = (
+        session_event_aggs(_events_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("sw_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def key(rows):
+        return sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], round(r["sum_value"], 6))
+            for r in rows
+        )
+
+    batch = load_tables(spark, SF_SMOKE)["events"]
+    got = key(spark.table("sw_stream").collect())
+    want = key(session_event_aggs(batch).collect())
+    # Append mode emits only sessions the watermark closed. The final
+    # watermark is max(ts) - 1h delay, so sessions ending in the last
+    # hour of the stream remain open and unemitted — every emitted
+    # session must match batch, and every batch session that ended
+    # before the final watermark must have been emitted.
+    import datetime
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    got_set = set(got)
+    assert len(got) > 0 and got_set <= set(want)
+    closed = [s for s in want if s[2] < wm]  # s[2] = session_end
+    assert all(s in got_set for s in closed)

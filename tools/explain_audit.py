@@ -61,6 +61,16 @@ EXPECT = {
     "asof_click_next_purchase": ["Window", "!CartesianProduct"],
     # per-doc top-k rank truncates per partition
     "text_tfidf_topk": ["WindowGroupLimit"],
+    # chunk hashes shuffle once (partial min first), never all-pairs
+    "dedup_chunk_exact": ["partial", "!CartesianProduct"],
+    # repetition signals are a pure narrow map: no exchange anywhere
+    "text_repetition_signals": ["!Exchange"],
+    # shard-local window then groupBy reuses the same source hash
+    # partitioning — no cartesian, window runs partitioned (not global)
+    "pipeline_pack_sequences": ["Window", "!CartesianProduct"],
+    # both top-k arms collapse to TakeOrderedAndProject; recall join
+    # broadcasts the 5-row IVF side
+    "sim_ann_recall": ["TakeOrderedAndProject", "BroadcastHashJoin"],
 }
 
 
