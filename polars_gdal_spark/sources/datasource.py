@@ -629,7 +629,10 @@ class GdalDataSourceReader(DataSourceReader):
                         feat.props.get(attr_src[name]), self.dtypes[name]
                     )
                 )
-            row.append(self._encode_geom(feat.geom))
+            if feat.wkb is not None and self.gfmt == "wkb":
+                row.append(feat.wkb)  # driver fast path: pre-encoded WKB
+            else:
+                row.append(self._encode_geom(feat.geom))
             emitted += 1
             yield tuple(row)
 

@@ -25,11 +25,19 @@ class Field:
 
 @dataclass
 class Feature:
-    """One row from a layer: source FID, geometry (internal rep), props."""
+    """One row from a layer: source FID, geometry (internal rep), props.
+
+    ``wkb``: optional pre-encoded ISO WKB bytes — a driver fast path for
+    formats whose on-disk coordinate layout already matches WKB (e.g.
+    shapefile: little-endian float64 (x,y) pairs memcpy straight into
+    the WKB body). Only emitted when the read requested wkb output and
+    no bbox filter (the reader's bbox refine needs the tuple rep);
+    ``geom`` is None in that case."""
 
     fid: int | None
     geom: tuple | None
     props: dict = field(default_factory=dict)
+    wkb: bytes | None = None
 
 
 class FormatDriver:

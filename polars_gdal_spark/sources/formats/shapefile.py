@@ -47,6 +47,109 @@ def _ring_is_clockwise(ring) -> bool:
     return s > 0
 
 
+def _shape_to_wkb(content: bytes) -> bytes | None:
+    """Direct shape-record → ISO WKB fast path (2D types only).
+
+    Shapefile stores coordinates as little-endian float64 (x, y) pairs —
+    byte-identical to the WKB body — so ring/point blocks are sliced
+    (memcpy) instead of unpacked and re-packed per point. Produces
+    exactly the bytes ``geom_to_wkb(_parse_shape(content))`` would
+    (pinned by test_shapefile_fastpath_byte_equality). Returns None for
+    Null shapes and Z/M variants (tuple path handles those).
+
+    Polygon ring→poly grouping needs each ring's winding, computed here
+    as a vectorized numpy sum; np.sum's pairwise accumulation can round
+    differently from the sequential sum in ``_ring_is_clockwise``, which
+    could flip the sign only for degenerate (≈zero signed area) rings.
+    """
+    (stype,) = struct.unpack_from("<i", content)
+    if stype == _SHAPE_NULL or stype in _HAS_Z:
+        return None
+    if stype in _POINT:
+        return b"\x01\x01\x00\x00\x00" + content[4:20]
+    mv = memoryview(content)
+    if stype in _MULTIPOINT:
+        (n,) = struct.unpack_from("<i", content, 36)
+        out = [b"\x01\x04\x00\x00\x00", struct.pack("<I", n)]
+        for i in range(n):
+            out.append(b"\x01\x01\x00\x00\x00")
+            out.append(mv[40 + 16 * i : 56 + 16 * i])
+        return b"".join(out)
+    if stype in _POLYLINE or stype in _POLYGON:
+        nparts, npoints = struct.unpack_from("<2i", content, 36)
+        bounds = list(struct.unpack_from(f"<{nparts}i", content, 44))
+        bounds.append(npoints)
+        off = 44 + 4 * nparts
+
+        def block(i: int):
+            return mv[off + 16 * bounds[i] : off + 16 * bounds[i + 1]]
+
+        counts = [bounds[i + 1] - bounds[i] for i in range(nparts)]
+        if stype in _POLYLINE:
+            if nparts == 1:
+                return (
+                    b"\x01\x02\x00\x00\x00"
+                    + struct.pack("<I", npoints)
+                    + bytes(block(0))
+                )
+            out = [b"\x01\x05\x00\x00\x00", struct.pack("<I", nparts)]
+            for i in range(nparts):
+                out.append(b"\x01\x02\x00\x00\x00")
+                out.append(struct.pack("<I", counts[i]))
+                out.append(block(i))
+            return b"".join(out)
+        # Polygon: a single ring needs no winding analysis at all.
+        if nparts == 1:
+            return (
+                b"\x01\x03\x00\x00\x00"
+                + struct.pack("<I", 1)
+                + struct.pack("<I", npoints)
+                + bytes(block(0))
+            )
+        # Multiple rings: group into polygons by winding order.
+        import numpy as np
+
+        arr = np.frombuffer(
+            content, "<f8", count=2 * npoints, offset=off
+        ).reshape(-1, 2)
+        polys: list[list[int]] = []
+        for i in range(nparts):
+            ring = arr[bounds[i] : bounds[i + 1]]
+            x, y = ring[:, 0], ring[:, 1]
+            cw = float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))) > 0
+            if cw or not polys:
+                polys.append([i])
+            else:
+                polys[-1].append(i)
+
+        def poly_body(ring_idx: list[int]) -> bytes:
+            out = [struct.pack("<I", len(ring_idx))]
+            for i in ring_idx:
+                out.append(struct.pack("<I", counts[i]))
+                out.append(block(i))
+            return b"".join(out)
+
+        if len(polys) == 1:
+            return b"\x01\x03\x00\x00\x00" + poly_body(polys[0])
+        out = [b"\x01\x06\x00\x00\x00", struct.pack("<I", len(polys))]
+        for p in polys:
+            out.append(b"\x01\x03\x00\x00\x00")
+            out.append(poly_body(p))
+        return b"".join(out)
+    return None
+
+
+def _wkb_fast_ok(options: dict) -> bool:
+    """Fast path applies when the read wants wkb output and no bbox
+    refine (which needs the tuple rep)."""
+    gfmt = str(
+        options.get("geometryformat", options.get("geometryFormat", "wkb"))
+    ).lower()
+    return gfmt == "wkb" and not (
+        options.get("bbox") or options.get("bBox")
+    )
+
+
 def _parse_shape(content: bytes):
     (stype,) = struct.unpack("<i", content[:4])
     if stype == _SHAPE_NULL:
@@ -271,13 +374,22 @@ class ShapefileDriver(FormatDriver):
         offsets = _shx_offsets(path, options)[start:end]
         dbf = self._dbf(path, options)
         props_iter = dbf.read_range(start, end) if dbf else iter(dict, None)
+        fast = _wkb_fast_ok(options)
         with open(path, "rb") as f:
             for i, (off, length) in enumerate(offsets):
                 f.seek(off + 8)  # skip record header
                 content = f.read(length)
-                geom = _parse_shape(content)
                 props = next(props_iter, {})
-                yield Feature(fid=start + i, geom=geom, props=props)
+                if fast:
+                    wkb = _shape_to_wkb(content)
+                    if wkb is not None:
+                        yield Feature(
+                            fid=start + i, geom=None, props=props, wkb=wkb
+                        )
+                        continue
+                yield Feature(
+                    fid=start + i, geom=_parse_shape(content), props=props
+                )
 
     def iter_features(
         self, path: str, layer: str, options: dict
@@ -287,6 +399,7 @@ class ShapefileDriver(FormatDriver):
             # no .shx: sequential scan of .shp records
             dbf = self._dbf(path, options)
             props_iter = dbf.read_range(0, dbf.n_records) if dbf else iter(dict, None)
+            fast = _wkb_fast_ok(options)
             with open(path, "rb") as f:
                 f.seek(100)
                 fid = 0
@@ -296,11 +409,14 @@ class ShapefileDriver(FormatDriver):
                         break
                     _, len_words = struct.unpack(">2i", hdr)
                     content = f.read(len_words * 2)
-                    yield Feature(
-                        fid=fid,
-                        geom=_parse_shape(content),
-                        props=next(props_iter, {}),
-                    )
+                    props = next(props_iter, {})
+                    wkb = _shape_to_wkb(content) if fast else None
+                    if wkb is not None:
+                        yield Feature(fid=fid, geom=None, props=props, wkb=wkb)
+                    else:
+                        yield Feature(
+                            fid=fid, geom=_parse_shape(content), props=props
+                        )
                     fid += 1
             return
         yield from self.iter_features_range(path, layer, options, 0, n)
