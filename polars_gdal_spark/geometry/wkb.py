@@ -177,3 +177,67 @@ def _decode(r: _Reader) -> tuple:
     if geom_type == "GeometryCollection":
         return geom_type, [_decode(r) for _ in range(count())]
     raise WkbError(f"unhandled type {geom_type}")
+
+
+# ------------------------------------------------------- canonical check
+
+
+def _walk_canonical(d: bytes, pos: int) -> tuple[int, bool]:
+    """Walk one geometry at ``pos``; return (end_pos, is_z). Raises
+    WkbError unless the bytes are EXACTLY the engine's canonical
+    encoding (little-endian, ISO Z as type+1000, no EWKB flags) such
+    that ``geom_to_wkb(wkb_to_geom(d)) == d``. Only headers are
+    examined — coordinate blocks are skipped arithmetically."""
+    if d[pos] != 1:
+        raise WkbError("big-endian")
+    (code,) = struct.unpack_from("<I", d, pos + 1)
+    z = 1000 <= code < 2000
+    base = code - 1000 if z else code
+    nd = 3 if z else 2
+    pos += 5
+    if base == 1:  # Point
+        return pos + 8 * nd, z
+    if base == 2:  # LineString
+        (n,) = struct.unpack_from("<I", d, pos)
+        return pos + 4 + 8 * nd * n, z
+    if base == 3:  # Polygon (rings share the header's dimensionality)
+        (nr,) = struct.unpack_from("<I", d, pos)
+        pos += 4
+        for _ in range(nr):
+            (n,) = struct.unpack_from("<I", d, pos)
+            pos += 4 + 8 * nd * n
+        return pos, z
+    if base in (4, 5, 6):  # Multi*: children carry their own headers
+        (n,) = struct.unpack_from("<I", d, pos)
+        pos += 4
+        first_z = None
+        for i in range(n):
+            pos, cz = _walk_canonical(d, pos)
+            if i == 0:
+                first_z = cz
+        # re-encode derives the parent code from the FIRST child's
+        # dimensionality (empty multi → 2D): must match to reproduce.
+        if z != (first_z if first_z is not None else False):
+            raise WkbError("parent/child dimensionality mismatch")
+        return pos, z
+    if base == 7:  # GeometryCollection: always encoded 2D at the top
+        if z:
+            raise WkbError("Z collection is never canonical")
+        (n,) = struct.unpack_from("<I", d, pos)
+        pos += 4
+        for _ in range(n):
+            pos, _ = _walk_canonical(d, pos)
+        return pos, False
+    raise WkbError(f"type {code}")
+
+
+def wkb_is_canonical_le(data: bytes) -> bool:
+    """True iff ``data`` is byte-identical to the engine's canonical
+    encoding of the geometry it contains — i.e. a reader may pass the
+    slice through without decode→re-encode. O(#headers), no coordinate
+    unpacking."""
+    try:
+        end, _ = _walk_canonical(data, 0)
+    except (WkbError, IndexError, struct.error):
+        return False
+    return end == len(data)

@@ -396,3 +396,48 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args})"
         " AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)"
     )
+
+
+@query(
+    "sketch_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           1 AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched cardinality: per event type, the exact distinct-user
+    count next to a PASS flag asserting HyperLogLog++
+    (``approx_count_distinct``, rsd=2%) landed within 5% of it.
+
+    The exact column is fully hash-checked against DuckDB; the sketch
+    estimate itself is engine-specific (Spark HLL++ vs DuckDB's own
+    sketch would never hash-match) so what's verified is the accuracy
+    CONTRACT — deterministic, because Spark's HLL++ is deterministic for
+    a given input set. At 100 TB the sketch is the only affordable
+    per-key cardinality (fixed 2-4 KB of state per group vs a hash set
+    of every user id); this query documents and enforces the error you
+    accept for that exchange.
+    """
+    from polars_gdal_spark.queries import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.when(
+            (F.abs(F.col("_approx") - F.col("exact_distinct")) * 20)
+            <= F.col("exact_distinct"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("approx_within_5pct"),
+    )

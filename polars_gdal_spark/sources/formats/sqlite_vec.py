@@ -137,6 +137,13 @@ class _SqliteVectorDriver(FormatDriver):
     def _parse_geom(self, blob: bytes) -> tuple:
         raise NotImplementedError
 
+    def _fast_wkb(self, blob: bytes) -> bytes | None:
+        """Optional fast path: return canonical WKB sliced straight from
+        the stored blob (no decode→re-encode), or None to use
+        ``_parse_geom``. GPKG blobs embed standard WKB; SpatiaLite's
+        custom ringed format has no such shortcut."""
+        return None
+
     def list_layers(self, path: str, options: dict) -> list[str]:
         with sqlite3.connect(path) as con:
             return list(self._catalog(con))
@@ -209,27 +216,40 @@ class _SqliteVectorDriver(FormatDriver):
             for row in con.execute(sql):
                 yield attr_cols, row
 
-    def _to_feature(self, attr_cols, row) -> Feature:
-        rowid, blob = row[0], row[1]
-        geom = None
-        if blob is not None:
-            geom = self._parse_geom(blob)
-        return Feature(
-            fid=rowid, geom=geom, props=dict(zip(attr_cols, row[2:]))
+    @staticmethod
+    def _wkb_fast_ok(options: dict) -> bool:
+        gfmt = str(
+            options.get("geometryformat", options.get("geometryFormat", "wkb"))
+        ).lower()
+        return gfmt == "wkb" and not (
+            options.get("bbox") or options.get("bBox")
         )
+
+    def _to_feature(self, attr_cols, row, fast: bool = False) -> Feature:
+        rowid, blob = row[0], row[1]
+        props = dict(zip(attr_cols, row[2:]))
+        if blob is None:
+            return Feature(fid=rowid, geom=None, props=props)
+        if fast:
+            wkb = self._fast_wkb(blob)
+            if wkb is not None:
+                return Feature(fid=rowid, geom=None, props=props, wkb=wkb)
+        return Feature(fid=rowid, geom=self._parse_geom(blob), props=props)
 
     def iter_features(
         self, path: str, layer: str, options: dict
     ) -> Iterator[Feature]:
+        fast = self._wkb_fast_ok(options)
         for attr_cols, row in self._rows(path, layer):
-            yield self._to_feature(attr_cols, row)
+            yield self._to_feature(attr_cols, row, fast)
 
     def iter_features_range(
         self, path: str, layer: str, options: dict, start: int, end: int
     ) -> Iterator[Feature]:
         where = f" WHERE rowid >= {int(start)} AND rowid < {int(end)}"
+        fast = self._wkb_fast_ok(options)
         for attr_cols, row in self._rows(path, layer, where):
-            yield self._to_feature(attr_cols, row)
+            yield self._to_feature(attr_cols, row, fast)
 
 
 class SpatiaLiteDriver(_SqliteVectorDriver):
@@ -296,6 +316,25 @@ class GeoPackageDriver(_SqliteVectorDriver):
 
     def _parse_geom(self, blob: bytes) -> tuple:
         return parse_gpkg_blob(blob)
+
+    def _fast_wkb(self, blob: bytes) -> bytes | None:
+        """GPKG blob = GP header (+optional envelope) + standard WKB.
+        When the embedded WKB is already the engine's canonical form
+        (LE ISO — what this engine's own GPKG writer emits, and the
+        common case in the wild), slice it out; the O(#headers)
+        canonicality walk guarantees byte-identical output to the
+        decode→re-encode path."""
+        from polars_gdal_spark.geometry.wkb import wkb_is_canonical_le
+
+        if blob[:2] != b"GP":
+            return None
+        flags = blob[3]
+        env_code = (flags >> 1) & 0b111
+        env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(env_code)
+        if env_len is None:
+            return None
+        inner = blob[8 + env_len :]
+        return bytes(inner) if wkb_is_canonical_le(inner) else None
 
 
 register(GeoPackageDriver())

@@ -107,3 +107,33 @@ def test_end_to_end_read_unchanged(spark):
     for r in rows:
         t, c = wkb_to_geom(bytes(r["geometry"]))
         assert t == "Point" and len(c) == 2
+
+
+def test_gpkg_fast_wkb_slice_matches_parse(spark, tmp_path):
+    """GPKG read fast path: the sliced embedded WKB equals the
+    decode→re-encode result for every feature of a written file."""
+    from polars_gdal_spark.geometry.wkb import geom_to_wkb
+    from polars_gdal_spark.sources.formats.sqlite_vec import GeoPackageDriver
+
+    wkbs = [geom_to_wkb(g) for g in GEOMS]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(wkbs)], "id bigint, geometry binary"
+    )
+    out = str(tmp_path / "mix.gpkg")
+    # GPKG accepts mixed geometry types in one layer
+    df.write.format("gdal").mode("overwrite").option("driver", "GPKG").save(out)
+
+    drv = GeoPackageDriver()
+    feats = list(drv.iter_features(out, drv.list_layers(out, {})[0], {}))
+    assert len(feats) == len(GEOMS)
+    got = sorted(f.wkb for f in feats)
+    assert all(f.geom is None for f in feats)  # fast path fired
+    assert got == sorted(wkbs)
+    # and equals the slow path byte-for-byte
+    slow = sorted(
+        geom_to_wkb(f2.geom)
+        for f2 in drv.iter_features(
+            out, drv.list_layers(out, {})[0], {"geometryformat": "wkt"}
+        )
+    )
+    assert got == slow
