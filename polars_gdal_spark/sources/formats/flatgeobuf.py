@@ -373,6 +373,69 @@ def _decode_geom(t: _Tbl, header_type: int) -> tuple | None:
     return None
 
 
+def _decode_geom_wkb(t: _Tbl, header_type: int) -> bytes | None:
+    """Direct FlatGeobuf→canonical WKB fast path (2D only): the xy
+    vector is a contiguous little-endian float64 (x,y) buffer — exactly
+    the WKB body — so ring blocks are memcpy-sliced, never unpacked.
+    Byte-identical to ``geom_to_wkb(_decode_geom(t, header_type))``
+    (pinned by test_shapefile_fastpath.py). Returns None (tuple path)
+    when a z vector is present or for types/cases needing it."""
+    gt = t.scalar(6, "<B", 0) or header_type
+    name = _GEOM_NAMES.get(gt)
+    _zp, zn = t.vector(2)
+    if zn or name is None:
+        return None
+    p, n = t.vector(1)
+    npts = n // 2
+    buf = t.buf
+
+    def body(s: int, e: int) -> bytes:
+        return bytes(buf[p + 16 * s : p + 16 * e])
+
+    if name == "Point":
+        if npts == 0:
+            return None  # null geometry: tuple path yields geom=None
+        return b"\x01\x01\x00\x00\x00" + body(0, 1)
+    if name == "LineString":
+        return (
+            b"\x01\x02\x00\x00\x00" + struct.pack("<I", npts) + body(0, npts)
+        )
+    if name == "MultiPoint":
+        out = [b"\x01\x04\x00\x00\x00", struct.pack("<I", npts)]
+        for i in range(npts):
+            out.append(b"\x01\x01\x00\x00\x00")
+            out.append(body(i, i + 1))
+        return b"".join(out)
+    if name in ("Polygon", "MultiLineString"):
+        ends = t.uints(0) or ([npts] if npts else [])
+        spans, prev = [], 0
+        for e in ends:
+            spans.append((prev, e))
+            prev = e
+        if name == "Polygon":
+            out = [b"\x01\x03\x00\x00\x00", struct.pack("<I", len(spans))]
+            for sp, ep in spans:
+                out.append(struct.pack("<I", ep - sp))
+                out.append(body(sp, ep))
+            return b"".join(out)
+        out = [b"\x01\x05\x00\x00\x00", struct.pack("<I", len(spans))]
+        for sp, ep in spans:
+            out.append(b"\x01\x02\x00\x00\x00")
+            out.append(struct.pack("<I", ep - sp))
+            out.append(body(sp, ep))
+        return b"".join(out)
+    if name == "MultiPolygon":
+        parts = t.tables(7)
+        out = [b"\x01\x06\x00\x00\x00", struct.pack("<I", len(parts))]
+        for pt in parts:
+            w = _decode_geom_wkb(pt, _GEOM_CODES["Polygon"])
+            if w is None:
+                return None
+            out.append(w)
+        return b"".join(out)
+    return None  # GeometryCollection etc.: tuple path
+
+
 def _encode_geom(b: _Builder, geom: tuple) -> int:
     name, coords = geom
     fields: list[tuple] = [(6, "u8", _GEOM_CODES[name])]
@@ -554,17 +617,26 @@ class FlatGeobufDriver(FormatDriver):
         mnx, mny, mxx, mxy, _off = struct.unpack_from("<4dQ", data, idx_start)
         return (mnx, mny, mxx, mxy)
 
-    def _decode_at(self, data, pos, cols, geom_type, fid) -> tuple[Feature, int]:
+    def _decode_at(
+        self, data, pos, cols, geom_type, fid, fast: bool = False
+    ) -> tuple[Feature, int]:
         (fsize,) = struct.unpack_from("<I", data, pos)
         fstart = pos + 4
         root = fstart + struct.unpack_from("<I", data, fstart)[0]
         ft = _Tbl(data, root)
         gt = ft.table(0)
-        geom = _decode_geom(gt, geom_type) if gt is not None else None
         pp, pn = ft.vector(1)
         props = _decode_props(data, pp, pn, cols) if pn else {}
         for cname, _ct in cols:
             props.setdefault(cname, None)
+        if fast and gt is not None:
+            wkb = _decode_geom_wkb(gt, geom_type)
+            if wkb is not None:
+                return (
+                    Feature(fid=fid, geom=None, props=props, wkb=wkb),
+                    fstart + fsize,
+                )
+        geom = _decode_geom(gt, geom_type) if gt is not None else None
         return Feature(fid=fid, geom=geom, props=props), fstart + fsize
 
     def iter_features(
@@ -588,10 +660,14 @@ class FlatGeobufDriver(FormatDriver):
                 )
                 yield feat
             return
+        gfmt = str(
+            options.get("geometryformat", options.get("geometryFormat", "wkb"))
+        ).lower()
+        fast = gfmt == "wkb" and not bbox_opt
         fid = 0
         pos = body
         while pos + 4 <= len(data):
-            feat, pos = self._decode_at(data, pos, cols, geom_type, fid)
+            feat, pos = self._decode_at(data, pos, cols, geom_type, fid, fast)
             yield feat
             fid += 1
 

@@ -137,3 +137,29 @@ def test_gpkg_fast_wkb_slice_matches_parse(spark, tmp_path):
         )
     )
     assert got == slow
+
+
+def test_fgb_fast_wkb_matches_tuple_path(spark, tmp_path):
+    """FlatGeobuf fast path: sliced WKB equals decode→re-encode for every
+    2D type; Z geometries fall back to the tuple path."""
+    from polars_gdal_spark.geometry.wkb import geom_to_wkb
+    from polars_gdal_spark.sources.formats.flatgeobuf import (
+        FlatGeobufDriver,
+        write_fgb,
+    )
+
+    feats = [(g, {"id": i}) for i, g in enumerate(GEOMS)]
+    feats.append((("Point", (1.0, 2.0, 3.0)), {"id": 99}))  # Z: tuple path
+    p = str(tmp_path / "fp.fgb")
+    write_fgb(p, [("id", "bigint")], iter(feats))
+
+    d = FlatGeobufDriver()
+    out = list(d.iter_features(p, "layer", {}))
+    assert len(out) == len(feats)
+    for f, (g, _props) in zip(out, feats):
+        want = geom_to_wkb(g)
+        if len(g[1]) == 3 and g[0] == "Point" and isinstance(g[1], tuple):
+            # the Z point: fast path declined, tuple path produced geom
+            assert f.wkb is None and geom_to_wkb(f.geom) == want
+        else:
+            assert f.wkb == want and f.geom is None
