@@ -904,3 +904,40 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (
+      SELECT user_id, count(*) AS user_events
+      FROM events GROUP BY user_id
+    ) u ON e.user_id = u.user_id
+    GROUP BY e.user_id
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, oracle-proven equivalent to the plain join:
+    the fact side is salted into 8 shards per key and the (small,
+    aggregated) build side replicated 8×, so a pathologically hot user
+    spreads over 8 reducers instead of one straggler task — the manual
+    fallback when AQE's skew split can't fire (e.g. the skew is in a
+    shuffle AQE can't observe). The oracle runs the UNsalted join; the
+    hash match certifies result equivalence, which is the entire
+    contract of salting."""
+    from polars_gdal_spark.functions.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "value")
+    users = (
+        t["events"].groupBy("user_id").agg(F.count("*").alias("user_events"))
+    )
+    joined = salted_join(ev, users, on="user_id", salts=8)
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
