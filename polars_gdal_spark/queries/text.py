@@ -457,3 +457,49 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("repetitive"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH nums AS (
+      SELECT doc_id, text,
+             list_filter(
+               range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)),
+               i -> i % 4 = 0) AS idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(idx) AS frame_no,
+             unnest(list_transform(idx,
+                    i -> md5(substring(text, CAST(i*64 + 1 AS INT), 64))))
+               AS frame_md5
+      FROM nums
+    )
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, frame_md5 FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over the multimodal payload convention:
+    chunk each binary payload into 64-byte pseudo-frames, keep every
+    4th, and emit per-frame digests — the explode-to-frames shape a real
+    video pipeline uses before per-frame feature extraction. ASCII text
+    bytes stand in for the opaque payload (the decode itself is the
+    documented stub), so the oracle reproduces the frames with plain
+    substring arithmetic, which is exactly the point: the Spark-side
+    plumbing (chunking, sampling stride, one-row-per-frame explode) is
+    hash-verified even though the codec is fake. Narrow per-row
+    transform, no shuffle at any corpus size."""
+    from polars_gdal_spark.functions.multimodal import frame_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    sampled = frame_sample(payloads, "doc_id", "payload", every_n=4)
+    return sampled.select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.md5("frame").alias("frame_md5"),
+    )
