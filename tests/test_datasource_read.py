@@ -226,3 +226,25 @@ def test_bbox_spatial_filter(spark):
         ).select("name").collect()
     }
     assert got == expected
+
+
+def test_sql_ddl_view_over_gdal(spark):
+    """SQL-first surface: CREATE TEMPORARY VIEW ... USING gdal gives the
+    reference's SQL-driven workflow (OGR SQL there, real Spark SQL here)
+    without touching the DataFrame API."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW cities_sql USING gdal "
+        "OPTIONS (path '/root/repo/tests/data/cities.geojson')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM cities_sql").collect()[0]["n"] == 120
+    top = spark.sql(
+        "SELECT name, population FROM cities_sql WHERE population > 0 "
+        "ORDER BY population DESC, name LIMIT 3"
+    ).collect()
+    assert len(top) == 3
+    # reader options pass through DDL too
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW cities_lim USING gdal "
+        "OPTIONS (path '/root/repo/tests/data/cities.geojson', `limit` '5')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM cities_lim").collect()[0]["n"] == 5
