@@ -941,3 +941,69 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           stats.n AS n_events,
+           CAST(sum(CASE WHEN
+             CAST(stats.n * c.cents - stats.s AS DECIMAL(38,0))
+               * CAST(stats.n * c.cents - stats.s AS DECIMAL(38,0))
+               * CAST(stats.n - 1 AS DECIMAL(38,0))
+             > CAST(9 AS DECIMAL(38,0))
+               * CAST(stats.n AS DECIMAL(38,0))
+               * CAST(stats.n * ss - CAST(s AS DECIMAL(38,0)) * s
+                      AS DECIMAL(38,0))
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN stats USING (event_type)
+    GROUP BY c.event_type, stats.n
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per event type, count events more than 3
+    sample standard deviations from the type mean — the monitoring
+    gate every event pipeline runs. The test
+    ``(n·x − s)²·(n−1) > 9·n·(n·ss − s²)`` is the z>3 condition cleared
+    of divisions, evaluated in DECIMAL(38,0): exact integer cents in,
+    exact comparison out, so Spark and DuckDB agree bit-for-bit (no
+    float stddev anywhere — stddev_samp would hash-mismatch across
+    engines from summation order alone).
+
+    Scale shape: one partial-aggregated pass for the 4-row stats
+    relation, broadcast back into a second scan-fused pass — no window,
+    no sort, two linear scans at any corpus size."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    dev = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(19,0)")
+    lhs = dev * dev * (F.col("n") - 1).cast("decimal(19,0)")
+    var_num = (
+        F.col("n").cast("decimal(19,0)") * F.col("ss").cast("decimal(19,0)")
+        - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    )
+    rhs = F.lit(9).cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)") * var_num
+    return j.groupBy("event_type", F.col("n").alias("n_events")).agg(
+        F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("bigint").alias("n_outliers")
+    )
