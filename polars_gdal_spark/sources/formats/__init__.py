@@ -23,6 +23,7 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     arrow_ipc,
     csv_xy,
     dxf,
+    esrijson,
     flatgeobuf,
     geojson,
     georss,

@@ -44,6 +44,14 @@ def _iter_raw(path: str) -> Iterator[dict]:
             except ValueError:
                 is_ndjson = False
         f.seek(0)
+        if head == b"\x1e":
+            # RFC 8142 GeoJSON text sequence: records are RS-prefixed and
+            # may span lines (pretty-printed) — split on the separator.
+            for chunk in f.read().split(b"\x1e"):
+                chunk = chunk.strip()
+                if chunk:
+                    yield json.loads(chunk)
+            return
         if is_ndjson:
             for line in f:
                 line = line.strip()
@@ -101,11 +109,26 @@ class GeoJsonDriver(FormatDriver):
     extensions = (".json", ".geojson", ".geojsonl", ".ndjson")
 
     def can_open(self, path: str, head: bytes) -> bool:
-        stripped = head.lstrip()
+        # RFC 8142 text sequences prefix each record with RS (0x1E).
+        stripped = head.lstrip(b"\x1e \t\r\n")
         if not stripped.startswith(b"{"):
             return False
-        # A Topology document is TopoJSON (its own driver), not GeoJSON.
-        return b'"type"' in head and b'"Topology"' not in head
+        # A Topology document is TopoJSON, an ArcGIS FeatureSet is
+        # ESRIJSON (its fields/attributes carry '"type"' keys, so the
+        # marker below would otherwise claim it) — both have their own
+        # drivers.
+        is_esri = (
+            b'"features"' in head
+            and b'"FeatureCollection"' not in head
+            and (
+                b'"attributes"' in head
+                or b'"objectIdFieldName"' in head
+                or b'"geometryType"' in head
+            )
+        )
+        return (
+            b'"type"' in head and b'"Topology"' not in head and not is_esri
+        )
 
     def list_layers(self, path: str, options: dict) -> list[str]:
         return [LAYER]

@@ -249,3 +249,86 @@ def test_gml_write_roundtrip(spark, tmp_path):
     for k in src:
         assert bytes(got[k]["geometry"]) == bytes(src[k]["geometry"])
         assert got[k]["n"] == str(src[k]["n"])  # GML attrs are strings
+
+
+def test_esrijson_read(spark, tmp_path):
+    """ESRIJSON FeatureSet: declared field types, OID fid, point and
+    ESRI-winding polygon geometries."""
+    import json as _json
+
+    from polars_gdal_spark.geometry.wkb import wkb_to_geom
+
+    doc = {
+        "objectIdFieldName": "OID",
+        "geometryType": "esriGeometryPolygon",
+        "spatialReference": {"wkid": 4326},
+        "fields": [
+            {"name": "OID", "type": "esriFieldTypeOID"},
+            {"name": "label", "type": "esriFieldTypeString"},
+            {"name": "score", "type": "esriFieldTypeDouble"},
+        ],
+        "features": [
+            {
+                "attributes": {"OID": 7, "label": "a", "score": 1.5},
+                # outer CW ring + CCW hole (ESRI winding)
+                "geometry": {
+                    "rings": [
+                        [[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]],
+                        [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]],
+                    ]
+                },
+            },
+            {
+                "attributes": {"OID": 8, "label": "b", "score": None},
+                "geometry": {
+                    "rings": [[[20, 0], [20, 1], [21, 1], [20, 0]]]
+                },
+            },
+        ],
+    }
+    p = tmp_path / "fs.json"
+    p.write_text(_json.dumps(doc))
+    df = spark.read.format("gdal").option("fidColumn", "fid").load(str(p))
+    rows = {r["OID"]: r for r in df.collect()}
+    assert set(rows) == {7, 8}
+    assert rows[7]["fid"] == 7  # objectIdFieldName drives the FID
+    assert rows[7]["label"] == "a" and rows[8]["score"] is None
+    t, c = wkb_to_geom(bytes(rows[7]["geometry"]))
+    assert t == "Polygon" and len(c) == 2  # hole grouped into the outer
+    # ESRI point + sniffed schema (no fields array)
+    doc2 = {
+        "features": [
+            {"attributes": {"name": "p1", "n": 3},
+             "geometry": {"x": 1.5, "y": 2.5}},
+            {"attributes": {"name": "p2", "n": None},
+             "geometry": {"x": None}},
+        ]
+    }
+    p2 = tmp_path / "pts.json"
+    p2.write_text(_json.dumps(doc2))
+    df2 = spark.read.format("gdal").load(str(p2))
+    got = {r["name"]: r for r in df2.collect()}
+    assert wkb_to_geom(bytes(got["p1"]["geometry"])) == ("Point", (1.5, 2.5))
+    assert got["p2"]["geometry"] is None  # ArcGIS empty point
+    assert got["p1"]["n"] == 3
+
+
+def test_geojson_rs_sequence_read(spark, tmp_path):
+    """RFC 8142 GeoJSON text sequences (RS-prefixed, possibly
+    pretty-printed records) read as one layer."""
+    import json as _json
+
+    feats = [
+        {"type": "Feature", "properties": {"i": i},
+         "geometry": {"type": "Point", "coordinates": [float(i), 0.0]}}
+        for i in range(4)
+    ]
+    p = tmp_path / "seq.geojson"
+    with open(p, "wb") as f:
+        for i, ft in enumerate(feats):
+            # mix compact and pretty-printed records
+            txt = _json.dumps(ft, indent=2 if i % 2 else None)
+            f.write(b"\x1e" + txt.encode() + b"\n")
+    df = spark.read.format("gdal").load(str(p))
+    assert df.count() == 4
+    assert sorted(r["i"] for r in df.collect()) == [0, 1, 2, 3]
