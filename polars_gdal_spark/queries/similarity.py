@@ -285,3 +285,82 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("recall_hits"),
         (F.count("*") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+@query(
+    "sim_ivf_trained",
+    oracle=(
+        """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0q AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qc
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    """
+        + _KMEANS_ASSIGN.format(i=1, j=0).strip().rstrip(",").rstrip()
+        + ","
+        + _KMEANS_ASSIGN.format(i=2, j=1).strip().rstrip(",").rstrip()
+        + """,
+    vecs AS (SELECT vec_id, v FROM q WHERE vec_id > 8),
+    qq AS (SELECT v AS qv FROM q WHERE vec_id = 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vecs.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY list_dot_product(vecs.v, c.qc)
+                          / (sqrt(list_dot_product(vecs.v, vecs.v))
+                             * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+                          c.cid) AS rk
+        FROM vecs CROSS JOIN c2q c) t
+      WHERE rk = 1
+    ),
+    probe AS (
+      SELECT c.cid FROM c2q c, qq
+      ORDER BY list_dot_product(c.qc, qq.qv)
+               / (sqrt(list_dot_product(c.qc, c.qc))
+                  * sqrt(list_dot_product(qq.qv, qq.qv))) DESC, c.cid
+      LIMIT 2
+    )
+    SELECT v.vec_id,
+           a.cid AS centroid_id,
+           list_dot_product(v.v, qq.qv)
+             / (sqrt(list_dot_product(v.v, v.v))
+                * sqrt(list_dot_product(qq.qv, qq.qv))) AS cosine
+    FROM vecs v
+    JOIN assign a ON a.vec_id = v.vec_id
+    JOIN probe p ON p.cid = a.cid, qq
+    ORDER BY cosine DESC, v.vec_id
+    LIMIT 5
+    """
+    ),
+)
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE ANN pipeline, oracle-checked end to end: train k=8
+    coarse centroids with two Lloyd iterations (the `sim_kmeans_centroids`
+    operator), build the IVF assignment against the TRAINED centroids,
+    probe the top-2 cells for the query vector, exact-re-rank top-5 —
+    i.e. what a production vector index actually does, rather than the
+    fixed-seed-centroid variant (`sim_ivf_probe_search`). Every stage is
+    deterministic (smallest-id seeding, exact-int cosines, quantized
+    means), so even the trained index hash-matches DuckDB replaying the
+    identical computation.
+
+    Scale: training touches the corpus iters× (linear scans, 8-row
+    broadcast back); search prunes to n_probe/k of the corpus. The
+    composition adds no new shuffle beyond its parts."""
+    from polars_gdal_spark.functions.similarity import ivf_search
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_lloyd(emb, k=8, iters=2)
+    corpus = emb.where(F.col("vec_id") > 8)
+    qv = emb.where(F.col("vec_id") == 8)
+    return ivf_search(corpus, cents, qv, k=5, n_probe=2)
