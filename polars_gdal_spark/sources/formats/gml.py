@@ -160,12 +160,28 @@ class GmlDriver(FormatDriver):
         return b"opengis.net/gml" in head[:2048] or b"<gml:" in head[:2048]
 
     def _features(self, path: str):
-        root = ET.parse(path).getroot()
-        for member in root:
-            if _strip(member.tag) not in _MEMBER_TAGS:
+        """Stream feature elements with ``iterparse`` — memory stays
+        O(one feature), not O(file), so a multi-GB GML dump scans in
+        constant memory (same pattern as the OSM driver). Yields each
+        child of a root-level featureMember/featureMembers wrapper
+        fully built, then frees it."""
+        depth = 0
+        in_member = False
+        for ev, el in ET.iterparse(path, events=("start", "end")):
+            if ev == "start":
+                depth += 1
+                if depth == 2 and _strip(el.tag) in _MEMBER_TAGS:
+                    in_member = True
                 continue
-            # featureMember wraps one feature; featureMembers several
-            yield from member
+            depth -= 1
+            if depth == 2 and in_member:
+                # featureMember wraps one feature; featureMembers several
+                yield el
+                el.clear()
+            elif depth == 1:
+                if in_member:
+                    el.clear()  # drop the processed wrapper's remnants
+                in_member = False
 
     def list_layers(self, path: str, options: dict) -> list[str]:
         seen: list[str] = []
