@@ -396,6 +396,7 @@ def benchmark_contamination(
     text_col: str,
     bench_text_col: str,
     n: int = 13,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document n-gram overlap with a benchmark/eval corpus.
 
@@ -427,12 +428,17 @@ def benchmark_contamination(
         .groupBy("doc")
         .agg(F.count("*").alias("n_overlap"))
     )
-    all_docs = docs.select(F.col(id_col).alias("doc")).distinct()
+    # carry_cols ride along on the doc spine so callers need no join-back
+    # to recover their own columns (docs must be unique per id for that).
+    all_docs = docs.select(
+        F.col(id_col).alias("doc"), *[F.col(c) for c in carry_cols]
+    ).distinct()
     return (
         all_docs.join(sizes, "doc", "left")
         .join(hits, "doc", "left")
         .select(
             "doc",
+            *carry_cols,
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             F.when(

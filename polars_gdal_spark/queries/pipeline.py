@@ -328,18 +328,17 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = load_tables(spark, sf_dir)["documents"].where(
         F.col("doc_id") % 23 == 0
     )
-    scored = (
-        benchmark_contamination(
-            groups.select("rep_doc", "n_dups", "text"),
-            bench,
-            "rep_doc",
-            "text",
-            "text",
-            n=5,
-        )
-        .withColumnRenamed("doc", "rep_doc")
-        .join(groups.select("rep_doc", "n_dups", "text"), "rep_doc")
-    )
+    # n_dups/text ride the contamination spine (carry_cols) — no
+    # join-back against groups, one fewer join at any scale.
+    scored = benchmark_contamination(
+        groups.select("rep_doc", "n_dups", "text"),
+        bench,
+        "rep_doc",
+        "text",
+        "text",
+        n=5,
+        carry_cols=("n_dups", "text"),
+    ).withColumnRenamed("doc", "rep_doc")
     survivors = scored.where(
         F.col("n_overlap") < 0.8 * F.col("n_shingles")
     )
