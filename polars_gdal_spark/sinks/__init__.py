@@ -637,22 +637,39 @@ def _write_mif(
     def fmt_pts(pts) -> list[str]:
         return [f"{x!r} {y!r}" for x, y in pts]
 
-    with open(path, "w", encoding="latin-1") as mif:
-        mif.write("Version 300\nCharset \"Neutral\"\nDelimiter \",\"\n")
+    # Buffer one pass to pick the charset: classic "Neutral" (latin-1)
+    # when every attribute value fits it, else UTF-8 with the
+    # Charset "UTF-8" declaration the reader (and MapInfo/GDAL) honor.
+    mid_rows: list[list] = []
+    geoms: list[tuple | None] = []
+    needs_utf8 = False
+    for geom, props in _iter_rows(parts, geom_col, gfmt):
+        row = []
+        for f in attr:
+            v = props.get(f.name)
+            if isinstance(v, bool):
+                v = "T" if v else "F"
+            if isinstance(v, str) and not needs_utf8:
+                try:
+                    v.encode("latin-1")
+                except UnicodeEncodeError:
+                    needs_utf8 = True
+            row.append("" if v is None else v)
+        mid_rows.append(row)
+        geoms.append(geom)
+    enc = "utf-8" if needs_utf8 else "latin-1"
+    charset = "UTF-8" if needs_utf8 else "Neutral"
+
+    with open(path, "w", encoding=enc) as mif:
+        mif.write(f'Version 300\nCharset "{charset}"\nDelimiter ","\n')
         mif.write(f"Columns {len(attr)}\n")
         for f in attr:
             mt = type_map.get(f.dataType.simpleString(), "Char(254)")
             mif.write(f"  {f.name} {mt}\n")
         mif.write("Data\n\n")
-        with open(mid_path, "w", encoding="latin-1", newline="") as midf:
+        with open(mid_path, "w", encoding=enc, newline="") as midf:
             w = csv.writer(midf)
-            for geom, props in _iter_rows(parts, geom_col, gfmt):
-                row = []
-                for f in attr:
-                    v = props.get(f.name)
-                    if isinstance(v, bool):
-                        v = "T" if v else "F"
-                    row.append("" if v is None else v)
+            for row, geom in zip(mid_rows, geoms):
                 w.writerow(row)
                 if geom is None:
                     mif.write("NONE\n")

@@ -66,11 +66,33 @@ def _mid_path(path: str, options: dict) -> str | None:
     return None
 
 
-def _parse_header(path: str) -> tuple[list[Field], str, int]:
-    """Returns (fields, delimiter, data_line_index)."""
+_CHARSETS = {
+    "neutral": "latin-1",
+    "utf-8": "utf-8",
+    "windowslatin1": "cp1252",
+    "windowscyrillic": "cp1251",
+}
+
+
+def _file_encoding(path: str) -> str:
+    """Python codec for the MIF header's ``Charset`` declaration
+    (MapInfo/GDAL write ``Charset "UTF-8"`` for non-Latin data)."""
+    with open(path, "r", encoding="latin-1") as f:
+        for _ in range(10):
+            line = f.readline()
+            if line.lower().startswith("charset"):
+                q = line.find('"')
+                name = line[q + 1 : line.rfind('"')] if q >= 0 else ""
+                return _CHARSETS.get(name.lower(), "latin-1")
+    return "latin-1"
+
+
+def _parse_header(path: str) -> tuple[list[Field], str, int, str]:
+    """Returns (fields, delimiter, data_line_index, encoding)."""
     fields: list[Field] = []
     delimiter = "\t"
-    with open(path, "r", encoding="latin-1") as f:
+    enc = _file_encoding(path)
+    with open(path, "r", encoding=enc) as f:
         lines = f.readlines()
     i = 0
     while i < len(lines):
@@ -94,7 +116,7 @@ def _parse_header(path: str) -> tuple[list[Field], str, int]:
                 fields.append(Field(name, _TYPE_MAP.get(ctype, "string")))
             i += n
         elif low == "data":
-            return fields, delimiter, i + 1
+            return fields, delimiter, i + 1, enc
         i += 1
     raise ValueError(f"MIF file {path!r} has no Data section")
 
@@ -270,18 +292,18 @@ class MapInfoMifDriver(FormatDriver):
         return [os.path.splitext(os.path.basename(path))[0]]
 
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
-        fields, _, _ = _parse_header(path)
+        fields, _, _, _ = _parse_header(path)
         return fields
 
     def iter_features(
         self, path: str, layer: str, options: dict
     ) -> Iterator[Feature]:
-        fields, delimiter, data_start = _parse_header(path)
-        with open(path, "r", encoding="latin-1") as f:
+        fields, delimiter, data_start, enc = _parse_header(path)
+        with open(path, "r", encoding=enc) as f:
             lines = f.readlines()
         mid = _mid_path(path, options or {})
         if mid and fields:
-            with open(mid, "r", encoding="latin-1", newline="") as f:
+            with open(mid, "r", encoding=enc, newline="") as f:
                 attr_rows = list(csv.reader(f, delimiter=delimiter))
         else:
             attr_rows = []

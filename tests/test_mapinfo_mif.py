@@ -133,3 +133,31 @@ Multipoint 2
     assert segs[1] == [(5, 5), (6, 6), (7, 5)]
     t, pts = wkb_to_geom(bytes(rows["b"]["geometry"]))
     assert t == "MultiPoint" and pts == [(1, 2), (3, 4)]
+
+
+def test_non_latin1_text_roundtrips_via_utf8_charset(spark, tmp_path):
+    """Non-Latin-1 attribute text flips the writer to Charset "UTF-8"
+    (which the reader honors); pure-Latin-1 data keeps classic Neutral.
+    Found by the hypothesis round-trip: the old writer crashed on U+0100.
+    """
+    df = spark.createDataFrame(
+        [(1, "Ā köttbullar 北京"), (2, "plain")],
+        "id bigint, label string",
+    ).selectExpr(
+        "id", "label",
+        "unhex('0101000000000000000000F03F0000000000000040') AS geometry",
+    )
+    out = str(tmp_path / "uni.mif")
+    df.write.format("gdal").mode("overwrite").option(
+        "driver", "MapInfo File"
+    ).save(out)
+    assert 'Charset "UTF-8"' in open(out, encoding="utf-8").read()
+    back = spark.read.format("gdal").load(out)
+    assert {r["label"] for r in back.collect()} == {"Ā köttbullar 北京", "plain"}
+
+    df2 = df.where("id = 2")
+    out2 = str(tmp_path / "plain.mif")
+    df2.write.format("gdal").mode("overwrite").option(
+        "driver", "MapInfo File"
+    ).save(out2)
+    assert 'Charset "Neutral"' in open(out2, encoding="latin-1").read()
