@@ -722,7 +722,14 @@ def _write_dxf(
     def pair(f, code, val):
         f.write(f"{code}\n{val}\n")
 
-    with open(path, "w", encoding="latin-1") as f:
+    def dxf_escape(text: str) -> str:
+        """AutoCAD ASCII-DXF convention: non-ASCII chars travel as
+        \\U+XXXX escapes (what GDAL's DXF writer emits)."""
+        return "".join(
+            ch if ord(ch) < 128 else "\\U+%04X" % ord(ch) for ch in text
+        )
+
+    with open(path, "w", encoding="ascii") as f:
         pair(f, 0, "SECTION")
         pair(f, 2, "ENTITIES")
         handle = 0
@@ -735,7 +742,7 @@ def _write_dxf(
             def head(kind):
                 pair(f, 0, kind)
                 pair(f, 5, hx)
-                pair(f, 8, layer)
+                pair(f, 8, dxf_escape(str(layer)))
 
             def lwpolyline(pts, closed):
                 head("LWPOLYLINE")
@@ -756,7 +763,7 @@ def _write_dxf(
                 pair(f, 10, repr(c[0]))
                 pair(f, 20, repr(c[1]))
                 if text is not None:
-                    pair(f, 1, text)
+                    pair(f, 1, dxf_escape(text))
             elif t == "MultiPoint":
                 for pt in c:
                     head("POINT")

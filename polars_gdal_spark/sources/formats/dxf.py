@@ -228,14 +228,29 @@ class DxfDriver(FormatDriver):
                 continue  # unhandled entity type (GDAL's lossy model)
             geom = _entity_geom(ent)
             t = _tagmap(ent)
+
+            def unescape(v):
+                # AutoCAD \U+XXXX escapes back to characters
+                if v is None or "\\U+" not in v:
+                    return v
+                import re
+
+                return re.sub(
+                    r"\\U\+([0-9A-Fa-f]{4})",
+                    lambda m: chr(int(m.group(1), 16)),
+                    v,
+                )
+
             yield Feature(
                 fid=fid,
                 geom=geom,
                 props={
-                    "Layer": t.get(8),
+                    "Layer": unescape(t.get(8)),
                     "EntityHandle": t.get(5),
                     "Text": (
-                        t.get(1) if ent[0][1] in ("TEXT", "MTEXT") else None
+                        unescape(t.get(1))
+                        if ent[0][1] in ("TEXT", "MTEXT")
+                        else None
                     ),
                 },
             )

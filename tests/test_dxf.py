@@ -99,3 +99,21 @@ def test_driver_allowlist_and_fid(spark, dxf_path):
         .load(dxf_path)
     )
     assert [r["fid"] for r in df.orderBy("fid").collect()] == [0, 1, 2, 3, 4]
+
+
+def test_non_ascii_text_escapes_and_roundtrips(spark, tmp_path):
+    """Non-ASCII TEXT/layer values travel as AutoCAD \\U+XXXX escapes in
+    the ASCII DXF and decode back on read (GDAL's convention). The old
+    writer crashed with UnicodeEncodeError."""
+    df = spark.createDataFrame(
+        [("Ā北京", "Ωmega layer")], "Text string, Layer string"
+    ).selectExpr(
+        "Layer", "Text",
+        "unhex('0101000000000000000000F03F0000000000000040') AS geometry",
+    )
+    out = str(tmp_path / "uni.dxf")
+    df.write.format("gdal").mode("overwrite").save(out)
+    raw = open(out, encoding="ascii").read()  # pure ASCII on disk
+    assert "\\U+0100" in raw and "\\U+03A9" in raw
+    [row] = spark.read.format("gdal").load(out).collect()
+    assert row["Text"] == "Ā北京" and row["Layer"] == "Ωmega layer"
