@@ -156,7 +156,9 @@ def _dbf_field_spec(name: str, ddl: str) -> tuple[str, str, int, int]:
     return (name, "C", 254, 0)
 
 
-def _dbf_value(v, ftype: str, length: int, decimals: int) -> bytes:
+def _dbf_value(
+    v, ftype: str, length: int, decimals: int, enc: str = "latin-1"
+) -> bytes:
     if v is None:
         return b" " * length
     if ftype == "N":
@@ -170,7 +172,11 @@ def _dbf_value(v, ftype: str, length: int, decimals: int) -> bytes:
         if isinstance(v, (dt.date, dt.datetime)):
             return v.strftime("%Y%m%d").encode()
         return str(v).replace("-", "")[:8].ljust(8).encode()
-    return str(v)[:length].ljust(length).encode("latin-1", "replace")
+    raw = str(v).encode(enc, "replace")[:length]
+    if enc == "utf-8":
+        # never leave a split multi-byte sequence at the truncation edge
+        raw = raw.decode("utf-8", "ignore").encode("utf-8")
+    return raw.ljust(length)
 
 
 def write_shapefile(
@@ -184,7 +190,8 @@ def write_shapefile(
     names = [n for n, _ in fields]
 
     shp_records: list[bytes] = []
-    dbf_records: list[bytes] = []
+    row_props: list[dict] = []
+    needs_utf8 = False
     shape_code = None
     bbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
     zmin, zmax = float("inf"), float("-inf")
@@ -228,9 +235,25 @@ def write_shapefile(
                     zmin = min(zmin, p[2])
                     zmax = max(zmax, p[2])
         shp_records.append(content)
+        row_props.append(props)
+        if not needs_utf8:
+            for (orig, _t), (_nm, ftype, _l, _d) in zip(fields, specs):
+                v = props.get(orig)
+                if ftype == "C" and isinstance(v, str):
+                    try:
+                        v.encode("latin-1")
+                    except UnicodeEncodeError:
+                        needs_utf8 = True
+                        break
+
+    # DBF text encoding: classic latin-1 unless the data demands UTF-8;
+    # either way a .cpg sidecar declares it (GDAL reads/writes the same).
+    enc = "utf-8" if needs_utf8 else "latin-1"
+    dbf_records: list[bytes] = []
+    for props in row_props:
         rec = b" "  # not deleted
         for (orig, _t), (nm, ftype, length, dec) in zip(fields, specs):
-            rec += _dbf_value(props.get(orig), ftype, length, dec)
+            rec += _dbf_value(props.get(orig), ftype, length, dec, enc)
         dbf_records.append(rec)
 
     if shape_code is None:
@@ -293,3 +316,5 @@ def write_shapefile(
     if srs_wkt:
         with open(base + ".prj", "w") as f:
             f.write(srs_wkt)
+    with open(base + ".cpg", "w") as f:
+        f.write("UTF-8" if enc == "utf-8" else "ISO-8859-1")

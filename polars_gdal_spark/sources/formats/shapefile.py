@@ -204,9 +204,17 @@ def _parse_shape(content: bytes):
 # --------------------------------------------------------------------- dbf
 
 
+_CPG_CODECS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "65001": "utf-8",
+    "iso-8859-1": "latin-1", "iso 8859-1": "latin-1", "88591": "latin-1",
+    "latin1": "latin-1", "1252": "cp1252", "cp1252": "cp1252",
+}
+
+
 class _Dbf:
-    def __init__(self, path: str):
+    def __init__(self, path: str, encoding: str = "latin-1"):
         self.path = path
+        self.encoding = encoding
         with open(path, "rb") as f:
             header = f.read(32)
             self.n_records = struct.unpack("<I", header[4:8])[0]
@@ -238,7 +246,7 @@ class _Dbf:
         return out
 
     def _convert(self, raw: bytes, ftype: str, decimals: int):
-        text = raw.decode("latin-1").strip()
+        text = raw.decode(self.encoding, "replace").strip()
         if not text or text == "*" * len(text):
             return None
         if ftype == "N":
@@ -326,7 +334,20 @@ class ShapefileDriver(FormatDriver):
 
     def _dbf(self, path: str, options: dict | None = None) -> _Dbf | None:
         dbf_path = _sibling(path, ".dbf", options or {})
-        return _Dbf(dbf_path) if dbf_path else None
+        if not dbf_path:
+            return None
+        # .cpg sidecar declares the DBF text encoding (GDAL convention).
+        enc = "latin-1"
+        cpg = _sibling(path, ".cpg", options or {})
+        if cpg:
+            try:
+                with open(cpg, encoding="ascii", errors="ignore") as f:
+                    enc = _CPG_CODECS.get(
+                        f.read().strip().lower(), "latin-1"
+                    )
+            except OSError:
+                pass
+        return _Dbf(dbf_path, enc)
 
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
         dbf = self._dbf(path, options)

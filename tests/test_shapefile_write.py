@@ -156,3 +156,32 @@ def test_shapefile_z_roundtrip(tmp_path):
         assert len(src) == len(back)
         for s, b in zip(sorted(src), sorted(back)):
             assert b == s  # includes z
+
+
+def test_non_latin1_text_roundtrips_via_cpg(spark, tmp_path):
+    """Non-Latin-1 DBF text flips the writer to UTF-8 and a .cpg sidecar
+    declares it; the reader honors the declaration. Latin-1-only data
+    keeps the classic encoding (also declared)."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "Ā köttbullar 北京"), (2, "plain")],
+        "id bigint, label string",
+    ).selectExpr(
+        "id", "label",
+        "unhex('0101000000000000000000F03F0000000000000040') AS geometry",
+    )
+    out = str(tmp_path / "uni.shp")
+    df.write.format("gdal").mode("overwrite").option(
+        "driver", "ESRI Shapefile"
+    ).save(out)
+    cpg = str(tmp_path / "uni.cpg")
+    assert os.path.exists(cpg) and open(cpg).read() == "UTF-8"
+    back = spark.read.format("gdal").load(out)
+    assert {r["label"] for r in back.collect()} == {"Ā köttbullar 北京", "plain"}
+
+    out2 = str(tmp_path / "plain.shp")
+    df.where("id = 2").write.format("gdal").mode("overwrite").option(
+        "driver", "ESRI Shapefile"
+    ).save(out2)
+    assert open(str(tmp_path / "plain.cpg")).read() == "ISO-8859-1"
