@@ -266,6 +266,10 @@ class _MifObjects:
 
 
 def _coerce(raw: str, dtype: str):
+    if dtype == "string":
+        # text is verbatim (MID carries it unquoted as-is); only the
+        # empty string collapses to null — the format's one lossy spot
+        return raw if raw != "" else None
     raw = raw.strip()
     if raw == "":
         return None
