@@ -415,3 +415,52 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("ntok").cast("bigint").alias("pack_tokens"),
     )
+
+
+@query(
+    "pipeline_shuffle_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(hx, 1, 2) AS INT) % 16 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(CAST('0x' || substr(hx, 1, 2) AS INT) % 16
+                               AS INT)
+             ORDER BY hx, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    (shard, position) from the md5 of its id — the reproducible
+    random-order write-out a data loader consumes (same permutation on
+    any cluster, any partitioning, any rerun; seed changes the
+    permutation). Sharding by the hash's first byte keeps each window
+    sort shard-local — 16 independent sorts here, thousands at 100 TB —
+    so no global ordering step exists; writing shard-partitioned output
+    preserves the order within files.
+    """
+    from polars_gdal_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql.window import Window
+
+    hx = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    h = docs.select("doc_id", hx.alias("hx"))
+    shard = (F.conv(F.substring("hx", 1, 2), 16, 10).cast("int") % 16).cast(
+        "int"
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        h.select("doc_id", "hx", shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
