@@ -364,3 +364,120 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") > 8)
     qv = emb.where(F.col("vec_id") == 8)
     return ivf_search(corpus, cents, qv, k=5, n_probe=2)
+
+
+@query(
+    "sim_ivf_knn_join",
+    oracle=f"""
+    WITH {_Q_SQL},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    queries AS (SELECT vec_id AS qid, v AS qv FROM q
+                WHERE vec_id BETWEEN 8 AND 12),
+    corpus AS (SELECT vec_id, v FROM q WHERE vec_id > 12),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY list_dot_product(corpus.v, cent.cv)
+                          / (sqrt(list_dot_product(corpus.v, corpus.v))
+                             * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                          cent.cid) AS rk
+        FROM corpus CROSS JOIN cent) t
+      WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT qid, cid, qv FROM (
+        SELECT queries.qid, cent.cid, queries.qv,
+               row_number() OVER (
+                 PARTITION BY queries.qid
+                 ORDER BY list_dot_product(queries.qv, cent.cv)
+                          / (sqrt(list_dot_product(queries.qv, queries.qv))
+                             * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                          cent.cid) AS rk
+        FROM queries CROSS JOIN cent) t
+      WHERE rk <= 2
+    ),
+    scored AS (
+      SELECT p.qid, c.vec_id,
+             list_dot_product(c.v, p.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(p.qv, p.qv))) AS cosine
+      FROM corpus c
+      JOIN assign a ON a.vec_id = c.vec_id
+      JOIN qprobe p ON p.cid = a.cid
+    )
+    SELECT qid, vec_id, cosine FROM (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, vec_id
+             ) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN join — many queries retrieved through the IVF index at
+    once (the retrieval workload: embed a query batch, join against the
+    corpus index). Queries = vecs 8-12, corpus = the rest, centroids =
+    vecs 0-7. Each query probes its top-2 cells; candidates come from
+    the (query-probe ⋈ corpus-assignment) equi-join on the CELL id —
+    never query×corpus — and a per-query window takes the exact top-3.
+
+    Scale shape: corpus assignment is one broadcast-centroid scan
+    (reusable across query batches); the probe table is queries×n_probe
+    rows (broadcast when the batch is small); the join fans each corpus
+    row out to only the queries probing its cell. WindowGroupLimit
+    truncates per-partition before the final per-query rank."""
+    from pyspark.sql.window import Window
+
+    from polars_gdal_spark.functions.similarity import (
+        cosine_q,
+        dot_q,
+        ivf_assign,
+        norm_sq_q,
+        quantize,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.where(F.col("vec_id") < 8)
+    queries = emb.where(F.col("vec_id").between(8, 12))
+    corpus = emb.where(F.col("vec_id") > 12)
+
+    assigned = ivf_assign(corpus, cents).select(
+        "vec_id", "centroid_id", quantize(F.col("embedding")).alias("_v")
+    )
+    qn = queries.select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("_qv")
+    ).withColumn("_qn", F.sqrt(norm_sq_q(F.col("_qv")).cast("double")))
+    cq = F.broadcast(
+        cents.select(
+            F.col("vec_id").alias("centroid_id"),
+            quantize(F.col("embedding")).alias("_cv"),
+        ).withColumn("_cn", F.sqrt(norm_sq_q(F.col("_cv")).cast("double")))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    qprobe = (
+        qn.crossJoin(cq)
+        .withColumn(
+            "_sim",
+            dot_q(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+        .withColumn("_rk", F.row_number().over(wq))
+        .where(F.col("_rk") <= 2)
+        .select("qid", "centroid_id", "_qv")
+    )
+    cand = assigned.join(F.broadcast(qprobe), "centroid_id")
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        cosine_q(F.col("_v"), F.col("_qv")).alias("cosine"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= 3)
+        .select("qid", "vec_id", "cosine")
+    )
