@@ -71,6 +71,13 @@ EXPECT = {
     # both top-k arms collapse to TakeOrderedAndProject; recall join
     # broadcasts the 5-row IVF side
     "sim_ann_recall": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    # candidates come from the cell equi-join (probe side broadcast);
+    # per-query rank truncates per partition
+    "sim_ivf_knn_join": ["BroadcastHashJoin", "WindowGroupLimit"],
+    # shard-local window sorts, no global ordering anywhere
+    "pipeline_shuffle_order": ["Window", "!CartesianProduct"],
+    # stats relation broadcast back into the second scan
+    "events_zscore_outliers": ["BroadcastHashJoin", "partial"],
 }
 
 
