@@ -57,6 +57,8 @@ HEADLINE = [
     "text_repetition_signals",
     "pipeline_pack_sequences",
     "sim_ann_recall",
+    "sim_ivf_knn_join",
+    "events_zscore_outliers",
 ]
 
 
