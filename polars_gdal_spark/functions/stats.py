@@ -1,0 +1,86 @@
+"""Exact distributed order statistics (discrete percentiles).
+
+The naive formulation — ``row_number() OVER (ORDER BY v)`` — moves the
+whole table through ONE partition (Spark's WindowExec warns about
+exactly this), which is fine at sf0.1 and fatal at 100 TB.  This module
+computes the same exact k-th order statistics with no unpartitioned
+window anywhere:
+
+1. value histogram ``groupBy(v).count()`` — one parallel shuffle that
+   also collapses duplicate values (the histogram is <= |distinct|
+   rows of 16 bytes, far smaller than the input);
+2. ``repartitionByRange`` on the value — Spark samples range bounds, so
+   skewed value distributions still split evenly; the assignment is
+   pinned with ``localCheckpoint`` so the two consumers below see the
+   same partitioning;
+3. per-range-partition count totals — at most ``num_partitions`` rows,
+   collected to the driver to form cumulative offsets (the standard
+   "per-partition offsets" trick for distributed ranking);
+4. a *partitioned* cumulative-sum window plus the broadcast offsets
+   gives every distinct value its global "rows <= v" count;
+5. the value at ascending rank k (1-indexed) is the smallest v whose
+   cumulative count >= k — a plain aggregate.
+
+Total cost: one scan of the input, one small shuffle of the histogram,
+one 1-row result.  Every stage is parallel.
+
+Reference parity note: the reference (phayes/polars_gdal) delegates all
+analytics to OGR SQL, which has no percentile support at all
+(`src/lib.rs:316-318`); this operator is engine-side added value.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Mapping[str, int],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """1-row DataFrame of exact discrete percentiles (lower method).
+
+    ``percentiles`` maps output alias -> integer percent p; the value
+    reported for p is the order statistic at 1-indexed ascending rank
+    ``(n - 1) * p // 100 + 1`` — identical to the ``row_number``
+    formulation DuckDB runs in the oracle, but computed scalably.
+
+    Builds eagerly: the histogram is materialized (localCheckpoint) and
+    the tiny per-partition totals are collected while constructing the
+    result plan.  The returned DataFrame reads only the checkpointed
+    histogram.
+    """
+    spark = df.sparkSession
+    hist = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_cnt"))
+        .repartitionByRange(num_partitions, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per_pid = sorted(
+        (r["_pid"], r["_pc"])
+        for r in hist.groupBy("_pid").agg(F.sum("_cnt").alias("_pc")).collect()
+    )
+    n = sum(pc for _, pc in per_pid)
+    offsets, running = [], 0
+    for pid, pc in per_pid:
+        offsets.append((pid, running))
+        running += pc
+    off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy("_v")
+    cum = hist.join(F.broadcast(off_df), "_pid").withColumn(
+        "_cum", F.sum("_cnt").over(w) + F.col("_off")
+    )
+    aggs = []
+    for alias, p in percentiles.items():
+        k = (n - 1) * p // 100 + 1 if n else 0
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= F.lit(k), F.col("_v"))).alias(alias)
+        )
+    return cum.agg(*aggs)

@@ -131,23 +131,17 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentiles_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles as order statistics (discrete, lower method):
     deterministic across engines, unlike interpolating percentile
-    aggregates whose FP formulas differ. At scale this is one sort —
-    or swap in approx_percentile when 1-ulp exactness isn't needed."""
+    aggregates whose FP formulas differ. Computed via range-partitioned
+    order statistics over the value histogram (functions/stats.py) — no
+    unpartitioned window, so the plan survives 100 TB. The oracle's
+    row_number tie-break on o_orderkey cannot change which *value* sits
+    at rank k, so the histogram formulation is cell-identical."""
+    from polars_gdal_spark.functions.stats import exact_percentiles
+
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = t["orders"].select(
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    return exact_percentiles(
+        t["orders"], "o_totalprice", {"p50": 50, "p90": 90, "p99": 99}
     )
-    def at(p: int):
-        return F.max(
-            F.when(
-                F.col("rn") == ((F.col("n") - 1) * p / 100).cast("bigint") + 1,
-                F.col("o_totalprice"),
-            )
-        )
-    return ranked.agg(at(50).alias("p50"), at(90).alias("p90"), at(99).alias("p99"))
 
 
 @query(

@@ -25,7 +25,7 @@ combine) by construction.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from polars_gdal_spark.queries import load_tables, query
 
@@ -305,8 +305,11 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the max quarterly revenue — scalar
-    subquery over a derived aggregate. The window-max runs on the tiny
-    post-aggregate relation (|suppliers| rows), not the fact table."""
+    subquery over a derived aggregate. The scalar max is computed as a
+    1-row aggregate broadcast back into the revenue relation (the
+    pattern at q20/q22) — a window-max over ``Window.partitionBy()``
+    would single-partition the per-supplier relation, which is millions
+    of rows at 100 TB."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -316,9 +319,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_rev().cast("double").alias("total_revenue"))
     )
-    top = revenue.withColumn(
-        "_max", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("_max"))
+    mx = revenue.agg(F.max("total_revenue").alias("_max"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_max"))
+        .drop("_max")
+    )
     return (
         F.broadcast(top)
         .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))

@@ -78,6 +78,15 @@ EXPECT = {
     "pipeline_shuffle_order": ["Window", "!CartesianProduct"],
     # stats relation broadcast back into the second scan
     "events_zscore_outliers": ["BroadcastHashJoin", "partial"],
+    # range-partitioned order statistics: cumulative window runs
+    # partitioned by _pid, never the old global row_number rank
+    "percentiles_order_stats": [
+        "Window",
+        "hashpartitioning(_pid",
+        "!row_number",
+    ],
+    # scalar max = 1-row broadcast cross join, never a global window
+    "q15_top_supplier": ["BroadcastExchange", "!Window"],
 }
 
 
