@@ -5,15 +5,18 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed twice — a warmup that absorbs JIT/first-scan cost,
-then the timed run (count() to force full execution without driver
-materialization overhead).
+Each query runs once as warmup (absorbs JIT/first-scan cost) then three
+timed runs; the reported figure is the MEDIAN of the three (count() to
+force full execution without driver materialization overhead). Medians
+keep single-run host-contention spikes (observed up to ±30%) from
+masquerading as regressions round-over-round.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -72,12 +75,12 @@ def main() -> None:
     for name in HEADLINE:
         spec = QUERIES[name]
         spec.func(spark, sf_dir).count()  # warmup
-        best = float("inf")
-        for _ in range(2):  # min-of-2: damp host-contention spikes
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             spec.func(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

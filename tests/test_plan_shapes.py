@@ -14,14 +14,15 @@ from tools.explain_audit import EXPECT
 
 def _plan(spark, name: str) -> str:
     if name == "dedup_ngram_jaccard":
-        # The query wrapper eagerly localCheckpoints (truncating the
-        # lineage the audit needs) — rebuild un-checkpointed.
+        # max_shingle_df=8 makes the hot set non-empty at SF_SMOKE so
+        # the plan exercises the DF-cap broadcast anti-join (with the
+        # default cap the hot set is empty and the cap is a no-op).
         from polars_gdal_spark.functions import dedup as D
         from polars_gdal_spark.queries.dedup import _augmented
 
         df = D.ngram_jaccard_pairs(
             _augmented(spark, SF_SMOKE), "doc", "text",
-            n=3, threshold=0.3, max_shingle_df=1024, checkpoint=False,
+            n=3, threshold=0.3, max_shingle_df=8,
         )
     else:
         df = QUERIES[name].func(spark, SF_SMOKE)

@@ -97,8 +97,9 @@ def main() -> int:
     bad = 0
     for name in names:
         if name == "dedup_ngram_jaccard":
-            # The query wrapper eagerly localCheckpoints (truncating the
-            # lineage the audit needs) — rebuild the plan un-checkpointed.
+            # max_shingle_df=8 makes the hot set non-empty so the plan
+            # exercises the DF-cap broadcast anti-join (with the default
+            # cap the hot set is empty and the cap is a no-op).
             from polars_gdal_spark.functions import dedup as D
             from polars_gdal_spark.queries.dedup import _augmented
 
@@ -108,8 +109,7 @@ def main() -> int:
                 "text",
                 n=3,
                 threshold=0.3,
-                max_shingle_df=1024,
-                checkpoint=False,
+                max_shingle_df=8,
             )
         else:
             df = QUERIES[name].func(spark, SF)
