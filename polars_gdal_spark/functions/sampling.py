@@ -21,6 +21,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -30,6 +32,20 @@ def _rank_hex(key_col, seed: str):
     return F.md5(F.concat(F.lit(f"{seed}:"), key_col.cast("string")))
 
 
+def hash_sample_threshold(fraction: float | str) -> str:
+    """16-hex-char threshold at exactly ``fraction`` of the 64-bit hash
+    prefix space, derived with integer arithmetic: ``fraction`` is read
+    as its DECIMAL string (0.2 means exactly 1/5, not the nearest binary
+    float), so the threshold is ``floor(num * 16^16 / den)`` with no FP
+    rounding anywhere. Both the engine filter and the DuckDB oracle
+    literal come from this one function — any other engine reproduces
+    the sample bit-exactly from the same decimal."""
+    frac = Fraction(str(fraction))
+    if not 0 <= frac <= 1:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(frac.numerator * 16**16 // frac.denominator, "016x")
+
+
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, seed: str = "s"
 ) -> DataFrame:
@@ -37,14 +53,14 @@ def hash_sample(
     the first ``fraction`` of hash space (lexicographic compare on the
     hex digest — md5 is uniform, so the kept share converges to
     ``fraction``). Pure filter: no shuffle, partition-parallel,
-    reproducible under any repartitioning."""
-    if not 0.0 <= fraction <= 1.0:
+    reproducible under any repartitioning. The threshold is exact
+    integer arithmetic on the decimal reading of ``fraction`` (see
+    :func:`hash_sample_threshold`)."""
+    if not 0.0 <= float(fraction) <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    if fraction == 1.0:
+    if float(fraction) == 1.0:
         return df  # threshold would need 17 hex chars; keep-all is exact
-    # hex threshold at fraction of the 128-bit space (16 hex chars is
-    # plenty of resolution; compare needs equal-length strings)
-    thr = format(int(fraction * 16**16), "016x")
+    thr = hash_sample_threshold(fraction)
     return df.where(F.substring(_rank_hex(F.col(key_col), seed), 1, 16) < thr)
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 
@@ -69,8 +70,21 @@ def heavy_hitters(
     partitioning, and matches a plain GROUP BY oracle.
     """
     m = sketch_counters or 4 * phi_denom
+    if m < phi_denom:
+        # fewer counters than phi_denom breaks the Misra-Gries pigeonhole
+        # guarantee: a global heavy hitter could be evicted in every
+        # partition and silently vanish from the "exact" result
+        raise ValueError(
+            f"sketch_counters ({m}) must be >= phi_denom ({phi_denom}) "
+            "for the candidate set to provably cover all heavy hitters"
+        )
     src = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
-    cands = src.mapInPandas(_mg_candidates(m, "v"), "v string").distinct()
+    # candidate schema mirrors the input column's type — hardcoding
+    # 'string' would silently cast non-string values across the join
+    vtype = df.schema[value_col].dataType
+    cands = src.mapInPandas(
+        _mg_candidates(m, "v"), T.StructType([T.StructField("v", vtype)])
+    ).distinct()
     total = src.agg(F.count("*").alias("_n"))
     return (
         src.join(F.broadcast(cands), "v")

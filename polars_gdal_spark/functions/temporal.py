@@ -7,12 +7,27 @@ sorted once per key, and the right values are carried forward with a
 last-value window. One shuffle on the key — O(n log n) per key instead
 of the O(n·m) nested-loop a naive range join degenerates to. This is the
 shape that survives 100 TB of ticks.
+
+Both directions carry the attached right row as ONE struct through a
+single last/first window, not one window per column: per-column
+``ignorenulls`` windows would tear the attached row apart whenever a
+right column holds a legitimate NULL (that column alone would skip ahead
+to a different right row). The struct is non-null exactly when a right
+row is present, so ``ignorenulls`` keys on row presence, never on
+individual field values, and the attached row is atomic by construction.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
+
+
+def _right_struct_type(right: DataFrame, cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in cols]
+    )
 
 
 def as_of_join(
@@ -28,18 +43,21 @@ def as_of_join(
 
     Ties (equal timestamps) resolve to the right row — "at or before"
     semantics, matching DuckDB's ``ASOF JOIN`` (its ``>=`` inequality),
-    which is the oracle used in the driver contract.
+    which is the oracle used in the driver contract. The attached right
+    row is atomic: all carried columns come from the same right row even
+    when some of its columns are NULL.
     """
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in (on, time_col)
         ]
     lcols = left.columns
+    stype = _right_struct_type(right, right_cols)
 
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(stype).alias("_r"),
     )
     r_tag = right.select(
         *[
@@ -49,7 +67,7 @@ def as_of_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows (side 0) sort before left rows at equal time → "at or
@@ -62,12 +80,12 @@ def as_of_join(
     carried = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return carried.where(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_r")[c].alias(f"{c}{suffix}") for c in right_cols],
+    )
 
 
 def as_of_join_forward(
@@ -88,24 +106,25 @@ def as_of_join_forward(
     key, no non-equi join): right rows sort after left rows at equal
     timestamps (so "at or after" includes same-instant rights), ties
     among simultaneous right rows break on ``tiebreak_col``, and a
-    forward-looking ``first_value`` carries the next right row back.
-    Tolerance is applied after the carry by nulling out columns whose
-    attached right time is too far ahead — the window itself stays
-    unbounded, which keeps it a single pass.
+    forward-looking ``first_value`` over the single right-row struct
+    carries the next right row back atomically. Tolerance is applied
+    after the carry by nulling out the whole attached struct when its
+    right time is too far ahead — the window itself stays unbounded,
+    which keeps it a single pass, and the tolerance can never retain a
+    value torn from a beyond-tolerance row because the struct is all-or-
+    nothing.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, time_col)]
     carry = list(right_cols) + [time_col]
     lcols = left.columns
+    stype = _right_struct_type(right, carry)
 
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_tie"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in carry
-        ],
+        F.lit(None).cast(stype).alias("_r"),
     )
     tie = (
         F.col(tiebreak_col).cast("long")
@@ -121,7 +140,7 @@ def as_of_join_forward(
         ],
         F.lit(0).alias("_side"),
         tie.alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in carry],
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # left rows (side 1) sort BEFORE right rows at equal time under
@@ -135,18 +154,25 @@ def as_of_join_forward(
     carried = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in carry
-        ],
+        F.first("_r", ignorenulls=True).over(w).alias("_r"),
     )
     out = carried.where(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:
-        within = F.col(f"{time_col}{suffix}") <= F.col(time_col) + F.expr(
-            f"INTERVAL {int(tolerance_seconds)} SECOND"
-        )
-        for c in carry:
-            out = out.withColumn(
-                f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}"))
+        # timestamp time cols take an INTERVAL; numeric time cols are
+        # treated as seconds and offset directly
+        if isinstance(
+            left.schema[time_col].dataType,
+            (T.TimestampType, T.TimestampNTZType),
+        ):
+            bound = F.col(time_col) + F.expr(
+                f"INTERVAL {int(tolerance_seconds)} SECOND"
             )
-    return out
+        else:
+            bound = F.col(time_col) + F.lit(int(tolerance_seconds))
+        out = out.withColumn(
+            "_r", F.when(F.col("_r")[time_col] <= bound, F.col("_r"))
+        )
+    return out.select(
+        *lcols,
+        *[F.col("_r")[c].alias(f"{c}{suffix}") for c in carry],
+    )

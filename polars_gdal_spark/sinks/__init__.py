@@ -520,16 +520,22 @@ def _write_gpkg(
         if not os.path.exists(path):
             raise ValueError(f"cannot append: {path!r} does not exist")
         con = sqlite3.connect(path)
-        exists = con.execute(
-            "SELECT 1 FROM gpkg_contents WHERE table_name = ?", (layer,)
-        ).fetchone()
-        if exists:
-            con.close()
-            raise ValueError(
-                f"layer {layer!r} already exists in {path!r}; "
-                "pick a new layer name"
-            )
         try:
+            try:
+                exists = con.execute(
+                    "SELECT 1 FROM gpkg_contents WHERE table_name = ?",
+                    (layer,),
+                ).fetchone()
+            except sqlite3.OperationalError as e:
+                # empty file / foreign sqlite db: no gpkg_contents table
+                raise ValueError(
+                    f"cannot append: {path!r} is not a GeoPackage ({e})"
+                ) from e
+            if exists:
+                raise ValueError(
+                    f"layer {layer!r} already exists in {path!r}; "
+                    "pick a new layer name"
+                )
             _gpkg_insert_layer(
                 con, parts, layer, srid, attr_cols, geom_col, gfmt
             )

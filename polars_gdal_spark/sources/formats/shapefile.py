@@ -17,6 +17,7 @@ coordinate; M values are dropped.
 from __future__ import annotations
 
 import datetime as dt
+import math
 import os
 import struct
 from collections.abc import Iterator
@@ -39,12 +40,17 @@ _HAS_Z = {11, 13, 15, 18}
 
 
 def _ring_is_clockwise(ring) -> bool:
-    s = 0.0
-    for i in range(len(ring) - 1):
-        x1, y1 = ring[i][0], ring[i][1]
-        x2, y2 = ring[i + 1][0], ring[i + 1][1]
-        s += (x2 - x1) * (y2 + y1)
-    return s > 0
+    # math.fsum: exact (single-rounding) sum, so this and the numpy fast
+    # path below compute the IDENTICAL signed area from the identical
+    # per-edge products — the two code paths can never group degenerate
+    # (near-zero-area) rings differently
+    return (
+        math.fsum(
+            (ring[i + 1][0] - ring[i][0]) * (ring[i + 1][1] + ring[i][1])
+            for i in range(len(ring) - 1)
+        )
+        > 0
+    )
 
 
 def _shape_to_wkb(content: bytes) -> bytes | None:
@@ -57,10 +63,10 @@ def _shape_to_wkb(content: bytes) -> bytes | None:
     (pinned by test_shapefile_fastpath_byte_equality). Returns None for
     Null shapes and Z/M variants (tuple path handles those).
 
-    Polygon ring→poly grouping needs each ring's winding, computed here
-    as a vectorized numpy sum; np.sum's pairwise accumulation can round
-    differently from the sequential sum in ``_ring_is_clockwise``, which
-    could flip the sign only for degenerate (≈zero signed area) rings.
+    Polygon ring→poly grouping needs each ring's winding; both this path
+    and ``_ring_is_clockwise`` feed the identical per-edge products into
+    ``math.fsum`` (exact summation), so the two paths compute the same
+    sign even for degenerate (≈zero signed area) rings.
     """
     (stype,) = struct.unpack_from("<i", content)
     if stype == _SHAPE_NULL or stype in _HAS_Z:
@@ -116,7 +122,9 @@ def _shape_to_wkb(content: bytes) -> bytes | None:
         for i in range(nparts):
             ring = arr[bounds[i] : bounds[i + 1]]
             x, y = ring[:, 0], ring[:, 1]
-            cw = float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))) > 0
+            # per-edge products are IEEE-identical to the tuple path's;
+            # fsum makes the total exact, so both paths always agree
+            cw = math.fsum((x[1:] - x[:-1]) * (y[1:] + y[:-1])) > 0
             if cw or not polys:
                 polys.append([i])
             else:

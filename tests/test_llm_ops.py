@@ -376,3 +376,17 @@ def test_simhash_pairs_banding_guarantee(spark, docs):
 def test_simhash_pairs_bad_band_split(spark, docs):
     with pytest.raises(ValueError):
         D.simhash_pairs(docs, "doc", "text", max_hamming=4, bits=32)
+
+
+def test_heavy_hitters_non_string_and_counter_guard(spark):
+    from polars_gdal_spark.functions.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(7,)] * 50 + [(i,) for i in range(40)], "k bigint"
+    )
+    out = heavy_hitters(df, "k", phi_denom=4).collect()
+    assert [(r["k"], r["n"]) for r in out] == [(7, 51)]
+    assert out[0]["k"] == 7 and isinstance(out[0]["k"], int)  # dtype kept
+
+    with pytest.raises(ValueError, match="sketch_counters"):
+        heavy_hitters(df, "k", phi_denom=8, sketch_counters=4)

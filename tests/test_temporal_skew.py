@@ -79,3 +79,62 @@ def test_salted_join_equals_plain_join(spark):
         (r["id"], r["v"]) for r in salted_join(left, right, "k").collect()
     )
     assert plain == salted
+
+
+def test_as_of_join_nullable_right_cols_atomic(spark):
+    """A NULL in one carried right column must NOT tear the attached row:
+    every carried column comes from the same (latest at-or-before) right
+    row, even when that row holds NULLs."""
+    trades = spark.createDataFrame(
+        [(1, "A", 30)], "trade_id bigint, sym string, t bigint"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0, "early"), ("A", 20, None, "late")],
+        "sym string, t bigint, px double, src string",
+    )
+    r = as_of_join(
+        trades, quotes, on="sym", time_col="t", right_cols=["px", "src"]
+    ).collect()[0]
+    # latest row at t=20 has px NULL — a per-column ignorenulls carry
+    # would leak px=100.0 from the earlier row next to src='late'
+    assert r["src_asof"] == "late"
+    assert r["px_asof"] is None
+
+
+def test_as_of_join_forward_nullable_right_cols_atomic(spark):
+    from polars_gdal_spark.functions.temporal import as_of_join_forward
+
+    clicks = spark.createDataFrame(
+        [(1, "A", 10)], "click_id bigint, sym string, t bigint"
+    )
+    purchases = spark.createDataFrame(
+        [("A", 20, None, "first"), ("A", 30, 5.0, "second")],
+        "sym string, t bigint, amount double, label string",
+    )
+    r = as_of_join_forward(
+        clicks, purchases, on="sym", time_col="t",
+        right_cols=["amount", "label"],
+    ).collect()[0]
+    # earliest row at t=20 has amount NULL — per-column carry would pair
+    # amount=5.0 (from t=30) with label='first' (from t=20)
+    assert r["label_next"] == "first"
+    assert r["amount_next"] is None
+    assert r["t_next"] == 20
+
+
+def test_as_of_join_forward_tolerance_nulls_whole_row(spark):
+    from polars_gdal_spark.functions.temporal import as_of_join_forward
+
+    clicks = spark.createDataFrame(
+        [(1, "A", 10)], "click_id bigint, sym string, t bigint"
+    )
+    purchases = spark.createDataFrame(
+        [("A", 500, None, "far")],
+        "sym string, t bigint, amount double, label string",
+    )
+    r = as_of_join_forward(
+        clicks, purchases, on="sym", time_col="t",
+        right_cols=["amount", "label"], tolerance_seconds=60,
+    ).collect()[0]
+    assert r["label_next"] is None and r["amount_next"] is None
+    assert r["t_next"] is None

@@ -104,3 +104,16 @@ def test_gpkg_append_adds_layer(spark, tmp_path):
             "layer", "cities"
         ).save(out)
     assert "already exists" in str(ei.value)
+
+
+def test_gpkg_append_to_non_geopackage_clear_error(spark, tmp_path):
+    """Appending to an empty file (or any non-GeoPackage sqlite db) must
+    raise a clear 'not a GeoPackage' error, not a raw sqlite
+    OperationalError, and must not leak the connection."""
+    out = str(tmp_path / "bogus.gpkg")
+    open(out, "wb").close()  # empty file: sqlite opens it, no gpkg tables
+    pt = bytes.fromhex("0101000000000000000000f03f0000000000000040")
+    df = spark.createDataFrame([("x", pt)], "name string, geometry binary")
+    with pytest.raises(Exception) as ei:
+        df.write.format("gdal").mode("append").option("layer", "l").save(out)
+    assert "not a GeoPackage" in str(ei.value)
