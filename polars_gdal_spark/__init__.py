@@ -31,10 +31,13 @@ from polars_gdal_spark.session import get_spark  # noqa: F401
 
 
 def register_gdal_source(spark) -> None:
-    """Register the ``gdal`` DataSource on a SparkSession (idempotent)."""
+    """Register the ``gdal`` and ``geoparquet`` DataSources on a
+    SparkSession (idempotent)."""
     from polars_gdal_spark.sources.datasource import GdalDataSource
+    from polars_gdal_spark.sources.geoparquet import GeoParquetDataSource
 
     spark.dataSource.register(GdalDataSource)
+    spark.dataSource.register(GeoParquetDataSource)
 
 
 def read_gdal(spark, path: str, **options):

@@ -443,3 +443,44 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 13 % 1000) / 10.0 + 0.03).alias("y"),
     )
     return spatial_knn_join(pts, "c_custkey", "x", "y", k=3, cell=20.0)
+
+
+@query(
+    "gdal_geoparquet_roundtrip",
+    oracle=f"""
+    WITH {_GEOJSON_FEATURES}
+    SELECT f.properties.region AS region,
+           count(*) AS n,
+           21 * count(*) AS wkb_bytes,
+           'OGC:CRS84' AS crs
+    FROM feat
+    GROUP BY 1
+    ORDER BY region
+    """,
+)
+def gdal_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON → GeoParquet → read-back round-trip through
+    format("geoparquet") (sources/geoparquet.py): the ``geo`` footer is
+    written per part and merged on read, the CRS surfaces as geometry
+    column metadata (EPSG:4326 input normalizes to the spec's null/CRS84
+    default), and the WKB byte totals only match if geometry survives
+    byte-exact. The reference's write fixture carries the same metadata
+    convention (cities.arrow, src/test.rs:123-144)."""
+    import tempfile
+
+    src = _gdal(spark).load(f"{_DATA}/cities.geojson")
+    out = os.path.join(tempfile.mkdtemp(), "cities_gpq")
+    src.write.format("geoparquet").mode("append").option(
+        "crs", "EPSG:4326"
+    ).save(out)
+    back = spark.read.format("geoparquet").load(out)
+    crs = (back.schema["geometry"].metadata or {}).get("crs", "")
+    return (
+        back.groupBy("region")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("geometry")).alias("wkb_bytes"),
+        )
+        .withColumn("crs", F.lit(crs))
+        .orderBy("region")
+    )

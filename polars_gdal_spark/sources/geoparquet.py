@@ -1,109 +1,412 @@
-"""GeoParquet read/write helpers.
+"""GeoParquet read/write: parquet with the ``geo`` footer convention.
 
-GeoParquet = parquet with a WKB geometry column + a ``geo`` key in the
-file metadata (the same convention the reference's ``cities.arrow``
-fixture carries in Arrow IPC form — FIXTURES.md, ``src/test.rs:123``).
-Spark's native parquet reader handles the data path (full pushdown /
-pruning / splitting for free); these helpers handle the ``geo``
-metadata contract on top.
+GeoParquet (OGC ``opengeospatial/geoparquet``, spec v1.1.0 — public) is
+plain parquet plus one file-level key-value metadata entry ``geo`` whose
+JSON names the geometry column(s), their encoding (WKB), geometry types,
+and CRS (PROJJSON; absent/null = OGC:CRS84). It is the format a 2026
+geospatial Spark user actually exchanges; the reference's own write
+fixture carries the same convention (``cities.arrow``,
+``src/test.rs:123-144``; SURVEY §1.2 maps it to Spark column metadata).
+
+Spark's built-in parquet writer cannot attach file-level key-value
+metadata, so this module implements ``format("geoparquet")`` as a Python
+DataSource:
+
+* **read** — schema comes from the parquet footer (pyarrow), the
+  ``geo`` JSON is parsed on the driver and carried into the geometry
+  ``StructField.metadata`` (``crs``, ``encoding``, ``geo`` raw JSON), so
+  ``df.write.format("gdal")`` round-trips the CRS automatically. One
+  input partition per parquet row group — the same split unit Spark's
+  native scan uses, so 100 TB of parts parallelizes identically.
+* **write** — each task streams its Arrow batches straight into its own
+  ``part-*.parquet`` through ``pyarrow.parquet.ParquetWriter`` with the
+  ``geo`` entry in every footer (self-describing parts; readers that
+  look only at one footer — GDAL, DuckDB spatial, geopandas — see the
+  metadata no matter which part they open first). No driver-side
+  assembly: ``commit`` just moves the completed parts into the target
+  directory, so the write path is embarrassingly parallel.
+
+The payload stays a WKB ``BinaryType`` column named ``geometry`` —
+identical bytes to the ``gdal`` source (reference ``src/lib.rs:390-393``)
+— so every operator in this package composes with GeoParquet IO.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+GEO_KEY = b"geo"
+SPEC_VERSION = "1.1.0"
+
+# ISO WKB geometry type code -> GeoParquet geometry_types entry
+_WKB_TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
 
 
-def read_geoparquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read GeoParquet: native parquet scan + CRS/encoding attached as
-    geometry-column metadata from the file-level ``geo`` key."""
-    df = spark.read.parquet(path)
-    meta = _geo_file_metadata(path)
-    if meta:
-        primary = meta.get("primary_column", "geometry")
-        col_meta = meta.get("columns", {}).get(primary, {})
-        crs = col_meta.get("crs")
-        if isinstance(crs, dict):  # PROJJSON → compact id string if present
-            ident = crs.get("id", {})
-            crs = (
-                f"{ident.get('authority', 'EPSG')}:{ident.get('code')}"
-                if ident.get("code")
-                else json.dumps(crs)
+def _type_name(code: int) -> str | None:
+    base = code % 1000
+    name = _WKB_TYPE_NAMES.get(base)
+    if name is None:
+        return None
+    if code >= 3000:
+        return f"{name} ZM"
+    if code >= 2000:
+        return f"{name} M"
+    if code >= 1000:
+        return f"{name} Z"
+    return name
+
+
+def _resolve_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not files:
+            raise FileNotFoundError(f"no .parquet parts under {path!r}")
+        return files
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    return [path]
+
+
+def _crs_to_projjson(crs: str | None):
+    """Engine CRS string -> GeoParquet ``crs`` member. Lossless cases:
+    OGC:CRS84 / EPSG:4326 map to null (the spec default); other
+    ``AUTH:code`` strings become a PROJJSON identifier object (the
+    spec's ``id`` member is the interoperable core; a full PROJJSON
+    definition would need a proj database this sandbox doesn't ship);
+    WKT strings are carried under ``wkt`` for round-trip."""
+    if crs is None:
+        return None
+    s = str(crs).strip()
+    if s.upper() in ("OGC:CRS84", "EPSG:4326", "CRS84", "4326", ""):
+        return None
+    if ":" in s and s.split(":")[-1].isdigit():
+        auth, code = s.rsplit(":", 1)
+        return {"id": {"authority": auth.upper() or "EPSG", "code": int(code)}}
+    if s.isdigit():
+        return {"id": {"authority": "EPSG", "code": int(s)}}
+    return {"wkt": s}
+
+
+def _projjson_to_crs(obj) -> str:
+    if obj is None:
+        return "OGC:CRS84"
+    if isinstance(obj, dict):
+        ident = obj.get("id")
+        if isinstance(ident, dict) and "code" in ident:
+            return f"{ident.get('authority', 'EPSG')}:{ident['code']}"
+        if "wkt" in obj:
+            return str(obj["wkt"])
+    return "OGC:CRS84"
+
+
+def _geo_meta_json(
+    geom_col: str,
+    crs: str | None,
+    geometry_types: Sequence[str],
+    bbox: Sequence[float] | None = None,
+) -> bytes:
+    col: dict = {
+        "encoding": "WKB",
+        "geometry_types": sorted(geometry_types),
+        "crs": _crs_to_projjson(crs),
+    }
+    if bbox is not None:
+        col["bbox"] = list(bbox)
+    return json.dumps(
+        {
+            "version": SPEC_VERSION,
+            "primary_column": geom_col,
+            "columns": {geom_col: col},
+        }
+    ).encode()
+
+
+def read_geo_footer(path: str) -> dict | None:
+    """Parse the ``geo`` footer entry of a parquet file, merging across
+    the parts of a directory: each part's footer lists only the
+    geometry types IT observed (parts are written independently — no
+    cross-task coordination on the write path), so the dataset-level
+    view is the union. CRS/encoding come from the first part (parts of
+    one write always agree). None when absent (plain parquet). Footer
+    reads are metadata-only (no data pages), so this is one small read
+    per part, once, at planning time."""
+    import pyarrow.parquet as pq
+
+    merged: dict | None = None
+    for f in _resolve_files(path):
+        kv = pq.ParquetFile(f).metadata.metadata or {}
+        raw = kv.get(GEO_KEY)
+        if not raw:
+            continue
+        geo = json.loads(raw.decode())
+        if merged is None:
+            merged = geo
+            continue
+        for name, col in geo.get("columns", {}).items():
+            mcol = merged.setdefault("columns", {}).setdefault(name, col)
+            mcol["geometry_types"] = sorted(
+                set(mcol.get("geometry_types", []))
+                | set(col.get("geometry_types", []))
             )
-        field_meta = {"encoding": col_meta.get("encoding", "WKB").lower()}
-        if crs:
-            field_meta["crs"] = crs
+    return merged
+
+
+@dataclass
+class _RowGroupPartition(InputPartition):
+    file: str
+    row_group: int
+
+
+class GeoParquetReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        self.files = _resolve_files(self.path)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import pyarrow.parquet as pq
+
+        parts = []
+        for f in self.files:
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+                parts.append(_RowGroupPartition(file=f, row_group=rg))
+        # empty file set already raised; a file with zero row groups
+        # still needs one partition so the scan yields an empty result
+        return parts or [_RowGroupPartition(file=self.files[0], row_group=-1)]
+
+    def read(self, partition: _RowGroupPartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.file)
+        names = [f.name for f in self.schema.fields]
+        if partition.row_group < 0:
+            return
+        yield from pf.iter_batches(
+            row_groups=[partition.row_group], columns=names
+        )
+
+
+@dataclass
+class _GeoParquetCommit(WriterCommitMessage):
+    part_path: str | None
+    count: int
+
+
+class GeoParquetWriter(DataSourceArrowWriter):
+    """Each task writes its own self-describing ``part-*.parquet`` (geo
+    footer included); commit moves the completed parts into place."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        self.overwrite = overwrite
+        self.geom_col = options.get("geometrycolumn", "geometry")
+        names = [f.name for f in schema.fields]
+        if self.geom_col not in names:
+            raise ValueError(
+                f"geometry column {self.geom_col!r} not in schema {names}"
+            )
+        gtype = schema[self.geom_col].dataType.simpleString()
+        if gtype != "binary":
+            raise ValueError(
+                "GeoParquet writes WKB geometry: column "
+                f"{self.geom_col!r} must be binary, got {gtype}"
+            )
+        meta = schema[self.geom_col].metadata or {}
+        self.crs = options.get("crs", options.get("srs")) or meta.get("crs")
+        if os.path.exists(self.path) and not overwrite:
+            raise ValueError(
+                f"{self.path!r} exists; use mode('overwrite')"
+            )
+        self.tmp_dir = self.path.rstrip("/") + ".parts.tmp"
+
+    def write(self, iterator) -> _GeoParquetCommit:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        part = os.path.join(self.tmp_dir, f"part-{pid:05d}.parquet")
+        spill = part + ".arrow"
+        # Parquet footers are written at close FROM the schema passed at
+        # construction (pyarrow<18 has no post-hoc metadata API), but
+        # the observed geometry_types aren't known until the last batch.
+        # So: single pass streaming batches into a local Arrow IPC spill
+        # (near-memcpy, no encode) while accumulating the types, then
+        # one sequential re-read encodes the actual parquet with the
+        # complete geo footer. The extra cost is one local-disk pass of
+        # raw batches per task — the parquet encode dominates it.
+        n = 0
+        gtypes: set[str] = set()
+        ipc = sink = None
+        for batch in iterator:
+            if ipc is None:
+                sink = pa.OSFile(spill, "wb")
+                ipc = pa.ipc.new_stream(sink, batch.schema)
+            ipc.write_batch(batch)
+            n += batch.num_rows
+            # observed geometry types, vectorized: WKB bytes 1..5 hold
+            # the LE type code; unique() keeps the Python loop at
+            # O(distinct), not O(rows)
+            col = batch.column(self.geom_col)
+            codes = pc.unique(
+                pc.binary_slice(col.cast(pa.binary()), 1, 5)
+            ).to_pylist()
+            for raw in codes:
+                if raw is not None and len(raw) == 4:
+                    name = _type_name(int.from_bytes(raw, "little"))
+                    if name:
+                        gtypes.add(name)
+        if ipc is None:
+            return _GeoParquetCommit(part_path=None, count=0)
+        ipc.close()
+        sink.close()
+        geo = _geo_meta_json(self.geom_col, self.crs, gtypes)
+        with pa.OSFile(spill, "rb") as src:
+            reader = pa.ipc.open_stream(src)
+            schema = reader.schema.with_metadata({GEO_KEY: geo})
+            with pq.ParquetWriter(part, schema) as writer:
+                for batch in reader:
+                    writer.write_batch(
+                        batch.replace_schema_metadata(schema.metadata)
+                    )
+        os.remove(spill)
+        return _GeoParquetCommit(part_path=part, count=n)
+
+    def commit(self, messages) -> None:
+        parts = [
+            m.part_path for m in messages if m is not None and m.part_path
+        ]
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        elif os.path.exists(self.path):
+            os.remove(self.path)
+        os.makedirs(self.path, exist_ok=True)
+        for p in sorted(parts):
+            shutil.move(p, os.path.join(self.path, os.path.basename(p)))
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+
+def read_geoparquet(spark, path: str):
+    """Helper: GeoParquet via Spark's NATIVE parquet scan (full filter
+    pushdown / column pruning / row-group splitting — the fastest read
+    path) with the ``geo`` footer attached as geometry-column metadata.
+    ``format("geoparquet")`` reads through the Python DataSource instead;
+    use this helper when scan performance matters more than going through
+    one registered format name."""
+    df = spark.read.parquet(path)
+    geo = read_geo_footer(path)
+    if geo:
+        primary = geo.get("primary_column", "geometry")
+        col = geo.get("columns", {}).get(primary, {})
+        meta = {"encoding": col.get("encoding", "WKB").lower()}
+        crs = col.get("crs")
+        if crs is not None:
+            meta["crs"] = _projjson_to_crs(crs)
         if primary in df.columns:
-            df = df.withMetadata(primary, field_meta)
+            df = df.withMetadata(primary, meta)
     return df
 
 
-def _geo_file_metadata(path: str) -> dict | None:
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
-    target = path
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            return None
-        target = parts[0]
-    kv = pq.ParquetFile(target).schema_arrow.metadata or {}
-    raw = kv.get(b"geo")
-    if not raw:
-        return None
-    try:
-        return json.loads(raw)
-    except ValueError:
-        return None
-
-
 def write_geoparquet(
-    df: DataFrame,
+    df,
     path: str,
     geometry_column: str = "geometry",
     crs: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Write GeoParquet: Spark's parallel parquet write, then the ``geo``
-    metadata key stamped into every part file's footer (footer rewrite is
-    a driver-side metadata-only pass — payload row groups are not
-    rewritten, so this stays cheap even when parts are large)."""
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
+    """Helper: distributed GeoParquet write through
+    ``format("geoparquet")`` — every part file carries the ``geo``
+    footer as it is written (no driver-side footer-rewrite pass, unlike
+    a stamp-after-native-write approach: at 100 TB rewriting every part
+    through the driver IS the job)."""
     if geometry_column not in df.columns:
         from polars_gdal_spark.errors import CannotFindGeometryColumnError
 
         raise CannotFindGeometryColumnError(geometry_column)
-    if crs is None:
-        crs = (df.schema[geometry_column].metadata or {}).get("crs")
-    geo = {
-        "version": "1.0.0",
-        "primary_column": geometry_column,
-        "columns": {
-            geometry_column: {
-                "encoding": "WKB",
-                "geometry_types": [],
-                **({"crs": crs} if crs else {}),
-            }
-        },
-    }
-    df.write.mode(mode).parquet(path)
-    payload = json.dumps(geo).encode()
-    for part in glob.glob(os.path.join(path, "*.parquet")):
-        tbl = pq.read_table(part)
-        meta = dict(tbl.schema.metadata or {})
-        meta[b"geo"] = payload
-        pq.write_table(tbl.replace_schema_metadata(meta), part)
-        # drop Hadoop's checksum sidecar — the rewrite invalidated it
-        crc = os.path.join(
-            os.path.dirname(part), f".{os.path.basename(part)}.crc"
+    from polars_gdal_spark import register_gdal_source
+
+    register_gdal_source(df.sparkSession)
+    writer = (
+        df.write.format("geoparquet")
+        .mode(mode)
+        .option("geometrycolumn", geometry_column)
+    )
+    if crs:
+        writer = writer.option("crs", crs)
+    writer.save(path)
+
+
+class GeoParquetDataSource(DataSource):
+    """``format("geoparquet")`` — parquet + ``geo`` footer metadata."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "geoparquet"
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        first = _resolve_files(path)[0]
+        arrow_schema = pq.read_schema(first)
+        spark_schema = from_arrow_schema(
+            arrow_schema, prefer_timestamp_ntz=True
         )
-        if os.path.exists(crc):
-            os.remove(crc)
+        geo = read_geo_footer(path)
+        if not geo:
+            return spark_schema
+        fields = []
+        for f in spark_schema.fields:
+            col = geo.get("columns", {}).get(f.name)
+            if col is not None:
+                f = f.__class__(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "crs": _projjson_to_crs(col.get("crs")),
+                        "encoding": col.get("encoding", "WKB"),
+                        "geo": json.dumps(geo),
+                    },
+                )
+            fields.append(f)
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> GeoParquetReader:
+        return GeoParquetReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> GeoParquetWriter:
+        return GeoParquetWriter(schema, self.options, overwrite)
