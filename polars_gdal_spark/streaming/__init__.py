@@ -39,11 +39,14 @@ class GdalStreamReader(DataSourceStreamReader):
     ``maxFilesPerBatch`` caps how far ``latestOffset`` advances per
     micro-batch (admission control). Caveat: ``Trigger.AvailableNow``
     snapshots ONE ``latestOffset`` result as its target, so with a cap
-    set it drains a single capped step — the Python stream-reader API
-    has no admission-control hook for the engine's availableNow wrapper
-    to iterate. To drain a capped backlog, run continuous with
-    ``processAllAvailable()`` (what the tests do), or leave the cap off
-    for availableNow runs. The engine holds the committed
+    set a single run drains a single capped step — the Python
+    stream-reader API has no admission-control hook for the engine's
+    availableNow wrapper to iterate (verified empirically: 5 pending
+    files at cap 2 → one batch of 2). To drain a capped backlog use
+    :func:`drain_available_now` (loops availableNow runs against one
+    checkpoint until no progress — batch-capped FULL drain), run
+    continuous with ``processAllAvailable()``, or leave the cap off for
+    availableNow runs. The engine holds the committed
     offset (checkpoint); this object's ``_last`` is only a monotone
     lower bound on it, re-learned from ``partitions``/``commit`` calls
     (the engine's authoritative offsets) — so after a checkpoint restart
@@ -200,6 +203,43 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def drain_available_now(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_runs: int = 1000,
+) -> DataFrame:
+    """Batch-capped FULL drain of a backlog under ``availableNow``.
+
+    A single availableNow run against a capped source (e.g.
+    ``maxFilesPerBatch``) processes exactly one capped micro-batch: the
+    engine snapshots one ``latestOffset`` result as its drain target and
+    the Python stream-reader API exposes no admission-control hook for
+    it to iterate (see ``GdalStreamReader``). This helper loops
+    availableNow runs against the SAME checkpoint — each run resumes
+    from the committed offset and takes the next capped step — until a
+    run admits zero rows. The parquet sink plus the checkpoint give
+    exactly-once across runs, so the result equals an uncapped drain.
+
+    Append-mode sinks only (file sinks can't run ``complete``); for
+    aggregated streams drain with ``processAllAvailable`` instead.
+    """
+    spark = stream_df.sparkSession
+    for _ in range(max_runs):
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if sum(p["numInputRows"] for p in q.recentProgress) == 0:
+            break
+    return spark.read.parquet(out_dir)
 
 
 def streaming_exact_dedup(

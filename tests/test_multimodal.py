@@ -89,3 +89,38 @@ def test_resize_and_extract_features(spark):
         threshold=-1.0,
     )
     assert pairs.count() == 15  # 6 choose 2
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_image_pil_raises_cleanly_without_pillow(spark, payloads):
+    if _pil_available():
+        pytest.skip("Pillow installed: the raise-path doesn't apply")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(payloads, codec="pil")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_decode_image_pil_real_png(spark):
+    """Real codec path: decode a generated PNG through codec='pil' and
+    check exact dimensions + raw RGB bytes."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (5, 3), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id bigint, payload binary"
+    )
+    out = decode_image(df, codec="pil").collect()[0]
+    assert (out["width"], out["height"]) == (5, 3)
+    assert bytes(out["pixels"]) == bytes([10, 20, 30]) * 15

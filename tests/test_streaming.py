@@ -435,3 +435,30 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0 and got_set <= set(want)
     closed = [s for s in want if s[2] < wm]  # s[2] = session_end
     assert all(s in got_set for s in closed)
+
+
+def test_drain_available_now_capped_backlog(spark, tmp_path):
+    """drain_available_now loops availableNow runs against one
+    checkpoint until a run admits nothing: a capped backlog (5 files,
+    cap 2) fully drains exactly-once, where a single availableNow run
+    would stop after one capped batch (the documented engine caveat)."""
+    from polars_gdal_spark.streaming import drain_available_now
+
+    src = tmp_path / "drain_in"
+    src.mkdir()
+    for i in range(5):
+        _write_batch(
+            src, f"f{i}.geojson", [_feature(10 * i + j, "x") for j in range(3)]
+        )
+    stream = (
+        spark.readStream.format("gdal")
+        .option("maxFilesPerBatch", "2")
+        .load(str(src))
+    )
+    got = drain_available_now(
+        stream.select("name", "line"),
+        str(tmp_path / "drain_out"),
+        str(tmp_path / "drain_ckpt"),
+    )
+    assert got.count() == 15
+    assert got.select("name").distinct().count() == 15
