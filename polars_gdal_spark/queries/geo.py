@@ -134,6 +134,40 @@ def gdal_roundtrip_gpkg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gdal_roundtrip_tab",
+    oracle=f"""
+    WITH {_GEOJSON_FEATURES}
+    SELECT f.properties."name" AS name,
+           f.properties.population AS population,
+           f.geometry.coordinates[1] AS x,
+           f.geometry.coordinates[2] AS y
+    FROM feat
+    ORDER BY name
+    """,
+)
+def gdal_roundtrip_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read→write→read round-trip through the MapInfo TAB binary sink
+    (sinks/mapinfo_tab_writer.py; reference gets TAB via GDAL's
+    "MapInfo File" driver, README.md:9). Coordinates quantize through
+    the .map 10^7 integer space — exact for the ≤6-decimal fixture — so
+    the oracle can state them straight from the GeoJSON source."""
+    import tempfile
+
+    from polars_gdal_spark.functions import geo
+
+    src = _gdal(spark).load(f"{_DATA}/cities.geojson")
+    out = os.path.join(tempfile.mkdtemp(), "cities.tab")
+    src.write.format("gdal").mode("overwrite").save(out)
+    back = _gdal(spark).load(out)
+    return back.select(
+        "name",
+        "population",
+        geo.st_x(F.col("geometry")).alias("x"),
+        geo.st_y(F.col("geometry")).alias("y"),
+    ).orderBy("name")
+
+
+@query(
     "gdal_grid_bucket_agg",
     oracle=f"""
     WITH {_GEOJSON_FEATURES}

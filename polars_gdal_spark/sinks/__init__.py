@@ -129,8 +129,15 @@ def assemble(
         _write_gpx(parts, path, options, schema, geom_col, gfmt)
     elif d in ("flatgeobuf", "fgb"):
         _write_fgb(parts, path, options, schema, geom_col, gfmt)
-    elif d in ("mapinfo file", "mif", "mif/mid"):
-        _write_mif(parts, path, options, schema, geom_col, gfmt)
+    elif d in ("mapinfo file", "mif", "mif/mid", "mapinfo tab", "tab"):
+        # GDAL's "MapInfo File" driver picks the form by extension:
+        # .tab -> native binary family, anything else -> MIF/MID text.
+        if d in ("mapinfo tab", "tab") or path.lower().endswith(".tab"):
+            from polars_gdal_spark.sinks.mapinfo_tab_writer import write_tab
+
+            write_tab(parts, path, options, schema, geom_col, gfmt)
+        else:
+            _write_mif(parts, path, options, schema, geom_col, gfmt)
     elif d == "dxf":
         _write_dxf(parts, path, options, schema, geom_col, gfmt)
     elif d in ("pgdump", "pg_dump", "postgresql"):
@@ -141,7 +148,7 @@ def assemble(
         raise ValueError(
             f"unsupported write driver {driver!r} "
             "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, "
-            "GPX, GML, FlatGeobuf, MapInfo File, DXF, PGDump)"
+            "GPX, GML, FlatGeobuf, MapInfo File, MapInfo TAB, DXF, PGDump)"
         )
 
 

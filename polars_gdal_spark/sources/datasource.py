@@ -755,7 +755,7 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             return "GPKG"
         if p.endswith((".ndjson", ".geojsonl")):
             return "GeoJSONSeq"
-        if p.endswith(".mif"):
+        if p.endswith((".mif", ".tab")):
             return "MapInfo File"
         if p.endswith(".dxf"):
             return "DXF"

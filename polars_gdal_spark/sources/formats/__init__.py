@@ -30,6 +30,7 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     gml,
     kml_gpx,
     mapinfo_mif,
+    mapinfo_tab,
     osm_xml,
     shapefile,
     sqlite_vec,
