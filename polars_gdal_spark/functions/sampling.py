@@ -64,6 +64,40 @@ def hash_sample(
     return df.where(F.substring(_rank_hex(F.col(key_col), seed), 1, 16) < thr)
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float | str = 0.05,
+    test_fraction: float | str = 0.05,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash: the
+    first ``val_fraction`` of md5 hash space is ``val``, the next
+    ``test_fraction`` is ``test``, the rest ``train``. Same contract as
+    :func:`hash_sample`: a pure projection (zero shuffle, partition-
+    parallel), reproducible by any engine from the same decimals, and
+    stable under re-runs — a document can never migrate between splits
+    when the corpus grows, which is the property that keeps eval sets
+    uncontaminated across training refreshes."""
+    fv = Fraction(str(val_fraction))
+    ft = Fraction(str(test_fraction))
+    if not (0 <= fv and 0 <= ft and fv + ft <= 1):
+        raise ValueError(
+            f"fractions must be >= 0 and sum <= 1, got {val_fraction}, "
+            f"{test_fraction}"
+        )
+    thr_val = hash_sample_threshold(str(fv))
+    thr_vt = hash_sample_threshold(str(fv + ft))
+    rank = F.substring(_rank_hex(F.col(key_col), seed), 1, 16)
+    return df.withColumn(
+        out_col,
+        F.when(rank < F.lit(thr_val), F.lit("val"))
+        .when(rank < F.lit(thr_vt), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,

@@ -77,6 +77,41 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def cosine_range(
+    df: DataFrame,
+    query_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: every (query, candidate) pair with
+    cosine ≥ ``threshold``. The top-k sibling is :func:`cosine_topk` /
+    :func:`knn_join`; range search is the retrieval shape for "all
+    near-duplicates of these probe vectors" audits, where the answer
+    size is distance-bounded rather than count-bounded.
+
+    The query set broadcasts (small-side contract, same as knn_join);
+    the corpus side stays one embarrassingly parallel scan — no
+    shuffle, output bounded by the threshold."""
+    q = F.broadcast(
+        query_df.select(
+            F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("_qv")
+        )
+    )
+    cand = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("_v")
+    ).crossJoin(q)
+    return (
+        cand.where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            cosine_q(F.col("_v"), F.col("_qv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def pairwise_cosine(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -50,6 +50,50 @@ def punct_count(col) -> Column:
     ).cast("bigint")
 
 
+#: Fixed bucket alphabet for character-distribution features. Any
+#: character outside it lands in one "other" bucket, so the counts are
+#: total and exact for arbitrary input.
+CHAR_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def char_bucket_counts(col) -> list[Column]:
+    """Per-character counts over :data:`CHAR_ALPHABET` as pure JVM
+    expressions — ``length(s) - length(replace(s, ch))`` per bucket.
+    No explode, no shuffle: the whole character histogram stays inside
+    whole-stage codegen, unlike the explode→groupBy shape that turns a
+    100 TB corpus into one shuffled row per character."""
+    return [
+        (F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit(""))))
+        .cast("bigint")
+        for ch in CHAR_ALPHABET
+    ]
+
+
+def char_diversity(col) -> dict[str, Column]:
+    """Character-distribution quality features, all exact integers until
+    the final division (engine-reproducible, no transcendentals):
+
+    - ``distinct_chars``: buckets with a non-zero count (incl. other)
+    - ``char_simpson``: Simpson concentration sum(c_i^2)/n^2 — the
+      collision probability of two random character draws. High values
+      flag gibberish/repetition (aaaaa... → 1.0); the rational twin of
+      character entropy, chosen because log() is not bit-reproducible
+      across engines."""
+    n = F.length(col).cast("bigint")
+    counts = char_bucket_counts(col)
+    other = n - sum(counts)
+    all_counts = counts + [other]
+    distinct = sum(
+        F.when(c > 0, F.lit(1)).otherwise(F.lit(0)) for c in all_counts
+    ).cast("bigint")
+    simpson_num = sum(c * c for c in all_counts).cast("bigint")
+    return {
+        "chars_n": n,
+        "distinct_chars": distinct,
+        "char_simpson": simpson_num / (n * n),
+    }
+
+
 def stopword_count(col) -> Column:
     """Count of tokens that are common English stopwords."""
     stop = F.array(*[F.lit(s) for s in STOPWORDS])

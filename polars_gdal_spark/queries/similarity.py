@@ -481,3 +481,30 @@ def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") <= 3)
         .select("qid", "vec_id", "cosine")
     )
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH {_Q_SQL},
+    qs AS (SELECT vec_id AS qid, v AS qv FROM q WHERE vec_id < 3)
+    SELECT qs.qid, a.vec_id,
+           list_dot_product(a.v, qs.qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(qs.qv, qs.qv))) AS cosine
+    FROM q a CROSS JOIN qs
+    WHERE a.vec_id <> qs.qid
+      AND list_dot_product(a.v, qs.qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(qs.qv, qs.qv))) >= 0.3
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: all corpus vectors within cosine ≥ 0.3 of
+    each probe (vec_id < 3) — the distance-bounded retrieval shape
+    (near-duplicate audits), complementing the count-bounded knn_join.
+    Probes broadcast; the corpus side is one embarrassingly parallel
+    scan with no shuffle (functions/similarity.cosine_range)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    probes = emb.where(F.col("vec_id") < 3)
+    return S.cosine_range(emb, probes, threshold=0.3)

@@ -60,6 +60,55 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _char_diversity_oracle() -> str:
+    """SQL mirror of functions/text.char_diversity, generated from the
+    same CHAR_ALPHABET so the bucket set can never drift."""
+    cnts = [
+        f"CAST((length(text) - length(replace(text, '{ch}', '')))"
+        f" AS BIGINT) AS c{i}"
+        for i, ch in enumerate(T.CHAR_ALPHABET)
+    ]
+    ids = [f"c{i}" for i in range(len(T.CHAR_ALPHABET))]
+    other = f"(n - ({' + '.join(ids)}))"
+    all_ids = ids + [other]
+    distinct = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in all_ids
+    )
+    sq = " + ".join(f"({c} * {c})" for c in all_ids)
+    return f"""
+    WITH cc AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n, {", ".join(cnts)}
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n AS chars_n,
+           CAST({distinct} AS BIGINT) AS distinct_chars,
+           ({sq}) / (n * n) AS char_simpson
+    FROM cc
+    """
+
+
+@query("text_char_diversity", oracle=_char_diversity_oracle())
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality features (Simpson concentration +
+    distinct-bucket count) — the gibberish/repetition gate. Pure JVM
+    expressions over a fixed bucket alphabet: one scan, zero shuffle,
+    exact integers until the final division (no transcendentals, so the
+    doubles are bit-identical across engines)."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    d = T.char_diversity(c)
+    return (
+        t["documents"]
+        .where(F.length(c) > 0)
+        .select(
+            "doc_id",
+            d["chars_n"].alias("chars_n"),
+            d["distinct_chars"].alias("distinct_chars"),
+            d["char_simpson"].alias("char_simpson"),
+        )
+    )
+
+
 def _hits_sql(markers: tuple[str, ...]) -> str:
     lst = ",".join(f"'{m}'" for m in markers)
     return (

@@ -390,3 +390,88 @@ def test_heavy_hitters_non_string_and_counter_guard(spark):
 
     with pytest.raises(ValueError, match="sketch_counters"):
         heavy_hitters(df, "k", phi_denom=8, sketch_counters=4)
+
+
+def test_char_diversity_values(spark):
+    from polars_gdal_spark.functions.text import char_diversity
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "a b!")], "doc_id bigint, text string"
+    )
+    d = char_diversity(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            d["chars_n"].alias("n"),
+            d["distinct_chars"].alias("k"),
+            d["char_simpson"].alias("s"),
+        ).collect()
+    }
+    assert rows[1]["k"] == 1 and rows[1]["s"] == 1.0      # aaaa: all one char
+    assert rows[2]["k"] == 2 and rows[2]["s"] == 0.5      # abab: 4+4 over 16
+    # 'a b!': a=1, b=1, space=1, other(!)=1 -> 4 buckets, 4/16
+    assert rows[3]["k"] == 4 and rows[3]["s"] == 0.25
+
+
+def test_chunk_documents_window_edges(spark):
+    from polars_gdal_spark.queries import QUERIES
+    import tempfile, os
+
+    # 350 chars: chunks at 0 (len 200), 150 (len 200), 300 (len 50)
+    text = "x" * 349 + "y"
+    sf = tempfile.mkdtemp()
+    for name in os.listdir("/root/testdata/sf0.001"):
+        if name != "documents.parquet":
+            os.symlink(f"/root/testdata/sf0.001/{name}", os.path.join(sf, name))
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = QUERIES["pipeline_chunk_documents"].func(spark, sf).collect()
+    by_id = {r["chunk_id"]: r for r in out}
+    assert sorted(by_id) == [0, 1, 2]
+    assert [by_id[i]["chunk_len"] for i in (0, 1, 2)] == [200, 200, 50]
+    # overlap: chunk 1 covers [150, 350) -> includes the final 'y'
+    import hashlib
+    assert by_id[2]["chunk_md5"] == hashlib.md5(
+        text[300:350].encode()
+    ).hexdigest()
+
+
+def test_cosine_range_matches_bruteforce(spark):
+    import random
+
+    from polars_gdal_spark.functions import similarity as S
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    probes = emb.where(F.col("vec_id") < 2)
+    got = {
+        (r["qid"], r["vec_id"]): r["cosine"]
+        for r in S.cosine_range(emb, probes, threshold=0.5).collect()
+    }
+    # brute force on the quantized ints (the engine contract)
+    import math
+
+    def q(v):
+        return [math.floor(float(x) * 1_000_000) for x in v]
+
+    exp = {}
+    for qid, qv in rows[:2]:
+        for vid, v in rows:
+            if vid == qid:
+                continue
+            a, b = q(qv), q(v)
+            dot = sum(x * y for x, y in zip(a, b))
+            cos = dot / (
+                math.sqrt(sum(x * x for x in b)) * math.sqrt(sum(x * x for x in a))
+            )
+            if cos >= 0.5:
+                exp[(qid, vid)] = cos
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)

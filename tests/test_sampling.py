@@ -78,3 +78,34 @@ def test_stratified_plan_group_limit(spark, corpus):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_train_val_test_split_partition_and_stability(spark, corpus):
+    from polars_gdal_spark.functions.sampling import train_val_test_split
+
+    out = train_val_test_split(corpus, "id", 0.1, 0.1, seed="tvt")
+    counts = {
+        r["split"]: r["count"]
+        for r in out.groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000          # total partition
+    assert 0.06 * 2000 < counts["val"] < 0.14 * 2000
+    assert 0.06 * 2000 < counts["test"] < 0.14 * 2000
+    # growing the corpus never migrates an existing row's split
+    bigger = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(4000)], "id bigint, src string"
+    )
+    small_map = {r["id"]: r["split"] for r in out.collect()}
+    big_map = {
+        r["id"]: r["split"]
+        for r in train_val_test_split(bigger, "id", 0.1, 0.1, seed="tvt").collect()
+    }
+    assert all(big_map[i] == s for i, s in small_map.items())
+
+
+def test_train_val_test_split_validation(spark, corpus):
+    from polars_gdal_spark.functions.sampling import train_val_test_split
+
+    with pytest.raises(ValueError):
+        train_val_test_split(corpus, "id", 0.6, 0.6)

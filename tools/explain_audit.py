@@ -87,6 +87,15 @@ EXPECT = {
     ],
     # scalar max = 1-row broadcast cross join, never a global window
     "q15_top_supplier": ["BroadcastExchange", "!Window"],
+    # fixed-alphabet char histogram: one codegen project, no exchange
+    "text_char_diversity": ["!Exchange"],
+    # chunk split is sequence+explode+substring: narrow map, no exchange
+    "pipeline_chunk_documents": ["Generate", "!Exchange"],
+    # split assignment is a projection; the profile agg is partial-first
+    "pipeline_train_val_test": ["partial"],
+    # probe set broadcasts into a nested-loop join (tiny side), never a
+    # shuffled cartesian product
+    "sim_range_search": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
 }
 
 
