@@ -129,6 +129,8 @@ def assemble(
         _write_gpx(parts, path, options, schema, geom_col, gfmt)
     elif d in ("flatgeobuf", "fgb"):
         _write_fgb(parts, path, options, schema, geom_col, gfmt)
+    elif d in ("arrow", "feather", "arrow ipc", "ipc"):
+        _write_arrow(parts, path, options, schema, geom_col, gfmt)
     elif d in ("mapinfo file", "mif", "mif/mid", "mapinfo tab", "tab"):
         # GDAL's "MapInfo File" driver picks the form by extension:
         # .tab -> native binary family, anything else -> MIF/MID text.
@@ -148,7 +150,8 @@ def assemble(
         raise ValueError(
             f"unsupported write driver {driver!r} "
             "(have: GeoJSON, GeoJSONSeq, CSV, GPKG, ESRI Shapefile, KML, "
-            "GPX, GML, FlatGeobuf, MapInfo File, MapInfo TAB, DXF, PGDump)"
+            "GPX, GML, FlatGeobuf, MapInfo File, MapInfo TAB, Arrow, DXF, "
+            "PGDump)"
         )
 
 
@@ -618,6 +621,105 @@ def _gpkg_insert_layer(
         "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
         (layer, geom_col, geom_type, srid),
     )
+
+
+_ARROW_TYPES = {
+    "string": "string",
+    "bigint": "int64",
+    "int": "int64",
+    "smallint": "int64",
+    "double": "float64",
+    "float": "float64",
+    "boolean": "bool_",
+    "date": "date32",
+    "timestamp": "timestamp_us",
+    "timestamp_ntz": "timestamp_us",
+    "binary": "binary",
+}
+
+
+def _unjsonish(v, ddl: str):
+    """Invert the assembler's ``_jsonish`` normalization for typed
+    columnar output (dates/timestamps arrive as ISO strings, binary as
+    hex)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if ddl == "date" and isinstance(v, str):
+        return _dt.date.fromisoformat(v)
+    if ddl.startswith("timestamp") and isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    if ddl == "binary" and isinstance(v, str):
+        return bytes.fromhex(v)
+    return v
+
+
+def _write_arrow(
+    parts: list[str], path: str, options: dict, schema, geom_col: str,
+    gfmt: str = "wkb",
+) -> None:
+    """Arrow IPC (Feather v2) writer: WKB binary geometry column plus a
+    GeoParquet-style ``geo`` schema-metadata entry — byte-compatible
+    with the reference's own write fixture (``test_data/cities.arrow``,
+    reference ``src/test.rs:123-158``: Arrow IPC, WKB geometry, ``geo``
+    footer with encoding/CRS/bbox). The ``geo`` JSON is produced by the
+    same helper the GeoParquet datasource uses, so the two formats can
+    never drift. Read back by ``sources/formats/arrow_ipc.py``."""
+    import pyarrow as pa
+
+    from polars_gdal_spark.geometry import geom_to_wkb
+    from polars_gdal_spark.sources.geoparquet import _geo_meta_json
+
+    attr = [f for f in schema.fields if f.name != geom_col]
+    cols: dict[str, list] = {f.name: [] for f in attr}
+    wkbs: list[bytes | None] = []
+    gtypes: set[str] = set()
+    bbox: list[float] | None = None
+    for geom, props in _iter_rows(parts, geom_col, gfmt):
+        for f in attr:
+            cols[f.name].append(
+                _unjsonish(props.get(f.name), f.dataType.simpleString())
+            )
+        if geom is None:
+            wkbs.append(None)
+            continue
+        wkbs.append(geom_to_wkb(geom))
+        gtypes.add(geom[0])
+        from polars_gdal_spark.sinks.mapinfo_tab_writer import _flatten_coords
+
+        for x, y in _flatten_coords(geom):
+            if bbox is None:
+                bbox = [x, y, x, y]
+            else:
+                bbox[0] = min(bbox[0], x)
+                bbox[1] = min(bbox[1], y)
+                bbox[2] = max(bbox[2], x)
+                bbox[3] = max(bbox[3], y)
+
+    crs = options.get("crs", options.get("srs"))
+    if not crs:
+        gf = next((f for f in schema.fields if f.name == geom_col), None)
+        if gf is not None and gf.metadata:
+            crs = gf.metadata.get("crs")
+    arrays, fields = [], []
+    for f in attr:
+        tname = _ARROW_TYPES.get(f.dataType.simpleString(), "string")
+        typ = pa.timestamp("us") if tname == "timestamp_us" else getattr(
+            pa, tname
+        )()
+        vals = cols[f.name]
+        if typ == pa.string():
+            vals = [None if v is None else str(v) for v in vals]
+        arrays.append(pa.array(vals, type=typ))
+        fields.append(pa.field(f.name, typ))
+    arrays.append(pa.array(wkbs, type=pa.binary()))
+    fields.append(pa.field(geom_col, pa.binary()))
+    meta = {b"geo": _geo_meta_json(geom_col, crs, sorted(gtypes), bbox)}
+    tbl = pa.table(arrays, schema=pa.schema(fields, metadata=meta))
+    with pa.OSFile(path, "wb") as sink:
+        with pa.ipc.new_file(sink, tbl.schema) as w:
+            w.write_table(tbl)
 
 
 def _write_mif(

@@ -757,6 +757,8 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             return "GeoJSONSeq"
         if p.endswith((".mif", ".tab")):
             return "MapInfo File"
+        if p.endswith((".arrow", ".feather", ".ipc")):
+            return "Arrow"
         if p.endswith(".dxf"):
             return "DXF"
         if p.endswith(".sql"):

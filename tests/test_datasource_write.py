@@ -220,3 +220,59 @@ def test_dxf_roundtrip(spark, tmp_path):
     t, rings = wkb_to_geom(bytes(got["parcels"]["geometry"]))
     assert t == "Polygon"
     assert rings[0] == [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+
+
+def test_arrow_ipc_roundtrip_with_geo_metadata(spark, stations, tmp_path):
+    """Arrow IPC write mirrors the reference's own write fixture shape
+    (test_data/cities.arrow, src/test.rs:123-158): WKB geometry column +
+    GeoParquet-style 'geo' schema metadata with encoding/CRS/bbox."""
+    import json as _json
+
+    import pyarrow as pa
+
+    out = str(tmp_path / "out.arrow")
+    _write(stations, out, driver="Arrow", crs="EPSG:4326")
+    with pa.OSFile(out, "rb") as f:
+        tbl = pa.ipc.open_file(f).read_all()
+    assert tbl.num_rows == 86
+    geo = _json.loads(tbl.schema.metadata[b"geo"])
+    assert geo["primary_column"] == "geometry"
+    col = geo["columns"]["geometry"]
+    assert col["encoding"] == "WKB"
+    assert col["geometry_types"] == ["Point"]
+    assert len(col["bbox"]) == 4 and col["bbox"][0] <= col["bbox"][2]
+    back = spark.read.format("gdal").load(out)
+    assert back.count() == 86
+    assert _wkb_multiset(back) == _wkb_multiset(stations)
+    names = {r["name"] for r in back.select("name").collect()}
+    assert names == {r["name"] for r in stations.select("name").collect()}
+
+
+def test_arrow_ipc_sniffed_and_typed(spark, tmp_path):
+    import datetime
+
+    import pyarrow as pa
+
+    from polars_gdal_spark.geometry import geojson_to_geom, geom_to_wkb
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, True, datetime.date(2020, 5, 17),
+             bytearray(geom_to_wkb(geojson_to_geom(
+                 {"type": "Point", "coordinates": [3.0, 4.0]})))),
+            (2, -1.25, False, None, None),
+        ],
+        "n bigint, x double, ok boolean, d date, geometry binary",
+    )
+    out = str(tmp_path / "typed.feather")
+    _write(df, out)  # driver sniffed from extension
+    with pa.OSFile(out, "rb") as f:
+        tbl = pa.ipc.open_file(f).read_all()
+    assert tbl.schema.field("n").type == pa.int64()
+    assert tbl.schema.field("x").type == pa.float64()
+    assert tbl.schema.field("ok").type == pa.bool_()
+    assert tbl.schema.field("d").type == pa.date32()
+    back = spark.read.format("gdal").load(out)
+    rows = {r["n"]: r for r in back.collect()}
+    assert rows[1]["d"] == datetime.date(2020, 5, 17)
+    assert rows[2]["geometry"] is None and rows[2]["d"] is None
