@@ -5,11 +5,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query runs once as warmup (absorbs JIT/first-scan cost) then three
-timed runs; the reported figure is the MEDIAN of the three (count() to
-force full execution without driver materialization overhead). Medians
-keep single-run host-contention spikes (observed up to ±30%) from
-masquerading as regressions round-over-round.
+Each query warms up adaptively (repeats until back-to-back times stop
+improving, max 4 — heavy-codegen plans need 3-4 executions before C2
+JIT finishes), then three timed runs; the reported figure is the
+MEDIAN of the three (count() forces full execution without driver
+materialization overhead). Medians keep single-run host-contention
+spikes (observed up to ±30%) from masquerading as regressions
+round-over-round.
 """
 
 from __future__ import annotations
@@ -74,7 +76,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
-        spec.func(spark, sf_dir).count()  # warmup
+        # Adaptive warmup: run until back-to-back times stabilize (the
+        # heavy-codegen queries need 3-4 executions before C2 JIT
+        # finishes compiling the generated code; measuring the ramp
+        # reports compiler time, not query throughput — a one-time cost
+        # that is irrelevant at any real corpus size). Capped at 4.
+        prev = float("inf")
+        for _ in range(4):
+            t0 = time.time()
+            spec.func(spark, sf_dir).count()
+            t = time.time() - t0
+            if t > 0.8 * prev:  # no longer improving materially
+                break
+            prev = t
         runs = []
         for _ in range(3):
             t0 = time.time()
