@@ -308,43 +308,38 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int = 1024,
-    max_hot_collect: int = 100_000,
-    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    |A∩B| from a shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Jaccard is an
-    exact int/int ratio (bit-identical across engines). The shingle join
-    bounds the pair space to docs that actually share content.
+    |A∩B| from co-occurrence on shared shingles; |A∪B| = |A|+|B|−|A∩B|.
+    Jaccard is an exact int/int ratio (bit-identical across engines).
+    The shared-shingle requirement bounds the pair space to docs that
+    actually share content.
 
-    **Hot-shingle cap**: the shingle self-join is quadratic per shingle —
-    one boilerplate n-gram shared by 10⁶ docs would emit ~10¹² join rows
-    at web scale. Shingles whose document frequency exceeds
-    ``max_shingle_df`` are dropped from the working set (both the join
-    AND the per-doc sizes, keeping the Jaccard a consistent ratio over
-    the retained-shingle universe). High-DF shingles carry no
-    near-duplicate signal — they are corpus-wide boilerplate — so this is
-    the standard web-dedup practice, and it bounds the join fan-out at
-    ``max_shingle_df²`` rows per shingle.
+    **Hot-shingle cap**: pair generation is quadratic per shingle — one
+    boilerplate n-gram shared by 10⁶ docs would emit ~10¹² pairs at web
+    scale. Shingles whose document frequency exceeds ``max_shingle_df``
+    are dropped from the working set (both the pairs AND the per-doc
+    sizes, keeping the Jaccard a consistent ratio over the
+    retained-shingle universe). High-DF shingles carry no near-duplicate
+    signal — they are corpus-wide boilerplate — so this is the standard
+    web-dedup practice, and it bounds the fan-out at
+    ``max_shingle_df²/2`` pairs per shingle.
 
-    **Execution strategy** (profiled at sf0.1; the variants are in the
-    round-3 log): the hot set is *materialized once up front* with a
-    bounded ``collect`` — it is corpus-wide boilerplate, naturally tiny
-    relative to the shingle universe. With the hot set in hand the cap
-    is a driver-local broadcast anti-join (or a no-op when the set is
-    empty) and the raw shingle table needs NO persist: the tokenize/
-    explode subtree is a cheap narrow map, and recomputing it per
-    consumer (the self-join exchange is deduped by ReuseExchange, so
-    ~2 recomputes) beats writing the n×-expanded shingle table through
-    a MEMORY_AND_DISK cache — both at bench scale (measured ~1.4×
-    faster end-to-end) and at 100 TB, where caching the expanded table
-    costs more I/O than re-running a flatMap over the corpus.
-
-    If the hot set overflows ``max_hot_collect`` (pathological corpus:
-    >100k distinct boilerplate shingles), fall back to the cache-based
-    plan: persist the raw table, keep the cap as an in-plan broadcast
-    anti-join, eagerly checkpoint the (small) result, and release the
-    cache before returning."""
+    **Execution strategy** (all four variants profiled at sf0.1,
+    round-3 log): the cap is an in-plan broadcast anti-join against the
+    (tiny) hot set, then ONE ``groupBy(shingle)`` collects each
+    shingle's sorted doc list and pairs are generated map-side from the
+    arrays with a higher-order transform — replacing the earlier
+    sort-merge self-join (two sorted copies of the shingle table) with
+    a single aggregation whose output feeds both the pair stream and
+    the per-doc sizes. Measured 3.0 s → 2.6 s end-to-end; no persist,
+    no driver collect, single action. The post-collect ``size(ds)``
+    filter alone (no anti-join) measures 1.9 s but is NOT scale-safe:
+    a DF=10⁸ boilerplate shingle would materialize a multi-GB doc array
+    in one aggregation buffer before the filter could drop it, so the
+    pre-cap stays — every collected array is ≤ ``max_shingle_df``
+    elements by construction."""
     sh_raw = shingle_table(df, id_col, text_col, n)
     hot = (
         sh_raw.groupBy("shingle")
@@ -352,34 +347,25 @@ def ngram_jaccard_pairs(
         .where(F.col("_df") > max_shingle_df)
         .select("shingle")
     )
-    hot_rows = hot.limit(max_hot_collect + 1).collect()
-    if len(hot_rows) > max_hot_collect:
-        return _ngram_jaccard_pairs_cached(
-            sh_raw, hot, threshold, checkpoint
-        )
-    if hot_rows:
-        hot_df = df.sparkSession.createDataFrame(hot_rows, hot.schema)
-        sh = sh_raw.join(F.broadcast(hot_df), "shingle", "left_anti")
-    else:
-        sh = sh_raw
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    return _jaccard_from_shingles(sh, sizes, threshold)
-
-
-def _jaccard_from_shingles(
-    sh: DataFrame, sizes: DataFrame, threshold: float
-) -> DataFrame:
-    """Shared tail of the n-gram Jaccard plan: shingle self-join →
-    per-pair intersection counts → exact ratio → threshold filter."""
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
+    grouped = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc")).alias("ds")
+    )
+    # all (i < j) pairs of each sorted doc list, generated map-side
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("sz"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
@@ -396,27 +382,6 @@ def _jaccard_from_shingles(
         )
         .where(F.col("jaccard") >= threshold)
     )
-
-
-def _ngram_jaccard_pairs_cached(
-    sh_raw: DataFrame, hot: DataFrame, threshold: float, checkpoint: bool
-) -> DataFrame:
-    """Fallback for a pathologically large hot-shingle set (overflowed
-    ``max_hot_collect``): persist the raw shingle table so the in-plan
-    hot count and every downstream consumer share one materialization,
-    cap via in-plan broadcast anti-join, eagerly checkpoint the (small)
-    result, release the cache."""
-    from pyspark import StorageLevel
-
-    sh_raw = sh_raw.persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    result = _jaccard_from_shingles(sh, sizes, threshold)
-    if not checkpoint:  # plan-inspection path: caller owns the cache
-        return result
-    result = result.localCheckpoint(eager=True)
-    sh_raw.unpersist()
-    return result
 
 
 def benchmark_contamination(

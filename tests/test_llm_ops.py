@@ -63,17 +63,38 @@ def test_ngram_jaccard_values(spark, docs):
     assert (1, 4) not in pairs
 
 
-def test_ngram_jaccard_cached_fallback_same_answer(spark, docs):
-    """max_hot_collect=0 forces the persist-based fallback plan; it must
-    return exactly the same pairs as the collect-the-hot-set fast path."""
-    fast = D.ngram_jaccard_pairs(
-        docs, "doc", "text", 3, 0.1, max_shingle_df=1
+def test_ngram_jaccard_grouped_plan_matches_self_join(spark, docs):
+    """The grouped-array plan must return exactly the pairs of the
+    reference formulation (shingle self-join), jaccard included."""
+    from polars_gdal_spark.functions.dedup import shingle_table
+
+    got = D.ngram_jaccard_pairs(docs, "doc", "text", 3, 0.1)
+    sh = shingle_table(docs, "doc", "text", 3)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
     )
-    slow = D.ngram_jaccard_pairs(
-        docs, "doc", "text", 3, 0.1, max_shingle_df=1, max_hot_collect=0
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ref = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.1)
     )
-    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))  # noqa: E731
-    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, ref.collect()))
 
 
 def test_minhash_lsh_degenerate_bucket_capped(spark):

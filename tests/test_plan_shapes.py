@@ -15,8 +15,8 @@ from tools.explain_audit import EXPECT
 def _plan(spark, name: str) -> str:
     if name == "dedup_ngram_jaccard":
         # max_shingle_df=8 makes the hot set non-empty at SF_SMOKE so
-        # the plan exercises the DF-cap broadcast anti-join (with the
-        # default cap the hot set is empty and the cap is a no-op).
+        # the DF-cap anti-join actually filters rows (with the default
+        # cap the hot side is empty at this SF).
         from polars_gdal_spark.functions import dedup as D
         from polars_gdal_spark.queries.dedup import _augmented
 
