@@ -16,6 +16,13 @@ are authoritative).
 Coordinates quantize into the .map integer space with scale 10^p
 (largest p ≤ 7 that fits ±2^31) and zero displacement, so values with
 ≤p decimal digits round-trip bit-exact.
+
+Channel losses (inherent to the format, matching GDAL's behavior):
+binary numeric fields have no null encoding (MapInfo has no null
+concept), so null Integer/Float/Logical values collapse to 0/0.0/F on
+read-back; bigint values outside ±2^31 are declared Decimal(20,0)
+(ASCII) and come back as bigint; Char pads with spaces (trailing
+whitespace is not preserved). Dates DO preserve null (zero bytes).
 """
 
 from __future__ import annotations
@@ -101,6 +108,15 @@ def write_tab(
                  for r in rows if r.get(f.name) is not None] + [1]
             )
             w = min(w, 254)
+        elif t == "integer" and any(
+            r.get(f.name) is not None
+            and not -(2**31) <= int(r.get(f.name)) < 2**31
+            for r in rows
+        ):
+            # MapInfo Integer is 32-bit; wider values go to an
+            # integer-valued Decimal(20,0) (ASCII), which the reader
+            # maps back to bigint — GDAL's Integer64-as-Decimal shape.
+            t, w = "decimal_int", 20
         else:
             w = _WIDTHS[t]
         fields.append((f.name, t, w))
@@ -119,6 +135,7 @@ def _write_tab_file(path: str, fields, charset: str) -> None:
         "float": lambda w: "Float",
         "logical": lambda w: "Logical",
         "date": lambda w: "Date",
+        "decimal_int": lambda w: f"Decimal ({w}, 0)",
     }
     with open(path, "w", encoding="latin-1") as f:
         f.write("!table\n!version 300\n")
@@ -149,6 +166,9 @@ def _encode_field(v, t: str, w: int, enc: str) -> bytes:
         if isinstance(v, str):  # assembler's _jsonish: 'YYYY-MM-DD'
             v = _dt.date.fromisoformat(v)
         return struct.pack("<HBB", v.year, v.month, v.day)
+    if t == "decimal_int":
+        s = b"" if v is None else str(int(v)).encode("ascii")
+        return s.rjust(w, b" ")
     raise ValueError(f"TAB writer: unknown field type {t}")
 
 
@@ -168,7 +188,11 @@ def _write_dat(path: str, fields, rows: list[dict], enc: str) -> None:
         nm = name.encode("ascii", errors="replace")[:10]
         desc[0 : len(nm)] = nm
         # MapInfo quirk: binary types carry 'C'; only .tab knows better
-        desc[11] = {"decimal": ord("N"), "logical": ord("L")}.get(t, ord("C"))
+        desc[11] = {
+            "decimal": ord("N"),
+            "decimal_int": ord("N"),
+            "logical": ord("L"),
+        }.get(t, ord("C"))
         desc[16] = w
         out += desc
     out += b"\x0d"

@@ -59,6 +59,7 @@ _TYPE_MAP = {
     "smallint": "bigint",
     "float": "double",
     "decimal": "double",
+    "decimal_int": "bigint",
     "logical": "boolean",
     "date": "date",
 }
@@ -114,7 +115,12 @@ def _parse_tab(path: str) -> TabDef:
                 width = 0
                 if "(" in rest:
                     inner = rest[rest.find("(") + 1 : rest.find(")")]
-                    width = int(inner.split(",")[0].strip())
+                    nums = [p.strip() for p in inner.split(",")]
+                    width = int(nums[0])
+                    # Decimal(w, 0) is integer-valued (GDAL reads it as
+                    # Integer64) — keep it a bigint, not a double
+                    if ctype == "decimal" and len(nums) > 1 and nums[1] == "0":
+                        ctype = "decimal_int"
                 fields.append((name, ctype, width))
             i += n
         i += 1
@@ -217,6 +223,9 @@ def _decode_field(raw: bytes, ctype: str, enc: str):
     if ctype == "decimal":
         s = raw.strip().decode("ascii", errors="replace")
         return float(s) if s else None
+    if ctype == "decimal_int":
+        s = raw.strip().decode("ascii", errors="replace")
+        return int(s) if s else None
     if ctype == "logical":
         return raw[:1] in (b"T", b"t", b"Y", b"1")
     if ctype == "date":

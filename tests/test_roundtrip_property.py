@@ -68,6 +68,10 @@ def feature_collections(draw):
         # (same collapse as shapefile DBF) — canon() normalizes below.
         ("MapInfo File", "mif"),
         ("FlatGeobuf", "fgb"),
+        # TAB quantizes coordinates into its 10^7 integer space and its
+        # fixed-width Char channel pads with spaces — canon() compares
+        # the quantized integers and rstrips text for this driver.
+        ("MapInfo File", "tab"),
     ],
 )
 def test_roundtrip_fixed_point(spark, tmp_path_factory, fc, driver, ext):
@@ -82,11 +86,19 @@ def test_roundtrip_fixed_point(spark, tmp_path_factory, fc, driver, ext):
 
     def canon(frame):
         cols = sorted(c for c in frame.columns if c != "geometry")
+        dtypes = dict(frame.dtypes)
         rows = []
         for r in frame.collect():
             vals = []
             for c in cols:
                 v = r[c]
+                # TAB's binary numeric channels have no null encoding
+                # (MapInfo has no null concept; GDAL writes 0 too) —
+                # collapse on both sides of the compare.
+                if ext == "tab" and v is None:
+                    v = {"bigint": 0, "double": 0.0, "boolean": False}.get(
+                        dtypes.get(c), v
+                    )
                 # sinks serialize through text (GeoJSON numbers / GPKG
                 # TEXT affinity for strings); normalize for compare.
                 # -0.0 → 0.0: SQLite's record format stores integral
@@ -95,14 +107,25 @@ def test_roundtrip_fixed_point(spark, tmp_path_factory, fc, driver, ext):
                 # normalization).
                 if isinstance(v, float) and v == 0.0:
                     v = 0.0
+                if ext == "tab" and isinstance(v, str):
+                    v = v.rstrip("\x00 ")
                 s = str(v) if v is not None else None
                 # MIF/MID (like DBF) writes null text as '' — both sides
                 # of the compare collapse to None for that channel.
-                if ext == "mif" and s == "":
+                if ext in ("mif", "tab") and s == "":
                     s = None
                 vals.append(s)
             geom = r["geometry"]
-            vals.append(bytes(geom).hex() if geom is not None else None)
+            if geom is None:
+                vals.append(None)
+            elif ext == "tab":
+                # quantized-integer compare: the writer's exact transform
+                from polars_gdal_spark.geometry import wkb_to_geom
+
+                _, (x, y) = wkb_to_geom(bytes(geom))
+                vals.append(f"{round(x * 10**7)}:{round(y * 10**7)}")
+            else:
+                vals.append(bytes(geom).hex())
             rows.append(tuple(vals))
         return sorted(rows, key=lambda t: tuple(v or "" for v in t))
 
