@@ -610,3 +610,75 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dropped_chunks"),
         )
     )
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    {_SHINGLE_SQL},
+    {_LSH_PAIRS_SQL},
+    agree AS (
+      SELECT p.doc_a, p.doc_b,
+             sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+      FROM pairs p
+      JOIN mh a ON a.doc = p.doc_a
+      JOIN mh b ON b.doc = p.doc_b AND b.seed = a.seed
+      GROUP BY 1, 2
+    ),
+    shc AS (
+      SELECT s.* FROM shing s
+      JOIN (SELECT shingle FROM shing
+            GROUP BY shingle HAVING count(*) <= 1024) k
+      USING (shingle)
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM shc GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.n_agree AS BIGINT) AS n_agree,
+           g.n_agree / 16 AS est_sig,
+           COALESCE(i.i / (sa.sz + sb.sz - i.i), 0.0) AS jaccard
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    LEFT JOIN sizes sa ON sa.doc = g.doc_a
+    LEFT JOIN sizes sb ON sb.doc = g.doc_b
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy harness for MinHash (the fuzzy-dedup analogue of
+    ``sim_ann_recall``): for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (agreeing positions / 16) next
+    to the exact n-gram Jaccard over the DF-capped shingle universe —
+    the measurement that justifies trusting the sketch at corpus scale.
+    Signatures join per-pair (candidate-sized relation, never corpus²);
+    the exact side reuses the capped Jaccard plan. All ratios are exact
+    int/int divisions — bit-identical across engines."""
+    aug = _augmented(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3, max_bucket=64
+    )
+    sigs = D.minhash_signatures(aug, "doc", "text", 16, 3)
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    ).cast("bigint")
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_agree.alias("n_agree")
+    )
+    exact = D.ngram_jaccard_pairs(
+        aug, "doc", "text", n=3, threshold=0.0, max_shingle_df=1024
+    ).select("doc_a", "doc_b", "jaccard")
+    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        (F.col("n_agree") / F.lit(16)).alias("est_sig"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )

@@ -96,6 +96,8 @@ EXPECT = {
     # probe set broadcasts into a nested-loop join (tiny side), never a
     # shuffled cartesian product
     "sim_range_search": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # estimate joins run on the candidate-pair relation, never corpus²
+    "dedup_minhash_estimate": ["!CartesianProduct"],
 }
 
 
