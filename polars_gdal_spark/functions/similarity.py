@@ -273,6 +273,101 @@ def ivf_search(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def save_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index for reuse: the corpus assigned to cells,
+    written as parquet **partitioned by centroid_id** (one directory per
+    cell), plus the centroid table. The build pays one assignment scan +
+    one shuffle; every later probe reads ONLY the probed cell
+    directories — Spark's directory-level partition pruning is the IVF
+    inverted list, so search cost is n_probe/n_cells of the corpus at
+    the FILE level, not just the row level. This is the build-once/
+    query-many shape a 100 TB ANN deployment needs (re-running
+    ``ivf_assign`` per query would re-scan the full corpus every time).
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        path + "/cells"
+    )
+    centroids.select(id_col, vec_col).write.mode("overwrite").parquet(
+        path + "/centroids"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(cells, centroids) of an index written by :func:`save_ivf_index`."""
+    return (
+        spark.read.parquet(path + "/cells"),
+        spark.read.parquet(path + "/centroids"),
+    )
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    query_vec_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe search against a persisted IVF index: rank cells by
+    centroid similarity (centroid relation is driver-small by the IVF
+    contract — same documented contract as ``knn_join``'s query side),
+    then scan ONLY those cells via a literal ``isin`` filter on the
+    partition column, so the parquet scan carries PartitionFilters and
+    never opens the other cell directories. Exact cosine re-rank on the
+    candidates."""
+    cells_df, centroids = load_ivf_index(spark, path)
+    q = F.broadcast(
+        query_vec_df.select(quantize(F.col(vec_col)).alias("_qv")).withColumn(
+            "_qn", F.sqrt(norm_sq_q(F.col("_qv")).cast("double"))
+        )
+    )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        quantize(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", F.sqrt(norm_sq_q(F.col("_cv")).cast("double")))
+    probe_ids = [
+        r["centroid_id"]
+        for r in (
+            c.crossJoin(q)
+            .withColumn(
+                "_sim",
+                dot_q(F.col("_cv"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+            )
+            .orderBy(F.desc("_sim"), F.asc("centroid_id"))
+            .limit(n_probe)
+            .select("centroid_id")
+            .collect()
+        )
+    ]
+    cand = cells_df.where(F.col("centroid_id").isin(probe_ids))
+    scored = (
+        cand.select(
+            id_col,
+            "centroid_id",
+            quantize(F.col(vec_col)).alias("_v"),
+        )
+        .withColumn("_n", F.sqrt(norm_sq_q(F.col("_v")).cast("double")))
+        .crossJoin(q)
+        .select(
+            id_col,
+            "centroid_id",
+            (
+                dot_q(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def srp_bucket(col, planes: int = 8) -> Column:
     """Sign-random-projection LSH bucket key: a ``planes``-char 0/1 string,
     bit_p = sign of Σ_i x_i * w_pi with deterministic pseudo-random weights

@@ -496,3 +496,63 @@ def test_cosine_range_matches_bruteforce(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
+def test_ivf_index_persistence_and_partition_pruning(spark, tmp_path):
+    """save_ivf_index writes cell-partitioned parquet; indexed probe
+    search returns exactly what the on-the-fly search returns AND reads
+    only the probed cell directories (file-level partition pruning —
+    the IVF inverted list realized as Spark partition dirs)."""
+    import os
+
+    from polars_gdal_spark.functions.similarity import (
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+        ivf_search_indexed,
+    )
+    from polars_gdal_spark.queries import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 8)
+    qv = emb.where(F.col("vec_id") == 0)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(emb, centroids, idx)
+    # one directory per cell
+    dirs = [d for d in os.listdir(idx + "/cells") if d.startswith("centroid_id=")]
+    assert len(dirs) == 8
+
+    live = ivf_search(emb, centroids, qv, k=5, n_probe=2).collect()
+    stored = ivf_search_indexed(spark, idx, qv, k=5, n_probe=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in stored] == [
+        (r["vec_id"], r["cosine"]) for r in live
+    ]
+
+    # pruning: an isin filter on the partition column reads ONLY those
+    # cell directories (file-level pruning = the IVF inverted list)
+    cells_df, _ = load_ivf_index(spark, idx)
+    cand = cells_df.where(F.col("centroid_id").isin([3, 6]))
+    n_expected = cells_df.where("centroid_id IN (3, 6)").count()
+    assert cand.count() == n_expected > 0
+    qe = cand._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan
+    # file-level proof: the executed scan's numFiles metric counts only
+    # the probed directories' files (8 cells -> 8 files unpruned).
+    # Execute THIS query execution (count() above spawned its own).
+    qe.executedPlan().execute().count()
+    scan = qe.executedPlan().collectLeaves().apply(0)
+    num_files = scan.metrics().apply("numFiles").value()
+    total_files = sum(
+        1
+        for d in dirs
+        for f in os.listdir(os.path.join(idx, "cells", d))
+        if f.endswith(".parquet")
+    )
+    assert num_files < total_files
+    assert num_files == sum(
+        1
+        for d in ("centroid_id=3", "centroid_id=6")
+        for f in os.listdir(os.path.join(idx, "cells", d))
+        if f.endswith(".parquet")
+    )
