@@ -347,6 +347,34 @@ def _impl_st_centroid(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"x": xs, "y": ys})
 
 
+def _impl_hilbert_xy(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Hilbert distance of pre-scaled grid cells (int64, 2^16 grid) —
+    numpy-vectorized twin of the FlatGeobuf writer's ``_hilbert_d``
+    (sources/formats/flatgeobuf.py; equality pinned by pytest). Used by
+    :func:`spatial_cluster` to order rows so nearby geometries land in
+    the same parquet row groups."""
+    import numpy as np
+
+    order = 16
+    gx = x.to_numpy(dtype=np.int64, na_value=0).copy()
+    gy = y.to_numpy(dtype=np.int64, na_value=0).copy()
+    d = np.zeros(len(gx), dtype=np.int64)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((gx & s) > 0).astype(np.int64)
+        ry = ((gy & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        m = ry == 0
+        refl = m & (rx == 1)
+        gx2 = np.where(refl, s - 1 - gx, gx)
+        gy2 = np.where(refl, s - 1 - gy, gy)
+        nx = np.where(m, gy2, gx2)
+        ny = np.where(m, gx2, gy2)
+        gx, gy = nx, ny
+        s >>= 1
+    return pd.Series(d)
+
+
 def _impl_st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Euclidean distance between two Point geometries (null for other
     types — planar point distance, the OGR Distance() fast path).
@@ -402,7 +430,61 @@ _SPECS = {
     "st_perimeter": (_impl_st_perimeter, "double"),
     "st_centroid": (_impl_st_centroid, "struct<x:double,y:double>"),
     "st_distance": (_impl_st_distance, "double"),
+    "hilbert_xy": (_impl_hilbert_xy, "bigint"),
 }
+
+
+def spatial_cluster(
+    df,
+    geom_col: str = "geometry",
+    n_partitions: int = 8,
+    order: int = 16,
+):
+    """Spatial zone-map clustering for parquet writes: order rows along
+    a Hilbert curve of their centroids so each output file/row-group
+    covers a small spatial neighborhood, then a bbox read
+    (``WHERE cx BETWEEN ... AND cy BETWEEN ...``) prunes most row
+    groups at the parquet footer — the 2-D analogue of the 1-D
+    ``repartitionByRange`` zone maps (``tests/test_write_layout.py``).
+
+    Adds ``cx``/``cy`` (centroid, the filterable columns carrying the
+    min/max statistics) and ``hilbert`` (the cluster key), then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on it. The corpus
+    envelope comes from one cheap min/max aggregate (four doubles to
+    the driver). Rows with null geometry sort last (grid cell 0).
+
+    At 100 TB: the envelope agg is one scan's map-side min/max; the
+    range partitioner samples the hilbert key as usual; nothing is
+    driver-sized except the four bounds."""
+    import pyspark.sql.functions as F
+
+    sx_udf, sy_udf, h_udf = _udf("st_x"), _udf("st_y"), _udf("hilbert_xy")
+    bounds = df.select(
+        F.min(sx_udf(F.col(geom_col))).alias("x0"),
+        F.max(sx_udf(F.col(geom_col))).alias("x1"),
+        F.min(sy_udf(F.col(geom_col))).alias("y0"),
+        F.max(sy_udf(F.col(geom_col))).alias("y1"),
+    ).first()
+    if bounds["x0"] is None:
+        raise ValueError("spatial_cluster: no non-null geometries")
+    sx = (bounds["x1"] - bounds["x0"]) or 1.0
+    sy = (bounds["y1"] - bounds["y0"]) or 1.0
+    n = (1 << order) - 1
+    cx = sx_udf(F.col(geom_col))
+    cy = sy_udf(F.col(geom_col))
+    gx = F.floor((cx - F.lit(bounds["x0"])) / F.lit(sx) * n).cast("bigint")
+    gy = F.floor((cy - F.lit(bounds["y0"])) / F.lit(sy) * n).cast("bigint")
+    out = (
+        df.withColumn("cx", cx)
+        .withColumn("cy", cy)
+        .withColumn(
+            "hilbert",
+            h_udf(F.coalesce(gx, F.lit(0)), F.coalesce(gy, F.lit(0))),
+        )
+    )
+    return out.repartitionByRange(n_partitions, "hilbert").sortWithinPartitions(
+        "hilbert"
+    )
 
 
 def spatial_join_points_in_polygons(
