@@ -64,6 +64,11 @@ HEADLINE = [
     "sim_ann_recall",
     "sim_ivf_knn_join",
     "events_zscore_outliers",
+    # round-3 additions
+    "pipeline_chunk_documents",
+    "pipeline_train_val_test",
+    "text_char_diversity",
+    "sim_range_search",
 ]
 
 
