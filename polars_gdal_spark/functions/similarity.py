@@ -429,6 +429,12 @@ def knn_join(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()
+    out_schema_empty = (
+        f"qid {dict(queries.dtypes)[id_col]}, "
+        f"{id_col} {dict(corpus.dtypes)[id_col]}, cosine double"
+    )
+    if not qrows:  # empty query set -> empty result, not np.stack crash
+        return corpus.sparkSession.createDataFrame([], out_schema_empty)
     qids = np.array([r[0] for r in qrows])
     Q = np.floor(
         np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]) * QUANT
