@@ -98,6 +98,93 @@ EXPECT = {
     "sim_range_search": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
     # estimate joins run on the candidate-pair relation, never corpus²
     "dedup_minhash_estimate": ["!CartesianProduct"],
+    # ---- scan-fused pure maps: zero shuffle anywhere --------------------
+    "cast_and_scalar_functions": ["!Exchange", "PushedFilters: [I"],
+    "date_arithmetic": ["!Exchange", "PushedFilters: [I"],
+    "regexp_and_string_ops": ["!Exchange", "PushedFilters: [I"],
+    "scalar_null_handling": ["!Exchange", "PushedFilters: [I"],
+    "text_fingerprint": ["!Exchange"],
+    "text_langid": ["!Exchange"],
+    "text_pii_scrub": ["!Exchange"],
+    "text_quality_features": ["!Exchange"],
+    "geo_measures": ["!Exchange"],
+    "multimodal_frame_sample": ["Generate", "!Exchange"],
+    # ---- semi/anti joins (existence, never materialized) ----------------
+    "join_semi": ["BroadcastHashJoin", "LeftSemi"],
+    "join_anti": ["BroadcastHashJoin", "LeftAnti"],
+    "q4_order_priority": ["LeftSemi", "partial"],
+    "q20_promotion_suppliers": ["LeftSemi", "partial"],
+    "q22_dormant_customers": ["LeftAnti", "partial"],
+    "setop_intersect": ["LeftSemi"],
+    "dedup_embedding_cosine": ["LeftAnti", "!CartesianProduct"],
+    "dedup_near_resolve": ["LeftAnti", "!CartesianProduct"],
+    # ---- star joins broadcast the dim side, aggs partial-first ----------
+    "q2_min_price_supplier": ["BroadcastHashJoin", "partial"],
+    "q10_returned_revenue": [
+        "BroadcastHashJoin", "partial", "TakeOrderedAndProject",
+    ],
+    "q12_priority_lineitems": ["BroadcastHashJoin", "partial"],
+    "q13_customer_distribution": ["BroadcastHashJoin", "partial"],
+    "q14_promo_effect": ["BroadcastHashJoin", "partial"],
+    "q16_supplier_part_counts": ["BroadcastHashJoin", "partial"],
+    "q17_small_qty_revenue": ["BroadcastHashJoin", "partial"],
+    "q19_banded_revenue": ["BroadcastHashJoin", "partial"],
+    "correlated_above_nation_avg": ["BroadcastHashJoin", "partial"],
+    "events_retention": ["BroadcastHashJoin", "partial"],
+    "events_funnel": ["BroadcastHashJoin", "partial"],
+    "events_click_attribution": ["BroadcastHashJoin"],
+    "join_left_outer": ["BroadcastHashJoin", "partial"],
+    "text_typicality": ["BroadcastHashJoin", "partial"],
+    "pipeline_training_prep_v2": ["BroadcastHashJoin", "partial"],
+    # scalar denominators/thresholds ride a 1-row broadcast, never a
+    # shuffled cartesian
+    "q11_important_parts": ["BroadcastNestedLoop", "partial"],
+    "pipeline_quality_percentile": ["BroadcastNestedLoop", "partial"],
+    "join_range_nonequi": ["BroadcastNestedLoop", "!CartesianProduct"],
+    # ---- plain aggs: map-side combine before the exchange ---------------
+    "events_hourly_rollup": ["partial"],
+    "events_json_extract": ["partial"],
+    "cube_lineitem_flags": ["partial"],
+    "rollup_order_stats": ["partial"],
+    "count_distinct_exact": ["partial"],
+    "pivot_status_priority": ["partial"],
+    "array_agg_per_group": ["partial"],
+    "having_filter_groups": ["partial"],
+    "dedup_exact": ["partial"],
+    "dedup_simhash": ["partial", "Generate"],
+    "sketch_distinct_users": ["partial"],
+    "text_token_counts": ["partial"],
+    "profile_lineitem": ["partial"],
+    # ---- top-k / rank truncation ----------------------------------------
+    "limit_offset": ["TakeOrderedAndProject"],
+    "word_frequencies": ["TakeOrderedAndProject", "partial"],
+    "sim_knn_bruteforce": ["TakeOrderedAndProject", "!CartesianProduct"],
+    "sim_ivf_probe_search": ["WindowGroupLimit", "TakeOrderedAndProject"],
+    "sim_ivf_trained": ["WindowGroupLimit", "TakeOrderedAndProject"],
+    "sim_kmeans_centroids": ["WindowGroupLimit"],
+    "sim_knn_join": ["WindowGroupLimit", "partial"],
+    "argmax_latest_order": ["WindowGroupLimit"],
+    "geo_nearest_center": ["WindowGroupLimit", "!CartesianProduct"],
+    # ---- windows stay partitioned, never a cross join -------------------
+    "window_running_sum": ["Window", "!CartesianProduct"],
+    "window_lag_delta": ["Window", "!CartesianProduct"],
+    "window_rank_family": ["Window", "!CartesianProduct"],
+    "window_range_frame": ["Window", "!CartesianProduct"],
+    "window_first_last": ["Window", "!CartesianProduct"],
+    "asof_purchase_last_click": ["Window", "!CartesianProduct"],
+    "events_sessionize": ["Window", "partial"],
+    "events_session_windows": ["Window", "partial"],
+    # ---- bucketed candidate generation ----------------------------------
+    "sim_lsh_bucketed": ["!CartesianProduct"],
+    "sim_pairwise_label_blocked": ["!CartesianProduct"],
+    "geo_spatial_join_pip": [
+        "BroadcastHashJoin", "Generate", "!CartesianProduct",
+    ],
+    "join_salted_skew": [
+        "BroadcastHashJoin", "Generate", "!CartesianProduct",
+    ],
+    "filter_in_between_like": ["PushedFilters: [I", "partial"],
+    "setop_union": ["PushedFilters: [I"],
 }
 
 
