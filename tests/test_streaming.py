@@ -462,3 +462,60 @@ def test_drain_available_now_capped_backlog(spark, tmp_path):
     )
     assert got.count() == 15
     assert got.select("name").distinct().count() == 15
+
+
+def test_streaming_chunk_documents_matches_batch(spark, tmp_path):
+    """The RAG chunking transform is a pure narrow map, so it applies
+    unchanged to a document stream: chunks of arriving docs equal the
+    batch chunking of the same corpus (the streaming ingest shape of an
+    embedding pipeline: stream -> chunk -> write)."""
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [(i, "word%d " % i * (37 * (i + 1))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    size, stride = 200, 150
+
+    def chunk(frame):
+        c = F.expr(f"substring(text, chunk_id * {stride} + 1, {size})")
+        return (
+            frame.where(F.length("text") > 0)
+            .select(
+                "doc_id",
+                "text",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        F.floor((F.length("text") - 1) / stride).cast(
+                            "bigint"
+                        ),
+                    )
+                ).alias("chunk_id"),
+            )
+            .select(
+                "doc_id",
+                "chunk_id",
+                F.md5(c).alias("chunk_md5"),
+            )
+        )
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        chunk(stream)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_md5"]
+        for r in spark.sql("SELECT * FROM chunk_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_md5"]
+        for r in chunk(df).collect()
+    }
+    assert got == want and len(got) > 6
