@@ -435,3 +435,59 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("approx_within_5pct"),
     )
+
+
+@query(
+    "sketch_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_values,
+           1 AS p50_within_rank_bound,
+           1 AS p90_within_rank_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched quantiles: per event type, the exact non-null value
+    count next to PASS flags asserting ``percentile_approx`` (KLL-style
+    sketch, accuracy=100 => rank error <= 1/100) landed within 2% RANK
+    of the true median and p90.
+
+    Same contract pattern as sketch_distinct_users: the count column is
+    fully hash-checked against DuckDB; the sketch values are
+    engine-specific, so what's verified cross-engine is the accuracy
+    contract, which is deterministic because Spark's quantile sketch is
+    deterministic for a given input multiset. The rank check is itself
+    distributed: broadcast the 5-row sketch output back onto events and
+    measure the empirical CDF at the sketched value — one extra
+    map-side-combined aggregation, no sort, no windows. At 100 TB a
+    global exact quantile needs a full sort or a multi-pass histogram;
+    the sketch is one pass with KB-sized state per group, and this
+    query documents the rank error accepted for that exchange.
+    """
+    from polars_gdal_spark.queries import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    appx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 100).alias("_p50"),
+        F.percentile_approx("value", 0.9, 100).alias("_p90"),
+    )
+    joined = ev.join(F.broadcast(appx), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.avg((F.col("value") <= F.col("_p50")).cast("int")).alias("_f50"),
+        F.avg((F.col("value") <= F.col("_p90")).cast("int")).alias("_f90"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(F.abs(F.col("_f50") - 0.5) <= 0.02, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("p50_within_rank_bound"),
+        F.when(F.abs(F.col("_f90") - 0.9) <= 0.02, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("p90_within_rank_bound"),
+    )

@@ -682,3 +682,92 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_agree") / F.lit(16)).alias("est_sig"),
         F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
     )
+
+
+@query(
+    "dedup_line_corpus",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    atoks AS (
+      SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM aug
+    ),
+    base AS (
+      SELECT doc, tk, CAST(ceil(len(tk) / 10.0) AS BIGINT) AS nl FROM atoks
+    ),
+    lines AS (
+      SELECT doc,
+             unnest(list_transform(range(0, nl),
+                    i -> md5(array_to_string(tk[i*10+1 : i*10+10], ' ')))) AS h
+      FROM base
+    ),
+    shared AS (
+      SELECT h FROM lines GROUP BY h HAVING count(DISTINCT doc) >= 2
+    ),
+    dup AS (
+      SELECT doc, count(*) AS dup_lines
+      FROM lines JOIN shared USING (h) GROUP BY doc
+    )
+    SELECT b.doc,
+           b.nl AS total_lines,
+           CAST(coalesce(d.dup_lines, 0) AS BIGINT) AS dup_lines
+    FROM base b LEFT JOIN dup d ON b.doc = d.doc
+    """,
+)
+def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-line removal stats (RefinedWeb/CCNet
+    line-wise dedup): split every document into consecutive 10-token
+    "lines", then flag each line whose exact text occurs in >= 2
+    DISTINCT documents; report per document the total and duplicated
+    line counts. Differs from dedup_chunk_exact in semantics — that op
+    keeps the corpus-wide first occurrence of a chunk, this one flags
+    ALL occurrences of any line shared across documents (the signal
+    RefinedWeb uses to strip boilerplate navigation/footer lines).
+
+    Scale shape: line generation is a narrow transform (higher-order
+    functions, zero Python); one groupBy on the 128-bit line hash with
+    a map-side-combined distinct-doc count produces the shared-line
+    set, and one hash equi-join on the same key attributes duplicates
+    back to documents — two balanced shuffles on uniform keys, no
+    all-pairs stage. At 100 TB this is the CCNet line-dedup plan
+    verbatim. Runs over the augmented corpus (base ∪ 80%-prefix
+    mutation) so genuinely shared lines exist at every SF.
+    """
+    aug = _augmented(spark, sf_dir)
+    tk = _toks(F.col("text"))
+    base = aug.select("doc", tk.alias("tk")).select(
+        "doc",
+        "tk",
+        F.ceil(F.size("tk") / F.lit(10.0)).cast("bigint").alias("nl"),
+    )
+    lines = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(nl as int) - 1),"
+                " i -> array_join(slice(tk, i*10 + 1, 10), ' '))"
+            )
+        ).alias("line"),
+    ).select("doc", F.md5(F.col("line")).alias("h"))
+    shared = (
+        lines.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = (
+        lines.join(shared, "h")
+        .groupBy("doc")
+        .agg(F.count("*").alias("dup_lines"))
+    )
+    return (
+        base.select("doc", F.col("nl").alias("total_lines"))
+        .join(dup, "doc", "left")
+        .select(
+            "doc",
+            "total_lines",
+            F.coalesce(F.col("dup_lines"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_lines"),
+        )
+    )

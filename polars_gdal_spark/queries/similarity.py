@@ -508,3 +508,85 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     probes = emb.where(F.col("vec_id") < 3)
     return S.cosine_range(emb, probes, threshold=0.3)
+
+
+def _jl_signs(d_in: int = 64, d_out: int = 16) -> list[list[int]]:
+    """Deterministic Rademacher (+1/-1) projection matrix: the sign for
+    (input dim i, output dim j) is derived from md5(f"{i}_{j}") so any
+    engine (or a re-run on different cluster topology) regenerates the
+    identical matrix — no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+_JL = _jl_signs()
+_JL_SQL = (
+    "["
+    + ", ".join("[" + ", ".join(str(s) for s in row) + "]" for row in _JL)
+    + "]"
+)
+
+
+@query(
+    "embed_random_projection",
+    oracle=f"""
+    WITH {_Q_SQL},
+    m AS (SELECT {_JL_SQL} AS signs)
+    SELECT vec_id,
+           CAST(j AS INT) AS dim,
+           CAST(list_sum(list_transform(range(1, len(v) + 1),
+                         i -> v[i] * signs[j + 1][i])) AS BIGINT) AS qproj
+    FROM q, m, (SELECT unnest(range(0, 16)) AS j)
+    ORDER BY vec_id, dim
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 via a
+    deterministic Rademacher sign matrix (signs derived from md5 of the
+    coordinate pair, so the matrix needs no storage and no broadcast of
+    RNG state — any worker, any engine regenerates it). Output is the
+    long form (vec_id, dim, qproj) over the exact integer quantization,
+    bit-identical across engines.
+
+    Scale shape: a narrow per-row transform — zip_with/aggregate over
+    the embedding array entirely inside whole-stage codegen, zero
+    shuffle, zero Python. The sign matrix enters the plan as 16 literal
+    arrays (1 KB of constants), not a join side. At 100 TB this is an
+    embarrassingly parallel scan; the reduced vectors feed the LSH/IVF
+    family at 4x less memory and dot-product cost. Reference parity:
+    extends the similarity-search surface (SURVEY §2.L) with the
+    standard sketching step used before ANN indexing.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select("vec_id", S.quantize(F.col("embedding")).alias("v"))
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(s) for s in _JL[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(16)
+    ]
+    wide = q.select("vec_id", F.array(*proj_cols).alias("pr"))
+    # no orderBy: the driver's compare is order-insensitive, and a
+    # global sort here would add a pointless range-partition exchange
+    return wide.select(
+        "vec_id", F.posexplode(F.col("pr")).alias("dim", "qproj")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("qproj").cast("bigint").alias("qproj"),
+    )

@@ -185,6 +185,20 @@ EXPECT = {
     ],
     "filter_in_between_like": ["PushedFilters: [I", "partial"],
     "setop_union": ["PushedFilters: [I"],
+    # line hashes shuffle once (partial distinct-doc count), dup lines
+    # attribute back via an equi-join — never an all-pairs stage
+    "dedup_line_corpus": ["partial", "!CartesianProduct"],
+    # JL projection is a pure narrow transform: literal sign arrays,
+    # zero shuffle, zero Python — one Generate for the long-form explode
+    "embed_random_projection": ["!Exchange", "Generate"],
+    # 5-row sketch output re-enters as an explicit broadcast; the rank
+    # check is one partial-first aggregation over the fact scan
+    "sketch_quantiles": ["BroadcastHashJoin", "partial"],
+    # banded signature equi-join candidates — never all-pairs
+    "dedup_minhash_lsh": ["!CartesianProduct"],
+    "distinct_values": ["HashAggregate", "!CartesianProduct"],
+    "setop_except": ["!CartesianProduct"],
+    "multimodal_payload_meta": ["!CartesianProduct"],
 }
 
 
