@@ -309,69 +309,97 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_df: int = 1024,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for all pairs sharing \u22651 shingle.
 
-    |A∩B| from co-occurrence on shared shingles; |A∪B| = |A|+|B|−|A∩B|.
+    |A\u2229B| from co-occurrence on shared shingles; |A\u222aB| = |A|+|B|\u2212|A\u2229B|.
     Jaccard is an exact int/int ratio (bit-identical across engines).
     The shared-shingle requirement bounds the pair space to docs that
     actually share content.
 
-    **Hot-shingle cap**: pair generation is quadratic per shingle — one
-    boilerplate n-gram shared by 10⁶ docs would emit ~10¹² pairs at web
+    **Hot-shingle cap**: pair generation is quadratic per shingle \u2014 one
+    boilerplate n-gram shared by 10\u2076 docs would emit ~10\u00b9\u00b2 pairs at web
     scale. Shingles whose document frequency exceeds ``max_shingle_df``
     are dropped from the working set (both the pairs AND the per-doc
     sizes, keeping the Jaccard a consistent ratio over the
     retained-shingle universe). High-DF shingles carry no near-duplicate
-    signal — they are corpus-wide boilerplate — so this is the standard
+    signal \u2014 they are corpus-wide boilerplate \u2014 so this is the standard
     web-dedup practice, and it bounds the fan-out at
-    ``max_shingle_df²/2`` pairs per shingle.
+    ``max_shingle_df\u00b2/2`` pairs per shingle.
 
-    **Execution strategy** (all four variants profiled at sf0.1,
-    round-3 log): the cap is an in-plan broadcast anti-join against the
-    (tiny) hot set, then ONE ``groupBy(shingle)`` collects each
-    shingle's sorted doc list and pairs are generated map-side from the
-    arrays with a higher-order transform — replacing the earlier
-    sort-merge self-join (two sorted copies of the shingle table) with
-    a single aggregation whose output feeds both the pair stream and
-    the per-doc sizes. Measured 3.0 s → 2.6 s end-to-end; no persist,
-    no driver collect, single action. The post-collect ``size(ds)``
-    filter alone (no anti-join) measures 1.9 s but is NOT scale-safe:
-    a DF=10⁸ boilerplate shingle would materialize a multi-GB doc array
-    in one aggregation buffer before the filter could drop it, so the
-    pre-cap stays — every collected array is ≤ ``max_shingle_df``
-    elements by construction."""
-    sh_raw = shingle_table(df, id_col, text_col, n)
+    **Execution strategy** (re-profiled round 3, sf0.1, 3.2 s \u2192 1.8 s):
+
+    1. Shingles are hashed to **64-bit longs at generation time**
+       (``xxhash64`` over the n token slots \u2014 no n-gram string is ever
+       materialized; distinct token tuples \u2261 distinct n-gram strings
+       because tokens are space-split, and a 64-bit collision at corpus
+       shingle cardinality is ~2\u207b\u00b3\u2075 \u2014 below any observable effect).
+       Every downstream shuffle moves 8-byte keys instead of ~25-byte
+       strings; shingle generation itself fell 1.6 s \u2192 0.5 s.
+    2. The DF cap stays an **in-plan broadcast anti-join** against the
+       (tiny) hot set \u2014 no second shuffle of the shingle table.
+    3. One ``groupBy(doc)`` collects each document's retained shingles
+       AND its size in the same pass (the size is just ``size()`` of the
+       collected array \u2014 bounded by document length, safe at any scale),
+       then re-explodes carrying ``sz``. This replaces the former
+       separate sizes aggregation + two post-``inter`` equi-joins that
+       re-shuffled the multi-million-row pair table twice.
+    4. Pairs are generated map-side from per-shingle sorted doc lists
+       (every list \u2264 ``max_shingle_df`` by construction) and counted
+       into |A\u2229B| with the sizes riding along in the grouping key, so
+       the Jaccard is computed directly on the aggregated row \u2014 the
+       pair table is shuffled exactly once.
+    5. The two hot shuffles are **explicitly hash-repartitioned to
+       ``defaultParallelism``**: AQE's size-based coalescing sees only
+       a few MB here and would serialize the CPU-heavy pair explode +
+       count onto 4-8 tasks; pinning partition count keeps all cores
+       busy locally and is the neutral choice on a real cluster (the
+       same number AQE would target for a large shuffle)."""
+    sc_p = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    hash_args = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
+    sh_expr = F.expr(
+        f"""CASE WHEN size(tk) >= {n} THEN
+              array_distinct(transform(sequence(1, size(tk) - {n - 1}),
+                i -> xxhash64({hash_args})))
+            ELSE array() END"""
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("tk")).select(
+        "doc", F.explode(sh_expr).alias("sh")
+    )
     hot = (
-        sh_raw.groupBy("shingle")
+        base.groupBy("sh")
         .agg(F.count("*").alias("_df"))
         .where(F.col("_df") > max_shingle_df)
-        .select("shingle")
+        .select("sh")
     )
-    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
-    grouped = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_list("doc")).alias("ds")
+    shc = base.join(F.broadcast(hot), "sh", "left_anti")
+    docarr = shc.groupBy("doc").agg(F.collect_list("sh").alias("shs"))
+    shz = docarr.select(
+        "doc", F.size("shs").alias("sz"), F.explode("shs").alias("sh")
+    ).repartition(sc_p, "sh")
+    grouped = shz.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
     )
-    # all (i < j) pairs of each sorted doc list, generated map-side
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
-    sizes = (
-        grouped.select(F.explode("ds").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count("*").alias("sz"))
+    # all (i < j) pairs of each sorted (doc, sz) list, generated map-side
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x.doc AS doc_a, x.sz AS sz_a, "
+                    "y.doc AS doc_b, y.sz AS sz_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .repartition(sc_p, "doc_a", "doc_b")
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
         .select(
             "doc_a",
             "doc_b",
