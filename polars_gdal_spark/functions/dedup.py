@@ -445,20 +445,35 @@ def benchmark_contamination(
         F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle")
     ).distinct()
     sh = shingle_table(docs, id_col, text_col, n)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        sh.join(F.broadcast(bench_sh), "shingle")
+    # ONE pass over the corpus shingle stream: the broadcast LEFT join
+    # tags each shingle with a hit marker, and a single groupBy(doc)
+    # yields both the size and the overlap (count of markers) — half the
+    # explode work and one shuffle instead of two vs. computing
+    # sizes/hits as separate aggregates.
+    counts = (
+        sh.join(
+            F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
         .groupBy("doc")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
     )
     # carry_cols ride along on the doc spine so callers need no join-back
-    # to recover their own columns (docs must be unique per id for that).
+    # to recover their own columns (docs must be unique per id for that —
+    # which also makes a distinct() redundant; when no carry is asked
+    # for, keep the id-only distinct so duplicate-id inputs still get
+    # one output row, at the cost of shuffling bare ids, never text).
     all_docs = docs.select(
         F.col(id_col).alias("doc"), *[F.col(c) for c in carry_cols]
-    ).distinct()
+    )
+    if not carry_cols:
+        all_docs = all_docs.distinct()
     return (
-        all_docs.join(sizes, "doc", "left")
-        .join(hits, "doc", "left")
+        all_docs.join(counts, "doc", "left")
         .select(
             "doc",
             *carry_cols,
