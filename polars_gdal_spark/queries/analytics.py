@@ -491,3 +491,63 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("p90_within_rank_bound"),
     )
+
+
+@query(
+    "percentiles_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                    THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = (n - 1) * 90 // 100 + 1
+                    THEN o_totalprice END) AS p90
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def percentiles_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (lower method) of o_totalprice WITHIN
+    each order priority — the grouped sibling of percentiles_order_stats.
+
+    Selecting the order statistic at rank (n-1)*p//100+1 per group is
+    pure value selection (no interpolation arithmetic), so Spark and
+    DuckDB agree bit-exactly even on doubles.
+
+    Scale shape: the oracle's per-group row_number would single-thread
+    each group (a group can be billions of rows at 100 TB — TPC-H has 5
+    priorities no matter the SF). Instead: build the (group, value)
+    histogram — one parallel, map-side-combined shuffle that collapses
+    the input to |group| x |distinct values| rows — run the cumulative
+    window over the HISTOGRAM (small by construction), and pick the
+    smallest value whose cumulative count reaches the per-group rank.
+    Same two-pass order-statistics trick as functions/stats.py, grouped.
+    """
+    t = load_tables(spark, sf_dir)
+    hist = (
+        t["orders"]
+        .groupBy("o_orderpriority", "o_totalprice")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(totals), "o_orderpriority")
+
+    def at(p: int):
+        k = (F.col("n") - 1) * p / 100
+        k = F.floor(k) + 1
+        return F.min(
+            F.when(F.col("cum") >= k, F.col("o_totalprice"))
+        )
+
+    return j.groupBy("o_orderpriority").agg(
+        at(50).alias("p50"), at(90).alias("p90")
+    )

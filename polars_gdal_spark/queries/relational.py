@@ -1007,3 +1007,99 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type", F.col("n").alias("n_events")).agg(
         F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("bigint").alias("n_outliers")
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH rich AS (
+      SELECT c_nationkey AS nk, count(*) AS rich_customers
+      FROM customer WHERE c_acctbal > 7500 GROUP BY c_nationkey
+    ),
+    broke AS (
+      SELECT s_nationkey AS nk, count(*) AS broke_suppliers
+      FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+    )
+    SELECT coalesce(r.nk, b.nk) AS nationkey,
+           r.rich_customers,
+           b.broke_suppliers
+    FROM rich r FULL OUTER JOIN broke b ON r.nk = b.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations having high-balance customers, negative
+    -balance suppliers, or both — unmatched sides surface as NULL counts
+    (both filters are selective enough that some nations appear on only
+    one side, so all three match cases occur).
+
+    Scale shape: both inputs are pre-aggregated to at most |nation| rows
+    BEFORE the join (aggregate-then-join, not join-then-aggregate), so
+    the full-outer join — which cannot broadcast — shuffles only the
+    tiny per-nation relations however large the fact tables grow.
+    """
+    t = load_tables(spark, sf_dir)
+    rich = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 7500)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("rich_customers"))
+    )
+    broke = (
+        t["supplier"]
+        .where(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("broke_suppliers"))
+    )
+    return (
+        rich.join(broke, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            "rich_customers",
+            "broke_suppliers",
+        )
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube alone):
+    (status, priority) detail, status subtotals, and a grand total in
+    one pass, with grouping() flags disambiguating aggregated-away NULLs
+    from data NULLs. Aggregates are count/min/max only — no double SUM,
+    whose partial-aggregation order would make cross-engine bit
+    equality accidental.
+
+    Scale shape: Spark expands grouping sets with a single Expand +
+    partial-then-final hash aggregate — one scan, one shuffle whose
+    width is |sets| x |groups|, never a self-union of three scans.
+    """
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )

@@ -552,3 +552,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("bigint").alias("frame_no"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+# BM25 with k1=1.2, b=0.75 folded into exact integer arithmetic (see
+# text_bm25_rank docstring): score_t = 22*tf*T*(2N-2df+1)
+#                                      / ((2df+1)*(10*tf*T + 3*T + 9*dl*N))
+_BM25_TERMS = ("spark", "join", "window", "filter")
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_NTOK.format(c='text')} AS dl,
+             {','.join(
+                 "len(list_filter(" + _TOKS.format(c='text')
+                 + f", x -> x = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS)
+             )}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(dl) AS t,
+             {','.join(
+                 f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+                 for i in range(len(_BM25_TERMS))
+             )}
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, dl,
+             {' + '.join(
+                 f"(CAST(22*tf{i}*t*(2*n - 2*df{i} + 1) AS DOUBLE)"
+                 f" / CAST((2*df{i} + 1)"
+                 f" * (10*tf{i}*t + 3*t + 9*dl*n) AS DOUBLE))"
+                 for i in range(len(_BM25_TERMS))
+             )} AS score
+      FROM base, stats
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    fixed query-term set, top-15 documents.
+
+    Determinism contract: the classic formula's ``ln`` idf is replaced
+    by the raw Robertson idf ratio (N-df+0.5)/(df+0.5) — log-free, so
+    every quantity is an exact bigint until ONE double division per
+    term (correctly rounded, bit-identical across engines), and the
+    per-document total adds the fixed term columns left-to-right in
+    both engines. With k1=6/5 and b=3/4 the per-term score folds to
+    22*tf*T*(2N-2df+1) / ((2df+1)*(10*tf*T + 3*T + 9*dl*N)) with
+    T = corpus token count, dl = doc length. (At 100 TB the bigint
+    products need decimal/log headroom — the plan shape is what
+    transfers, and a production scorer swaps in F.log idf.)
+
+    Scale shape: per-term tf comes from JVM higher-order functions over
+    ONE tokenization per row (no explode, no per-term corpus scan); the
+    (N, T, df_1..df_k) statistics are a single 1-row aggregate that
+    broadcasts back; ranking is TakeOrderedAndProject. Two narrow scans
+    of the corpus, zero wide shuffles, nothing quadratic.
+
+    Reference parity: the reference's OGR SQL surface has no text
+    ranking at all (SURVEY §2.J); engine-side added value.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+
+    def tf_col(i: int, term: str):
+        return (
+            F.size(F.filter(tk, lambda x: x == F.lit(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("dl"),
+        *[tf_col(i, t) for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("t"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    n, t = F.col("n"), F.col("t")
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        num = F.lit(22) * tf * t * (F.lit(2) * n - F.lit(2) * df + F.lit(1))
+        den = (F.lit(2) * df + F.lit(1)) * (
+            F.lit(10) * tf * t + F.lit(3) * t + F.lit(9) * F.col("dl") * n
+        )
+        return num.cast("double") / den.cast("double")
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )

@@ -142,6 +142,14 @@ EXPECT = {
     "pipeline_quality_percentile": ["BroadcastNestedLoop", "partial"],
     # per-domain keep-rates ride a broadcast; corpus is filtered map-side
     "pipeline_temperature_mix": ["BroadcastHashJoin", "partial"],
+    # 1-row corpus stats broadcast; global top-15 collapses to TakeOrdered
+    "text_bm25_rank": ["BroadcastNestedLoop", "TakeOrderedAndProject"],
+    # grouped order statistics over the histogram; totals broadcast
+    "percentiles_per_group": ["BroadcastHashJoin", "Window", "partial"],
+    # aggregate-then-join: the unbroadcastable full outer sees tiny inputs
+    "join_full_outer": ["FullOuter", "partial", "!CartesianProduct"],
+    # one Expand + one partial-first aggregate, not a 3-scan self-union
+    "grouping_sets_orders": ["Expand", "partial"],
     # percent_rank over the (source, value) HISTOGRAM, never the corpus:
     # the window input is the post-agg relation, corpus join broadcasts
     "pipeline_quality_norm": ["BroadcastHashJoin", "Window", "partial"],
