@@ -551,3 +551,103 @@ def percentiles_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         at(50).alias("p50"), at(90).alias("p90")
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ),
+    med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS med
+      FROM r1 GROUP BY event_type
+    ),
+    r2 AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.med) AS d
+      FROM ev e JOIN med m USING (event_type)
+    ),
+    r3 AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM r2
+    ),
+    mad AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN d END) AS mad
+      FROM r3 GROUP BY event_type
+    )
+    SELECT e.event_type, m.med, x.mad,
+           count(*) FILTER (WHERE abs(e.value - m.med) > 3 * x.mad)
+             AS n_outliers
+    FROM ev e
+    JOIN med m USING (event_type)
+    JOIN mad x USING (event_type)
+    GROUP BY e.event_type, m.med, x.mad
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts via median/MAD (median absolute
+    deviation) — the heavy-tail-safe sibling of events_zscore_outliers:
+    a single extreme value cannot drag the threshold the way it drags a
+    mean/stddev.
+
+    Determinism contract: both medians are lower-method order statistics
+    (pure value selection, no interpolation); |x - med| and 3*MAD are
+    single correctly-rounded IEEE ops, so the outlier predicate is
+    bit-identical across engines.
+
+    Scale shape: each median comes from the (group, value) HISTOGRAM
+    (map-side-combined shuffle, cumulative window over the histogram
+    only) — never a per-group row_number over the fact table, which
+    would single-thread billion-row event types. The medians and MADs
+    are |group|-sized relations broadcast back; total cost is three
+    corpus scans, two histogram shuffles, and one count aggregation.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+
+    def group_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        hist = df.groupBy("event_type", val).agg(F.count("*").alias("c"))
+        w = Window.partitionBy("event_type").orderBy(val)
+        cum = hist.withColumn("cum", F.sum("c").over(w))
+        totals = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+        j = cum.join(F.broadcast(totals), "event_type")
+        k = F.floor((F.col("n") - 1) * 50 / 100) + 1
+        return j.groupBy("event_type").agg(
+            F.min(F.when(F.col("cum") >= k, F.col(val))).alias(out)
+        )
+
+    med = group_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = group_median(dev.select("event_type", "d"), "d", "mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+    )

@@ -27,19 +27,36 @@ from polars_gdal_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
 
-def test_no_unpartitioned_window_anywhere(spark):
-    offenders = []
+def test_no_unpartitioned_window_or_cartesian_anywhere(spark):
+    """Also bans CartesianProduct in every PHYSICAL plan: a cross join
+    that didn't get a broadcast side (BroadcastNestedLoopJoin is the
+    acceptable 1-row/GEMM-small-side shape) multiplies partitions and
+    is quadratic at scale. Zero whitelisted queries today; keep it so.
+    """
+    window_offenders, cartesian_offenders = [], []
     for name, spec in QUERIES.items():
         df = spec.func(spark, SF_SMOKE)
-        nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+        qe = df._jdf.queryExecution()
+        nodes = json.loads(qe.optimizedPlan().toJSON())
         for n in nodes:
             if n.get("class", "").endswith(".Window") and not n.get(
                 "partitionSpec"
             ):
-                offenders.append(name)
+                window_offenders.append(name)
                 break
-    assert not offenders, (
+        plan = qe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if "CartesianProduct" in plan:
+            cartesian_offenders.append(name)
+    assert not window_offenders, (
         "unpartitioned Window (single-partition at scale) in: "
-        f"{offenders} — use histogram order statistics "
+        f"{window_offenders} — use histogram order statistics "
         "(functions/stats.py) or crossJoin(broadcast(agg)) instead"
+    )
+    assert not cartesian_offenders, (
+        f"CartesianProduct in physical plan of: {cartesian_offenders} — "
+        "broadcast the small side explicitly"
     )

@@ -146,6 +146,8 @@ EXPECT = {
     "text_bm25_rank": ["BroadcastNestedLoop", "TakeOrderedAndProject"],
     # grouped order statistics over the histogram; totals broadcast
     "percentiles_per_group": ["BroadcastHashJoin", "Window", "partial"],
+    # both medians from histograms; med/mad relations broadcast back
+    "events_mad_outliers": ["BroadcastHashJoin", "Window", "partial"],
     # aggregate-then-join: the unbroadcastable full outer sees tiny inputs
     "join_full_outer": ["FullOuter", "partial", "!CartesianProduct"],
     # one Expand + one partial-first aggregate, not a 3-scan self-union
