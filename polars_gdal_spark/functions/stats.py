@@ -84,3 +84,56 @@ def exact_percentiles(
             F.min(F.when(F.col("_cum") >= F.lit(k), F.col("_v"))).alias(alias)
         )
     return cum.agg(*aggs)
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    order_cols,
+    weight_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Add global rank (``_rn``) and running-total (``_cum``) columns
+    under ``order_cols`` ordering — WITHOUT an unpartitioned window.
+
+    Same per-partition-offsets construction as :func:`exact_percentiles`,
+    generalized to arbitrary sort expressions and a weighted cumulative
+    sum: ``repartitionByRange`` on the ordering (sampled range bounds,
+    so skew still splits evenly), per-partition row/weight totals
+    collected to the driver (``num_partitions`` rows — driver-local by
+    contract), then a PARTITIONED cumulative window plus the broadcast
+    offsets. Every stage is parallel; the input is scanned once.
+
+    The input is pinned with ``localCheckpoint`` so the two consumers
+    (offset totals, the ranked output) see one materialization of the
+    same partition assignment.
+    """
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per_pid = sorted(
+        (r["_pid"], r["_rows"], r["_wsum"])
+        for r in part.groupBy("_pid")
+        .agg(
+            F.count("*").alias("_rows"),
+            F.sum(weight_col).alias("_wsum"),
+        )
+        .collect()
+    )
+    offsets, rows_run, w_run = [], 0, 0
+    for pid, nrows, wsum in per_pid:
+        offsets.append((pid, rows_run, w_run))
+        rows_run += nrows
+        w_run += wsum or 0
+    off_df = spark.createDataFrame(
+        offsets, "_pid int, _rows_off bigint, _w_off bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn("_rn", F.row_number().over(w) + F.col("_rows_off"))
+        .withColumn("_cum", F.sum(weight_col).over(w) + F.col("_w_off"))
+        .drop("_pid", "_rows_off", "_w_off")
+    )

@@ -1103,3 +1103,52 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         """
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH long AS (
+      SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+    )
+    SELECT metric, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+    FROM long GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) + per-metric profile: the inverse of the
+    pivot query, exercising Spark's native ``unpivot``/``melt`` API.
+    Aggregates are count/min/max only (order-independent, engine-exact).
+
+    Scale shape: Spark compiles unpivot to a single Expand node — each
+    input row fans out to |metrics| rows IN PLACE (no join, no shuffle,
+    no second scan, unlike the oracle's 3-scan UNION ALL formulation);
+    the profile aggregate is map-side combined into 3 groups.
+    """
+    t = load_tables(spark, sf_dir)
+    long = t["lineitem"].unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "v",
+    )
+    # unpivot labels rows with the source column name; map to the
+    # oracle's short metric names with a fixed CASE (JVM expression).
+    name = (
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_extendedprice", "extendedprice")
+        .otherwise("discount")
+    )
+    return (
+        long.select(name.alias("metric"), "v")
+        .groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )

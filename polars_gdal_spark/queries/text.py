@@ -663,3 +663,81 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT w, count(*) AS c
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+      )
+      GROUP BY w
+    ),
+    tot AS (SELECT sum(c) AS t FROM w),
+    r AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, w) AS rn,
+             sum(c) OVER (ORDER BY c DESC, w) AS cum
+      FROM w
+    ),
+    p AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT p.pct,
+           CAST(min(r.rn) AS BIGINT) AS vocab_size,
+           CAST(min(r.cum) AS BIGINT) AS covered_tokens
+    FROM p
+    JOIN tot ON TRUE
+    JOIN r ON r.cum >= (tot.t * p.pct + 99) // 100
+    GROUP BY p.pct
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest frequency-ranked
+    vocabulary that covers 50/90/99% of the corpus token mass, and the
+    exact token count covered at that cut — the Heaps/Zipf statistic a
+    tokenizer-budget decision needs ("how big a vocab until OOV mass is
+     1%?").
+
+    Determinism contract: ranks are (freq DESC, word ASC), coverage
+    targets are exact integer ceilings (t*pct + 99) // 100, and the
+    reported values are pure min-selections — no FP anywhere.
+
+    Scale shape: one explode+groupBy builds the word histogram (the only
+    corpus-sized shuffle, map-side combined); the cumulative rank over
+    the histogram is computed with functions.stats.ordered_cumsum —
+    range-partitioned ranks plus broadcast per-partition offsets, NO
+    unpartitioned window, so a 100 TB corpus's multi-hundred-million-row
+    vocabulary still ranks in parallel. The threshold probe is a
+    broadcast join of a 3-row relation against the ranked histogram.
+    """
+    from polars_gdal_spark.functions.stats import ordered_cumsum
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    hist = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = ordered_cumsum(hist, [F.col("c").desc(), F.col("w").asc()], "c")
+    total = sum(
+        r["s"] or 0
+        for r in ranked.groupBy().agg(F.max("_cum").alias("s")).collect()
+    )
+    thresholds = spark.createDataFrame(
+        [(p, (total * p + 99) // 100) for p in (50, 90, 99)],
+        "pct int, needed bigint",
+    )
+    return (
+        ranked.join(
+            F.broadcast(thresholds), F.col("_cum") >= F.col("needed")
+        )
+        .groupBy("pct")
+        .agg(
+            F.min("_rn").alias("vocab_size"),
+            F.min("_cum").alias("covered_tokens"),
+        )
+    )

@@ -148,6 +148,10 @@ EXPECT = {
     "percentiles_per_group": ["BroadcastHashJoin", "Window", "partial"],
     # both medians from histograms; med/mad relations broadcast back
     "events_mad_outliers": ["BroadcastHashJoin", "Window", "partial"],
+    # wide->long melt is one in-place Expand, not a 3-scan union
+    "unpivot_metrics": ["Expand", "partial"],
+    # cumulative vocab ranks ride range partitions + broadcast offsets
+    "text_vocab_coverage": ["BroadcastHashJoin", "Window", "partial"],
     # aggregate-then-join: the unbroadcastable full outer sees tiny inputs
     "join_full_outer": ["FullOuter", "partial", "!CartesianProduct"],
     # one Expand + one partial-first aggregate, not a 3-scan self-union
