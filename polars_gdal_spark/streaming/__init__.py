@@ -368,3 +368,39 @@ def session_event_aggs(
             "sum_value",
         )
     )
+
+
+def foreach_batch_idempotent_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once file sink via ``foreachBatch`` + batch-id-keyed
+    overwrite — the canonical idempotent-sink recipe for sinks without
+    native transactional commit.
+
+    Structured Streaming guarantees each micro-batch a stable
+    ``batch_id`` that is REPLAYED (same id, same data) if the process
+    dies between the sink write and the offset commit. Appending would
+    duplicate that batch; instead each batch overwrites its OWN
+    partition directory ``batch_id=<n>``, so a replay rewrites
+    identical bytes and the sink converges to exactly-once regardless
+    of where the failure landed. The output is a standard
+    Hive-partitioned layout readable as one parquet table.
+
+    Scale notes: foreachBatch hands over a regular DataFrame — the
+    write below is a distributed parquet write (per-partition tasks),
+    nothing driver-local; overwrite scope is one batch directory, never
+    the table root.
+    """
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

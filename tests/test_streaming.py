@@ -519,3 +519,50 @@ def test_streaming_chunk_documents_matches_batch(spark, tmp_path):
         for r in chunk(df).collect()
     }
     assert got == want and len(got) > 6
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """Batch-id-keyed overwrite sink: (a) a full drain equals the batch
+    read; (b) replaying a batch (the crash-between-write-and-commit
+    case) leaves the sink unchanged instead of duplicating rows."""
+    from polars_gdal_spark.streaming import foreach_batch_idempotent_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch = load_tables(spark, SF_SMOKE)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    # two source files → two micro-batches under maxFilesPerTrigger=1
+    batch.where("event_id % 2 = 0").coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    batch.where("event_id % 2 = 1").coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    foreach_batch_idempotent_sink(stream, str(out), str(ckpt))
+
+    result = spark.read.parquet(str(out))
+    assert result.count() == batch.count()
+    assert result.select("batch_id").distinct().count() >= 2
+
+    # simulate the replay: re-deliver batch 0's data under its batch id
+    # (materialize before overwriting the directory it was read from)
+    replayed = (
+        spark.read.parquet(str(out))
+        .where("batch_id = 0")
+        .drop("batch_id")
+        .localCheckpoint(eager=True)
+    )
+    replayed.write.mode("overwrite").parquet(str(out / "batch_id=0"))
+    again = spark.read.parquet(str(out))
+    assert again.count() == batch.count()  # no duplicates after replay
+    assert (
+        again.select(F.sum("event_id")).first()[0]
+        == batch.select(F.sum("event_id")).first()[0]
+    )
