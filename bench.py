@@ -69,6 +69,12 @@ HEADLINE = [
     "pipeline_train_val_test",
     "text_char_diversity",
     "sim_range_search",
+    # round-3 continuation
+    "text_bm25_rank",
+    "percentiles_per_group",
+    "events_mad_outliers",
+    "text_vocab_coverage",
+    "pipeline_temperature_mix",
 ]
 
 
