@@ -651,3 +651,138 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
     )
+
+
+@query(
+    "events_resample_gapfill",
+    oracle="""
+    WITH spikes AS (
+      SELECT event_type, date_trunc('hour', ts) AS h
+      FROM events WHERE value > 300
+    ),
+    counts AS (
+      SELECT event_type, h, count(*) AS n FROM spikes GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM spikes GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.event_type,
+           strftime(g.h, '%Y-%m-%d %H:00:00') AS hour_bucket,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_spikes
+    FROM grid g LEFT JOIN counts c USING (event_type, h)
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: hourly spike counts per
+    event type on a DENSE hour grid — missing hours appear as explicit
+    zeros (what any downstream forecasting/anomaly model needs; a plain
+    groupBy silently drops empty buckets).
+
+    Scale shape: the dense grid is generated from the per-type
+    [min, max] bounds — a |types|-row aggregate exploded with
+    ``sequence(mn, mx, interval 1 hour)``, so the grid's size is set by
+    the TIME SPAN, not the corpus; the spike counts are pre-aggregated
+    (map-side combined) before the left join, and both join inputs are
+    bucket-grained. A 100 TB events table gap-fills with one
+    aggregation shuffle plus a join of two tiny relations. Buckets are
+    emitted as strings so the hash is timezone-proof.
+    """
+    t = load_tables(spark, sf_dir)
+    spikes = (
+        t["events"]
+        .where(F.col("value") > 300)
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"))
+    )
+    counts = spikes.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    bounds = spikes.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+    )
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_spikes"),
+    )
+
+
+@query(
+    "share_of_total_revenue",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT region, sum(nation_rev) AS region_rev FROM nat GROUP BY 1
+    )
+    SELECT n.region, n.nation,
+           CAST(n.nation_rev AS DOUBLE) AS nation_rev,
+           CAST(n.nation_rev AS DOUBLE) / CAST(r.region_rev AS DOUBLE)
+             AS region_share
+    FROM nat n JOIN reg r USING (region)
+    """,
+)
+def share_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue — the classic OLAP percent-of-total, which analysts usually
+    write as ``sum(x) OVER (PARTITION BY region)``.
+
+    Scale shape: the window formulation re-shuffles the DETAIL relation
+    per partition; here the denominators come from re-aggregating the
+    already-tiny per-nation relation and broadcast-joining back —
+    aggregate-then-broadcast, the same pattern as q15's max. The fact
+    join shuffles orders once; nation/region broadcast.
+
+    Determinism: revenue sums in DECIMAL(18,2) (exact, order-free);
+    the share is one correctly-rounded double division of two exact
+    decimals — bit-identical across engines.
+    """
+    t = load_tables(spark, sf_dir)
+    nat = (
+        t["orders"]
+        .join(
+            F.broadcast(
+                t["customer"].select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    "n_nationkey", "n_name", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("nation_rev"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("nation_rev").alias("region_rev"))
+    return nat.join(F.broadcast(reg), "region").select(
+        "region",
+        "nation",
+        F.col("nation_rev").cast("double").alias("nation_rev"),
+        (
+            F.col("nation_rev").cast("double")
+            / F.col("region_rev").cast("double")
+        ).alias("region_share"),
+    )

@@ -150,6 +150,11 @@ EXPECT = {
     "events_mad_outliers": ["BroadcastHashJoin", "Window", "partial"],
     # wide->long melt is one in-place Expand, not a 3-scan union
     "unpivot_metrics": ["Expand", "partial"],
+    # dense grid generated from per-type bounds; counts pre-aggregated
+    "events_resample_gapfill": ["Generate", "partial", "!CartesianProduct"],
+    # denominators by re-aggregating the tiny per-nation relation,
+    # broadcast back — the ratio-to-report without a detail re-window
+    "share_of_total_revenue": ["BroadcastHashJoin", "partial"],
     # cumulative vocab ranks ride range partitions + broadcast offsets
     "text_vocab_coverage": ["BroadcastHashJoin", "Window", "partial"],
     # aggregate-then-join: the unbroadcastable full outer sees tiny inputs
