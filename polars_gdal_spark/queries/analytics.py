@@ -684,12 +684,14 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy silently drops empty buckets).
 
     Scale shape: the dense grid is generated from the per-type
-    [min, max] bounds — a |types|-row aggregate exploded with
-    ``sequence(mn, mx, interval 1 hour)``, so the grid's size is set by
-    the TIME SPAN, not the corpus; the spike counts are pre-aggregated
-    (map-side combined) before the left join, and both join inputs are
-    bucket-grained. A 100 TB events table gap-fills with one
-    aggregation shuffle plus a join of two tiny relations. Buckets are
+    [min, max] bounds, so the grid's size is set by the TIME SPAN, not
+    the corpus; the spike counts are pre-aggregated (map-side combined)
+    before the left join, and both join inputs are bucket-grained. A
+    100 TB events table gap-fills with one aggregation shuffle plus a
+    join of two tiny relations. The grid explodes in two bounded steps
+    (days, then 24 hours per day) so no single ``sequence`` call ever
+    builds a span-sized array in one task's memory — a decade-long
+    span is ~3.7k day elements, never ~88k hour elements. Buckets are
     emitted as strings so the hash is timezone-proof.
     """
     t = load_tables(spark, sf_dir)
@@ -702,10 +704,25 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = spikes.groupBy("event_type").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )
-    grid = bounds.select(
+    days = bounds.select(
         "event_type",
-        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        "mn",
+        "mx",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('day', mn), date_trunc('day', mx),"
+                " interval 1 day)"
+            )
+        ).alias("day"),
     )
+    grid = days.select(
+        "event_type",
+        "mn",
+        "mx",
+        F.explode(
+            F.expr("sequence(day, day + interval 23 hours, interval 1 hour)")
+        ).alias("h"),
+    ).where((F.col("h") >= F.col("mn")) & (F.col("h") <= F.col("mx")))
     return grid.join(counts, ["event_type", "h"], "left").select(
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
