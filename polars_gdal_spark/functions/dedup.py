@@ -127,6 +127,49 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per (doc, band) with the band's LSH signature — the
+    shared building block of pair generation (:func:`minhash_lsh_pairs`)
+    and incremental new-vs-existing probing.
+
+    Output columns: ``doc``, ``band`` (0..bands-1), ``band_sig`` (md5 of
+    the band's joined minima). The sig values are 60-bit longs (see
+    :func:`minhash_signatures`); they are formatted back to the 15-char
+    lowercase hex the oracle's ``substr(md5(...), 1, 15)`` produces so
+    ``band_sig`` hashes the identical string in both engines.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    return sigs.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc",
+        "band",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.col("sig"),
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda v: F.lpad(F.lower(F.hex(v)), 15, "0"),
+                ),
+                "|",
+            )
+        ).alias("band_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -157,31 +200,8 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
-    banded = sigs.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc",
-        "band",
-        # sig values are 60-bit longs (see minhash_signatures); format
-        # back to the 15-char lowercase hex the oracle's substr(md5)
-        # produces so band_sig is the md5 of the identical string.
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(
-                        F.col("sig"),
-                        F.col("band") * rows_per_band + 1,
-                        rows_per_band,
-                    ),
-                    lambda v: F.lpad(F.lower(F.hex(v)), 15, "0"),
-                ),
-                "|",
-            )
-        ).alias("band_sig"),
+    banded = band_signatures(
+        df, id_col, text_col, n_hashes, bands, shingle_n
     )
     # Two consumers below (bucket-size count, membership collect): persist
     # so the signature lineage — a full shingle-table groupBy — runs ONCE.
@@ -595,3 +615,68 @@ def simhash_pairs(
     result = result.localCheckpoint(eager=True)
     banded.unpersist()
     return result
+
+
+def incremental_dedup_flags(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag each NEW document against an EXISTING corpus: exact
+    duplicate (same content digest) and/or near duplicate (shares any
+    MinHash-LSH band signature with an existing document) — the
+    incremental-ingestion shape: when a new crawl increment lands, it is
+    deduplicated against the corpus WITHOUT reprocessing the corpus.
+
+    Output: one row per new document —
+    ``(doc, is_exact_dup, is_near_dup)`` (booleans as 0/1 bigints for
+    cross-engine hash stability).
+
+    Scale shape: the existing side collapses to its distinct digest and
+    (band, band_sig) KEY SETS (in production these are read from the
+    persisted index the last ingest wrote — the corpus text is never
+    re-scanned; here they are derived in one pass). Both probes are
+    LEFT SEMI joins, which cannot explode: output ≤ |new batch| however
+    hot a band bucket is, so no bucket cap is needed — the cap only
+    exists on the PAIR-generation path. Wire cost: the new batch's
+    digests and band sigs, plus the existing key sets, all hash
+    equi-joins on uniform keys.
+    """
+    new_digests = new_docs.select(
+        F.col(id_col).alias("doc"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    old_digests = existing_docs.select(
+        F.md5(F.col(text_col)).alias("digest")
+    ).distinct()
+    exact = (
+        new_digests.join(old_digests, "digest", "left_semi")
+        .select("doc")
+        .withColumn("_e", F.lit(1))
+    )
+    new_bands = band_signatures(
+        new_docs, id_col, text_col, n_hashes, bands, shingle_n
+    )
+    old_bands = band_signatures(
+        existing_docs, id_col, text_col, n_hashes, bands, shingle_n
+    ).select("band", "band_sig").distinct()
+    near = (
+        new_bands.join(old_bands, ["band", "band_sig"], "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc"))
+        .join(exact, "doc", "left")
+        .join(near, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("_e", F.lit(0)).cast("bigint").alias("is_exact_dup"),
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("is_near_dup"),
+        )
+    )

@@ -775,3 +775,80 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_lines"),
         )
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    aug2 AS (
+      SELECT * FROM aug
+      UNION ALL
+      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text
+      FROM toks
+    ),
+    tk2 AS (
+      SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM aug2
+    ),
+    shing AS (
+      SELECT doc, unnest(list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(generate_series(1, len(tk) - 2),
+                         i -> array_to_string(array_slice(tk, i, i + 2), ' '))
+        ELSE []::VARCHAR[] END)) AS shingle
+      FROM tk2
+    ),
+    mh AS (
+      SELECT doc, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+               AS mh
+      FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc, seed
+    ),
+    bands AS (
+      SELECT doc, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc, seed // 4
+    ),
+    old_digests AS (
+      SELECT DISTINCT md5(text) AS dg FROM aug2 WHERE doc < 10000
+    ),
+    new_docs AS (SELECT doc, text FROM aug2 WHERE doc >= 10000),
+    exact AS (
+      SELECT doc FROM new_docs
+      WHERE md5(text) IN (SELECT dg FROM old_digests)
+    ),
+    old_bands AS (
+      SELECT DISTINCT band, band_sig FROM bands WHERE doc < 10000
+    ),
+    near AS (
+      SELECT DISTINCT b.doc FROM bands b
+      JOIN old_bands USING (band, band_sig)
+      WHERE b.doc >= 10000
+    )
+    SELECT n.doc,
+           CAST(CASE WHEN e.doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_exact_dup,
+           CAST(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_near_dup
+    FROM new_docs n
+    LEFT JOIN exact e ON e.doc = n.doc
+    LEFT JOIN near r ON r.doc = n.doc
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: flag each document of a NEW batch
+    (the 80%-prefix mutants and verbatim copies, doc >= 10000) against
+    the EXISTING corpus (doc < 10000) — exact via content digest, near
+    via shared MinHash-LSH band signatures. This is the shape a rolling
+    crawl pipeline runs on every increment: the existing corpus
+    contributes only its digest and band-signature KEY SETS (persisted
+    index in production — the old text is never reprocessed), and both
+    probes are left-semi joins, which cannot explode whatever a hot
+    band bucket holds. Copies flag exact+near; mutants flag near only.
+    """
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    existing = aug.where(F.col("doc") < 10000)
+    new = aug.where(F.col("doc") >= 10000)
+    return D.incremental_dedup_flags(new, existing, "doc", "text")

@@ -152,6 +152,9 @@ EXPECT = {
     "unpivot_metrics": ["Expand", "partial"],
     # dense grid generated from per-type bounds; counts pre-aggregated
     "events_resample_gapfill": ["Generate", "partial", "!CartesianProduct"],
+    # both probes are semi joins on key sets — bounded output, no pair
+    # explosion, so no bucket cap is needed on this path
+    "dedup_incremental": ["LeftSemi", "!CartesianProduct"],
     # denominators by re-aggregating the tiny per-nation relation,
     # broadcast back — the ratio-to-report without a detail re-window
     "share_of_total_revenue": ["BroadcastHashJoin", "partial"],
