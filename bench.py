@@ -75,6 +75,9 @@ HEADLINE = [
     "events_mad_outliers",
     "text_vocab_coverage",
     "pipeline_temperature_mix",
+    "dedup_incremental",
+    "events_resample_gapfill",
+    "share_of_total_revenue",
 ]
 
 

@@ -590,3 +590,53 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.col("qproj").cast("bigint").alias("qproj"),
     )
+
+
+@query(
+    "embed_mean_pool",
+    oracle="""
+    WITH q AS (
+      SELECT label, unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS qv,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(sum(qv) AS BIGINT) AS sum_q,
+           count(*) AS n,
+           CAST(sum(qv) AS DOUBLE) / (1000000.0 * count(*)) AS mean_val
+    FROM q GROUP BY label, dim
+    """,
+)
+def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (centroid pooling) in LONG (label, dim)
+    format — the class-prototype computation behind semantic dedup
+    cluster centers, label-centroid classifiers, and drift monitors.
+
+    Determinism: the engine-reproducibility pattern shared with the
+    similarity kernels — floats quantize to ints (floor(x*1e6)), sums
+    are exact bigints under any partitioning/order, and the mean is one
+    correctly-rounded double division at the end.
+
+    Scale shape: posexplode fans each vector to |dim| narrow rows, the
+    (label, dim) groupBy is map-side combined (shuffle carries one
+    partial sum per group per partition — |labels|×|dims| rows, corpus
+    size cancels out), and the LONG output format avoids any
+    order-sensitive array reassembly (no collect_list).
+    """
+    from polars_gdal_spark.functions.similarity import quantize
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    exploded = emb.select(
+        "label",
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "qv"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("sum_q"),
+        F.count("*").alias("n"),
+        (
+            F.sum("qv").cast("double")
+            / (F.lit(1000000.0) * F.count("*").cast("double"))
+        ).alias("mean_val"),
+    )

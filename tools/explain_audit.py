@@ -155,6 +155,8 @@ EXPECT = {
     # both probes are semi joins on key sets — bounded output, no pair
     # explosion, so no bucket cap is needed on this path
     "dedup_incremental": ["LeftSemi", "!CartesianProduct"],
+    # posexplode fan-out, map-side-combined (label, dim) aggregate
+    "embed_mean_pool": ["Generate", "partial"],
     # denominators by re-aggregating the tiny per-nation relation,
     # broadcast back — the ratio-to-report without a detail re-window
     "share_of_total_revenue": ["BroadcastHashJoin", "partial"],
