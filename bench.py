@@ -108,6 +108,16 @@ def main() -> None:
             t0 = time.time()
             spec.func(spark, sf_dir).count()
             runs.append(time.time() - t0)
+        # Host-contention guard: if the three runs disagree by >25% of
+        # the median, take two more and report the median of five — a
+        # single GC pause or noisy-neighbor spike then lands in the
+        # discarded tail instead of inflating the round-over-round
+        # comparison.
+        if (max(runs) - min(runs)) > 0.25 * statistics.median(runs):
+            for _ in range(2):
+                t0 = time.time()
+                spec.func(spark, sf_dir).count()
+                runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
