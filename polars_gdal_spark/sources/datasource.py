@@ -101,28 +101,61 @@ def _opt(options: dict, name: str, default=None):
 
 
 def _localize(path: str) -> str:
-    """Remote resources (the reference's HTTPS-via-GDAL path,
-    ``src/test.rs:86-94``): download once per machine into a
-    content-addressed cache. Called on both driver (schema/partitions)
-    and executors (read), so each machine fetches independently —
-    no shared-filesystem assumption."""
-    if not path.startswith(("http://", "https://")):
-        return path
+    """Remote and compressed resources: download / decompress once per
+    machine into a content-addressed cache.
+
+    * HTTPS (the reference's HTTPS-via-GDAL path, ``src/test.rs:86-94``)
+      downloads to a per-machine cache.
+    * ``.gz`` (GDAL's transparent ``/vsigzip/`` behavior) stream-
+      decompresses next to the cache with the inner extension restored,
+      so driver dispatch sees ``file.geojson`` for ``file.geojson.gz``.
+      Composable with HTTPS (download first, then gunzip).
+
+    Called on both driver (schema/partitions) and executors (read), so
+    each machine fetches/inflates independently — no shared-filesystem
+    assumption. At cluster scale a .gz member is NOT range-splittable
+    (DEFLATE has no sync points), matching Spark's own behavior on
+    gzipped text: parallelism comes from many files, not splits.
+    """
     import hashlib
     import tempfile
-    import urllib.request
 
-    key = hashlib.sha1(path.encode()).hexdigest()[:16]
-    name = os.path.basename(path.split("?")[0]) or "remote.bin"
-    dest = os.path.join(tempfile.gettempdir(), f"gdal_http_{key}_{name}")
-    if not os.path.exists(dest):
-        tmp = dest + f".tmp{os.getpid()}"
-        urllib.request.urlretrieve(path, tmp)  # noqa: S310
+    if path.startswith(("http://", "https://")):
+        import urllib.request
+
+        key = hashlib.sha1(path.encode()).hexdigest()[:16]
+        name = os.path.basename(path.split("?")[0]) or "remote.bin"
+        dest = os.path.join(tempfile.gettempdir(), f"gdal_http_{key}_{name}")
+        if not os.path.exists(dest):
+            tmp = dest + f".tmp{os.getpid()}"
+            urllib.request.urlretrieve(path, tmp)  # noqa: S310
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                os.remove(tmp)
+        path = dest
+    if path.endswith(".gz"):
+        import gzip
+        import shutil
+
         try:
-            os.rename(tmp, dest)
+            stat = os.stat(path)
+            stamp = f"{path}:{stat.st_size}:{stat.st_mtime_ns}"
         except OSError:
-            os.remove(tmp)
-    return dest
+            stamp = path
+        key = hashlib.sha1(stamp.encode()).hexdigest()[:16]
+        inner = os.path.basename(path)[:-3] or "member"
+        dest = os.path.join(tempfile.gettempdir(), f"gdal_gz_{key}_{inner}")
+        if not os.path.exists(dest):
+            tmp = dest + f".tmp{os.getpid()}"
+            with gzip.open(path, "rb") as src, open(tmp, "wb") as out:
+                shutil.copyfileobj(src, out, 1 << 20)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                os.remove(tmp)
+        path = dest
+    return path
 
 
 def _resolve_paths(path: str) -> list[str]:

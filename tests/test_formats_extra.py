@@ -332,3 +332,33 @@ def test_geojson_rs_sequence_read(spark, tmp_path):
     df = spark.read.format("gdal").load(str(p))
     assert df.count() == 4
     assert sorted(r["i"] for r in df.collect()) == [0, 1, 2, 3]
+
+
+def test_gzip_transparent_read(spark, tmp_path):
+    """GDAL /vsigzip/ parity: .gz-wrapped members read identically to
+    the plain file, across formats, with driver dispatch on the inner
+    extension."""
+    import gzip
+    import shutil
+
+    src = "/root/repo/tests/data/cities.geojson"
+    plain = spark.read.format("gdal").load(src)
+    gz = tmp_path / "cities.geojson.gz"
+    with open(src, "rb") as f, gzip.open(gz, "wb") as out:
+        shutil.copyfileobj(f, out)
+    wrapped = spark.read.format("gdal").load(str(gz))
+    assert wrapped.schema == plain.schema
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, wrapped.collect()))
+    assert a == b
+
+    # csv with coordinate synthesis through the same path
+    csv = tmp_path / "pts.csv"
+    csv.write_text("name,lon,lat\np1,1.5,2.5\np2,-3.0,4.0\n")
+    gzcsv = tmp_path / "pts.csv.gz"
+    with open(csv, "rb") as f, gzip.open(gzcsv, "wb") as out:
+        shutil.copyfileobj(f, out)
+    opts = {"x_possible_names": "lon", "y_possible_names": "lat"}
+    pc = spark.read.format("gdal").options(**opts).load(str(csv))
+    gc = spark.read.format("gdal").options(**opts).load(str(gzcsv))
+    assert sorted(map(tuple, pc.collect())) == sorted(map(tuple, gc.collect()))
