@@ -803,3 +803,48 @@ def share_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("region_rev").cast("double")
         ).alias("region_share"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition counts (the Markov matrix behind
+    next-action models and funnel diagnostics): for each user's
+    time-ordered event sequence, count (current, next) event-type
+    pairs corpus-wide.
+
+    Scale shape: the lead() window partitions by user_id — millions of
+    small partitions, embarrassingly parallel (the pathological case is
+    one bot user with billions of events; that key would need session
+    splitting first). The pair count is a map-side-combined aggregate
+    over |types|² groups, so the shuffle after the window carries one
+    row per (from, to) pair per partition. Tie-break on event_id makes
+    the sequence — and therefore every count — engine-exact.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )

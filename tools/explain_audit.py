@@ -157,6 +157,8 @@ EXPECT = {
     "dedup_incremental": ["LeftSemi", "!CartesianProduct"],
     # posexplode fan-out, map-side-combined (label, dim) aggregate
     "embed_mean_pool": ["Generate", "partial"],
+    # per-user window (parallel over users), |types|^2 pair aggregate
+    "events_transition_matrix": ["Window", "partial", "!CartesianProduct"],
     # denominators by re-aggregating the tiny per-nation relation,
     # broadcast back — the ratio-to-report without a detail re-window
     "share_of_total_revenue": ["BroadcastHashJoin", "partial"],
