@@ -758,8 +758,26 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
                 )
         self.geom_col = _opt(options, "geometryColumn", "geometry")
         self.gfmt = _opt(options, "geometryFormat")
+        # `.gz` destination (write side of the reader's /vsigzip/
+        # parity): assemble the inner format, then gzip the single
+        # artifact. Only single-file outputs can wrap — sidecar formats
+        # (Shapefile, MapInfo) and append/partitioned modes cannot.
+        self.gzip_out = bool(self.path) and self.path.lower().endswith(".gz")
         self.driver_name = _opt(options, "driver", self._sniff_driver())
         self.partitioned = str(_opt(options, "partitioned", "false")).lower() == "true"
+        if self.gzip_out:
+            if self.partitioned:
+                raise ValueError(
+                    "partitioned=true cannot combine with a .gz "
+                    "destination (parts stay separate files)"
+                )
+            if self.append:
+                raise ValueError("cannot append to a .gz destination")
+            if self.driver_name.lower() in ("esri shapefile", "mapinfo file"):
+                raise ValueError(
+                    f"driver {self.driver_name!r} writes sidecar files "
+                    "and cannot be wrapped in a single .gz member"
+                )
 
         names = [f.name for f in schema.fields]
         if self.geom_col not in names:
@@ -780,6 +798,8 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
 
     def _sniff_driver(self) -> str:
         p = (self.path or "").lower()
+        if p.endswith(".gz"):
+            p = p[:-3]
         if p.endswith((".geojson", ".json")):
             return "GeoJSON"
         if p.endswith(".csv"):
@@ -864,10 +884,17 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             self._cleanup()
             # reference rejects writing an empty frame (src/lib.rs:509-511)
             raise EmptyDataframeError("refusing to write an empty DataFrame")
+        dest = self.path
+        if self.gzip_out:
+            # assemble under the INNER name (so format encoders that
+            # key on the extension behave), then gzip to the final path
+            dest = self.path[:-3] + f".tmp{os.getpid()}" + os.path.splitext(
+                self.path[:-3]
+            )[1]
         assemble(
             self.driver_name,
             parts,
-            self.path,
+            dest,
             self.options,
             self.schema,
             self.geom_col,
@@ -875,6 +902,15 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             gfmt=self.gfmt,
             append=self.append,
         )
+        if self.gzip_out:
+            import gzip as _gzip
+            import shutil as _shutil
+
+            with open(dest, "rb") as src, _gzip.open(
+                self.path, "wb"
+            ) as out:
+                _shutil.copyfileobj(src, out, 1 << 20)
+            os.remove(dest)
         self._cleanup(keep_parts=self.partitioned)
 
     def abort(self, messages) -> None:

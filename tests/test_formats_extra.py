@@ -362,3 +362,31 @@ def test_gzip_transparent_read(spark, tmp_path):
     pc = spark.read.format("gdal").options(**opts).load(str(csv))
     gc = spark.read.format("gdal").options(**opts).load(str(gzcsv))
     assert sorted(map(tuple, pc.collect())) == sorted(map(tuple, gc.collect()))
+
+
+def test_gzip_write_roundtrip(spark, tmp_path):
+    """Write-side .gz: df.write → file.geojson.gz, read back through the
+    transparent reader, equal content. CSV too. Sidecar formats refuse."""
+    src = spark.read.format("gdal").load("/root/repo/tests/data/cities.geojson")
+    out = tmp_path / "cities.geojson.gz"
+    src.write.format("gdal").mode("overwrite").save(str(out))
+    import gzip
+    with gzip.open(out, "rb") as f:
+        assert f.read(1) == b"{"  # real gzip member, inner JSON object
+    back = spark.read.format("gdal").load(str(out))
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    csv_out = tmp_path / "cities.csv.gz"
+    src.write.format("gdal").mode("overwrite").option("driver", "CSV").save(
+        str(csv_out)
+    )
+    back_csv = spark.read.format("gdal").load(str(csv_out))
+    assert back_csv.count() == src.count()
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="sidecar"):
+        src.write.format("gdal").mode("overwrite").option(
+            "driver", "ESRI Shapefile"
+        ).save(str(tmp_path / "x.shp.gz"))
