@@ -158,5 +158,5 @@ def find_driver(
     raise UnsupportedFormatError(
         f"no registered driver can open {path!r}"
         + (f" (allow-list: {allowed})" if allowed else "")
-        + f"; supported formats: {sorted(d.name for d in DRIVERS)}"
+        + f"; supported formats: {sorted({d.name for d in DRIVERS})}"
     )

@@ -592,7 +592,14 @@ class FlatGeobufDriver(FormatDriver):
     def _header(self, path: str):
         with open(path, "rb") as f:
             data = f.read()
-        return data, _read_header(data)
+        try:
+            return data, _read_header(data)
+        except (struct.error, IndexError, ValueError) as e:
+            from polars_gdal_spark.errors import UnsupportedFormatError
+
+            raise UnsupportedFormatError(
+                f"corrupt or truncated FlatGeobuf header in {path!r}: {e}"
+            ) from e
 
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
         _, (cols, *_rest) = self._header(path)
@@ -667,9 +674,24 @@ class FlatGeobufDriver(FormatDriver):
         fid = 0
         pos = body
         while pos + 4 <= len(data):
-            feat, pos = self._decode_at(data, pos, cols, geom_type, fid, fast)
+            feat, nxt = self._decode_at(data, pos, cols, geom_type, fid, fast)
+            if nxt > len(data):
+                break  # final record extends past EOF — truncated body
             yield feat
+            pos = nxt
             fid += 1
+        # The header declares features_count (0 = unknown, valid per
+        # spec): a full sequential scan that decodes fewer means the
+        # feature section is TRUNCATED — fail loudly instead of
+        # silently returning a partial dataset (a half-downloaded file
+        # would otherwise look like a smaller, valid one).
+        if n > 0 and fid < n:
+            from polars_gdal_spark.errors import UnsupportedFormatError
+
+            raise UnsupportedFormatError(
+                f"truncated FlatGeobuf {path!r}: header declares {n} "
+                f"features, body holds {fid}"
+            )
 
 
 def write_fgb(

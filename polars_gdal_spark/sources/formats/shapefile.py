@@ -337,6 +337,29 @@ class ShapefileDriver(FormatDriver):
     def can_open(self, path: str, head: bytes) -> bool:
         return len(head) >= 4 and struct.unpack(">i", head[:4])[0] == 9994
 
+    @staticmethod
+    def _check_not_truncated(path: str) -> None:
+        """The .shp header declares the total file length (bytes 24-27,
+        big-endian 16-bit words). A shorter file on disk is a truncated
+        download/copy — fail loudly instead of silently yielding the
+        records that happen to fit (a partial dataset masquerading as a
+        small valid one)."""
+        from polars_gdal_spark.errors import UnsupportedFormatError
+
+        with open(path, "rb") as f:
+            head = f.read(28)
+        if len(head) < 28:
+            raise UnsupportedFormatError(
+                f"truncated shapefile {path!r}: header incomplete"
+            )
+        declared = struct.unpack(">i", head[24:28])[0] * 2
+        actual = os.path.getsize(path)
+        if actual < declared:
+            raise UnsupportedFormatError(
+                f"truncated shapefile {path!r}: header declares "
+                f"{declared} bytes, file holds {actual}"
+            )
+
     def list_layers(self, path: str, options: dict) -> list[str]:
         return [os.path.splitext(os.path.basename(path))[0]]
 
@@ -400,6 +423,7 @@ class ShapefileDriver(FormatDriver):
     def iter_features_range(
         self, path: str, layer: str, options: dict, start: int, end: int
     ) -> Iterator[Feature]:
+        self._check_not_truncated(path)
         offsets = _shx_offsets(path, options)[start:end]
         dbf = self._dbf(path, options)
         props_iter = dbf.read_range(start, end) if dbf else iter(dict, None)
@@ -423,6 +447,7 @@ class ShapefileDriver(FormatDriver):
     def iter_features(
         self, path: str, layer: str, options: dict
     ) -> Iterator[Feature]:
+        self._check_not_truncated(path)
         n = self.feature_count(path, layer, options)
         if n is None:
             # no .shx: sequential scan of .shp records

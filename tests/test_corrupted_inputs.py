@@ -1,0 +1,55 @@
+"""Corrupted/truncated input robustness: every malformed file must fail
+FAST and CLEAN at schema-inference time — a typed error naming the file,
+never a hang, a stack of garbage rows, or a partial silent result.
+(Reference behavior: GDAL open errors surface as GdalError immediately,
+``src/lib.rs:294-312``.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+
+CITIES = "/root/repo/tests/data/cities.geojson"
+
+
+def _truncate(path, out, frac):
+    data = open(path, "rb").read()
+    out.write_bytes(data[: max(8, int(len(data) * frac))])
+
+
+@pytest.mark.parametrize("driver,ext", [
+    ("GPKG", "gpkg"),
+    ("FlatGeobuf", "fgb"),
+    ("ESRI Shapefile", "shp"),
+])
+@pytest.mark.parametrize("frac", [0.5, 0.05])
+def test_truncated_binary_fails_clean(spark, tmp_path, driver, ext, frac):
+    src = spark.read.format("gdal").load(CITIES).limit(20)
+    whole = tmp_path / f"whole.{ext}"
+    src.write.format("gdal").mode("overwrite").option(
+        "driver", driver
+    ).save(str(whole))
+    broken = tmp_path / f"broken.{ext}"
+    _truncate(whole, broken, frac)
+    # schema-time failures surface as AnalysisException, scan-time ones
+    # as the executor's wrapped PythonException — either is fine, what
+    # matters is a loud, file-naming error instead of partial rows
+    with pytest.raises(Exception, match="broken") as ei:
+        spark.read.format("gdal").load(str(broken)).count()
+    assert "truncated" in str(ei.value) or "driver" in str(ei.value)
+
+
+def test_garbage_bytes_unsupported_format(spark, tmp_path):
+    junk = tmp_path / "junk.gpkg"
+    junk.write_bytes(b"\x00\x01garbage" * 10)
+    with pytest.raises(AnalysisException) as ei:
+        spark.read.format("gdal").load(str(junk)).count()
+    msg = str(ei.value)
+    assert "no registered driver" in msg and "junk.gpkg" in msg
+
+
+def test_truncated_geojson_fails_clean(spark, tmp_path):
+    broken = tmp_path / "trunc.geojson"
+    broken.write_text(open(CITIES).read()[:200])
+    with pytest.raises(AnalysisException):
+        spark.read.format("gdal").load(str(broken)).count()
