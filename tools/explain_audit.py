@@ -159,6 +159,10 @@ EXPECT = {
     "embed_mean_pool": ["Generate", "partial"],
     # per-user window (parallel over users), |types|^2 pair aggregate
     "events_transition_matrix": ["Window", "partial", "!CartesianProduct"],
+    # train shingles join by KEY (nothing requires them in memory; AQE
+    # may broadcast at toy scale, shuffles at corpus scale); split
+    # assignment is a zero-shuffle projection
+    "pipeline_split_leakage": ["partial", "!CartesianProduct"],
     # denominators by re-aggregating the tiny per-nation relation,
     # broadcast back — the ratio-to-report without a detail re-window
     "share_of_total_revenue": ["BroadcastHashJoin", "partial"],
