@@ -78,6 +78,9 @@ HEADLINE = [
     "dedup_incremental",
     "events_resample_gapfill",
     "share_of_total_revenue",
+    "events_transition_matrix",
+    "embed_mean_pool",
+    "pipeline_split_leakage",
 ]
 
 
