@@ -848,3 +848,75 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@query(
+    "profile_correlations",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))       AS sq,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)))  AS se,
+             sum(CAST(l_discount AS DECIMAL(18,2)))       AS sd,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)))     AS sqq,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS see,
+             sum(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2)))     AS sdd,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqe,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2)))     AS sqd
+      FROM lineitem
+    )
+    SELECT n,
+           CAST(n * sqe - sq * se AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+             / sqrt(CAST(n * see - se * se AS DOUBLE)) AS corr_qty_price,
+           CAST(n * sqd - sq * sd AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+             / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) AS corr_qty_disc
+    FROM m
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlations from decimal moments — the profiling
+    statistic Spark's ``corr()`` computes with an order-dependent
+    streaming float algorithm (Welford-style), which is NOT reproducible
+    across partitionings or engines. Here every moment (sums, squares,
+    cross products) is an exact DECIMAL aggregate (order-free), and the
+    correlation is assembled with three correctly-rounded double ops in
+    a fixed expression order — bit-identical on any engine, any cluster
+    shape.
+
+    Scale shape: ONE map-side-combined aggregate over the fact table
+    producing a 1-row moment vector; zero extra passes however many
+    column pairs are requested (they share the same moments).
+    """
+    t = load_tables(spark, sf_dir)
+    q, e, d = _dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount")
+    m = t["lineitem"].agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(e).alias("se"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(e * e).alias("see"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * e).alias("sqe"),
+        F.sum(q * d).alias("sqd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = F.sqrt((n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double"))
+        vy = F.sqrt((n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double"))
+        return num / vx / vy
+
+    return m.select(
+        "n",
+        corr("sqe", "sq", "se", "sqq", "see").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+    )

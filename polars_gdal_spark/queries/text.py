@@ -741,3 +741,66 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_cum").alias("covered_tokens"),
         )
     )
+
+
+@query(
+    "text_quality_logit",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS nchars,
+             CAST({_NTOK.format(c='text')} AS BIGINT) AS ntok,
+             CAST({_PUNCT.format(c='text')} AS BIGINT) AS npunct,
+             CAST({_STOPS.format(c='text')} AS BIGINT) AS nstop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(40 * nstop * nchars - 25 * npunct * nchars
+                + 2 * ntok * nchars - 60 * nchars AS BIGINT)
+             AS logit_num,
+           nchars AS logit_den,
+           CAST(CASE WHEN 40 * nstop - 25 * npunct + 2 * ntok >= 60
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM feats
+    """,
+)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, linear-scorer surrogate (the
+    DCLM/FineWeb recipe trains a fasttext-style classifier and keeps
+    docs above a score threshold; with no model runtime in scope, the
+    engine-relevant part is the SCORING PASS): a fixed-weight linear
+    logit over the quality features — stopword rate (+40), punctuation
+    rate (−25), token count (+2) — against a threshold of 60.
+
+    Determinism contract: the logit is carried as an exact integer
+    rational (numerator, denominator=nchars) and the keep decision is a
+    pure integer comparison — no sigmoid, no floats, bit-identical
+    across engines. A real model swaps the weight vector in; the plan
+    does not change.
+
+    Scale shape: pure JVM expressions fused into the scan — one pass,
+    zero shuffle, zero Python; exactly the shape a classifier-scored
+    100 TB filter pass needs (the model inference itself would ride a
+    Pandas UDF in the same projection).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    nchars = F.length(c).cast("bigint")
+    ntok = T.token_count(c)
+    npunct = T.punct_count(c)
+    nstop = T.stopword_count(c)
+    logit_num = (
+        F.lit(40) * nstop * nchars
+        - F.lit(25) * npunct * nchars
+        + F.lit(2) * ntok * nchars
+        - F.lit(60) * nchars
+    )
+    keep = (
+        F.lit(40) * nstop - F.lit(25) * npunct + F.lit(2) * ntok >= F.lit(60)
+    )
+    return docs.select(
+        "doc_id",
+        logit_num.cast("bigint").alias("logit_num"),
+        nchars.alias("logit_den"),
+        keep.cast("bigint").alias("keep"),
+    )

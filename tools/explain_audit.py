@@ -163,6 +163,10 @@ EXPECT = {
     # may broadcast at toy scale, shuffles at corpus scale); split
     # assignment is a zero-shuffle projection
     "pipeline_split_leakage": ["partial", "!CartesianProduct"],
+    # classifier-surrogate scoring fused into the scan: no exchange
+    "text_quality_logit": ["!Exchange"],
+    # all moments in ONE map-combined aggregate; 1-row result
+    "profile_correlations": ["partial"],
     # denominators by re-aggregating the tiny per-nation relation,
     # broadcast back — the ratio-to-report without a detail re-window
     "share_of_total_revenue": ["BroadcastHashJoin", "partial"],
