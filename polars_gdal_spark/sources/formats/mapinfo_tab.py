@@ -188,6 +188,17 @@ class DatFile:
                 f"{path!r}: field widths sum to {pos}, record size "
                 f"{self.record_size}"
             )
+        # Truncation guard: the header declares n_records × record_size
+        # bytes of data; a shorter file is a partial copy — fail loudly
+        # instead of silently yielding the records that happen to fit.
+        declared = self.header_size + self.n_records * self.record_size
+        actual = os.path.getsize(path)
+        if actual < declared:
+            raise ValueError(
+                f"truncated MapInfo .dat {path!r}: header declares "
+                f"{declared} bytes ({self.n_records} records), file "
+                f"holds {actual}"
+            )
 
     def read_records(self, start: int, end: int) -> Iterator[dict]:
         """Decode records [start, end) — O(1) seek to start."""

@@ -53,3 +53,26 @@ def test_truncated_geojson_fails_clean(spark, tmp_path):
     broken.write_text(open(CITIES).read()[:200])
     with pytest.raises(AnalysisException):
         spark.read.format("gdal").load(str(broken)).count()
+
+
+def test_truncated_tab_dat_fails_clean(spark, tmp_path):
+    """A truncated .dat sidecar (partial copy of a MapInfo TAB family)
+    must error loudly, not yield the records that happen to fit."""
+    import shutil
+
+    src = spark.read.format("gdal").load(CITIES).limit(20)
+    whole = tmp_path / "w.tab"
+    src.write.format("gdal").mode("overwrite").option(
+        "driver", "MapInfo File"
+    ).save(str(whole))
+    d = tmp_path / "case"
+    d.mkdir()
+    for ext in (".tab", ".dat", ".map", ".id"):
+        s = tmp_path / f"w{ext}"
+        if s.exists():
+            shutil.copy(s, d / f"w{ext}")
+    target = d / "w.dat"
+    data = target.read_bytes()
+    target.write_bytes(data[: len(data) // 2])
+    with pytest.raises(Exception, match="truncated"):
+        spark.read.format("gdal").load(str(d / "w.tab")).count()
