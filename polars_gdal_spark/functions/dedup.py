@@ -13,8 +13,13 @@ Four families, all shuffle-on-key designs that hold at 100 TB:
                     union; exact verification for candidate pairs.
 
 Hash choice: md5 (identical lowercase hex in Spark, DuckDB, and Python's
-hashlib) so every operator is oracle-checkable; min() over hex strings is
-lexicographic in both engines — no integer conversion needed.
+hashlib) so every operator is oracle-checkable. MinHash signatures take
+the first 15 hex chars of the seeded md5 and convert to a 60-bit BIGINT
+(``conv(..., 16, 10)``): min() over the bigints equals min() over the hex
+prefixes (fixed width ⇒ lexicographic = numeric order) but aggregates as
+fixed-width longs — HashAggregate instead of SortAggregate — and
+``band_signatures`` round-trips back to zero-padded hex so oracle SQL
+stays string-comparable.
 """
 
 from __future__ import annotations

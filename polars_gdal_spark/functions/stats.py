@@ -122,13 +122,21 @@ def ordered_cumsum(
         )
         .collect()
     )
-    offsets, rows_run, w_run = [], 0, 0
+    # Type the weight offset from the weight column's dtype: integral
+    # weights keep exact bigint offsets; fractional (float/double/decimal)
+    # weights accumulate as Python floats, which a bigint schema would
+    # reject — use double for those.
+    wtype = dict(df.dtypes)[weight_col]
+    integral = wtype in ("tinyint", "smallint", "int", "bigint")
+    offsets, rows_run = [], 0
+    w_run = 0 if integral else 0.0
     for pid, nrows, wsum in per_pid:
         offsets.append((pid, rows_run, w_run))
         rows_run += nrows
-        w_run += wsum or 0
+        w_run += (wsum or 0) if integral else float(wsum or 0)
     off_df = spark.createDataFrame(
-        offsets, "_pid int, _rows_off bigint, _w_off bigint"
+        offsets,
+        f"_pid int, _rows_off bigint, _w_off {'bigint' if integral else 'double'}",
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (

@@ -159,6 +159,15 @@ def _localize(path: str) -> str:
 
 
 def _resolve_paths(path: str) -> list[str]:
+    # Newline-separated multi-path (URLs can't contain raw newlines): one
+    # load() call carries N sources, each becoming its own scan partition.
+    # This keeps partition planning inside the datasource for paged remote
+    # reads (WFS) instead of an N-deep union of per-page DataFrames.
+    if "\n" in path:
+        out = [p for p in (s.strip() for s in path.split("\n")) if p]
+        if not out:
+            raise UnsupportedFormatError(f"no input files at {path!r}")
+        return out
     if path.startswith(("http://", "https://")):
         return [path]
     if os.path.isdir(path):
@@ -891,6 +900,7 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             dest = self.path[:-3] + f".tmp{os.getpid()}" + os.path.splitext(
                 self.path[:-3]
             )[1]
+            self._gz_artifacts = (dest, self.path + f".tmp{os.getpid()}")
         assemble(
             self.driver_name,
             parts,
@@ -906,11 +916,23 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             import gzip as _gzip
             import shutil as _shutil
 
-            with open(dest, "rb") as src, _gzip.open(
-                self.path, "wb"
-            ) as out:
-                _shutil.copyfileobj(src, out, 1 << 20)
-            os.remove(dest)
+            # Compress to a temp name and rename onto the final path so a
+            # mid-compress failure never leaves a corrupt partial .gz at
+            # the destination; abort()/_cleanup() know both temp names.
+            gz_tmp = self.path + f".tmp{os.getpid()}"
+            try:
+                with open(dest, "rb") as src, _gzip.open(
+                    gz_tmp, "wb"
+                ) as out:
+                    _shutil.copyfileobj(src, out, 1 << 20)
+                os.replace(gz_tmp, self.path)
+            except BaseException:
+                if os.path.exists(gz_tmp):
+                    os.remove(gz_tmp)
+                raise
+            finally:
+                if os.path.exists(dest):
+                    os.remove(dest)
         self._cleanup(keep_parts=self.partitioned)
 
     def abort(self, messages) -> None:
@@ -919,6 +941,12 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
     def _cleanup(self, keep_parts: bool = False) -> None:
         import shutil
 
+        for p in getattr(self, "_gz_artifacts", ()):
+            if os.path.exists(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         if not keep_parts and os.path.isdir(self.tmp_dir):
             shutil.rmtree(self.tmp_dir, ignore_errors=True)
 

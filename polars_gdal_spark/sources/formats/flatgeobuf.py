@@ -649,6 +649,14 @@ class FlatGeobufDriver(FormatDriver):
     def iter_features(
         self, path: str, layer: str, options: dict
     ) -> Iterator[Feature]:
+        def _truncated(p, e):
+            from polars_gdal_spark.errors import UnsupportedFormatError
+
+            return UnsupportedFormatError(
+                f"truncated FlatGeobuf {p!r}: feature record cut "
+                f"mid-decode ({type(e).__name__}: {e})"
+            )
+
         data, (cols, geom_type, n, _crs, body, node_size, idx_start) = (
             self._header(path)
         )
@@ -662,9 +670,12 @@ class FlatGeobufDriver(FormatDriver):
             for off, ordinal in _search_rtree(
                 data, idx_start, n, node_size, bbox
             ):
-                feat, _next = self._decode_at(
-                    data, body + off, cols, geom_type, ordinal
-                )
+                try:
+                    feat, _next = self._decode_at(
+                        data, body + off, cols, geom_type, ordinal
+                    )
+                except (struct.error, IndexError, ValueError) as e:
+                    raise _truncated(path, e)
                 yield feat
             return
         gfmt = str(
@@ -674,7 +685,15 @@ class FlatGeobufDriver(FormatDriver):
         fid = 0
         pos = body
         while pos + 4 <= len(data):
-            feat, nxt = self._decode_at(data, pos, cols, geom_type, fid, fast)
+            # A file cut mid-record makes _decode_at hit the EOF with a raw
+            # struct.error/IndexError; surface the same typed, file-naming
+            # error the record-boundary truncation path below promises.
+            try:
+                feat, nxt = self._decode_at(
+                    data, pos, cols, geom_type, fid, fast
+                )
+            except (struct.error, IndexError, ValueError) as e:
+                raise _truncated(path, e)
             if nxt > len(data):
                 break  # final record extends past EOF — truncated body
             yield feat

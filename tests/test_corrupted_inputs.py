@@ -76,3 +76,24 @@ def test_truncated_tab_dat_fails_clean(spark, tmp_path):
     target.write_bytes(data[: len(data) // 2])
     with pytest.raises(Exception, match="truncated"):
         spark.read.format("gdal").load(str(d / "w.tab")).count()
+
+
+@pytest.mark.parametrize("cut", [1, 2, 3, 5, 9, 17, 33])
+def test_fgb_mid_record_truncation_typed(spark, tmp_path, cut):
+    """A FlatGeobuf cut MID-RECORD (not at a record boundary) must raise
+    the same typed, file-naming UnsupportedFormatError as boundary
+    truncation — never a raw struct.error/IndexError from the decoder."""
+    from polars_gdal_spark.errors import UnsupportedFormatError
+    from polars_gdal_spark.sources.formats.flatgeobuf import FlatGeobufDriver
+
+    src = spark.read.format("gdal").load(CITIES).limit(20)
+    whole = tmp_path / "whole.fgb"
+    src.write.format("gdal").mode("overwrite").option(
+        "driver", "FlatGeobuf"
+    ).save(str(whole))
+    data = whole.read_bytes()
+    broken = tmp_path / "broken.fgb"
+    broken.write_bytes(data[: len(data) - cut])
+    drv = FlatGeobufDriver()
+    with pytest.raises(UnsupportedFormatError, match="truncated FlatGeobuf"):
+        list(drv.iter_features(str(broken), "", {}))

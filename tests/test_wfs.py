@@ -105,3 +105,27 @@ def test_wfs_bbox_forwarded(spark, wfs_server):
     assert any(
         q.get("bbox") == "0,0,6,7" for q in _Handler.requests_seen
     )
+
+
+def test_wfs_plan_time_fetches_one_page(spark, wfs_server):
+    """Plan time must cost 1 hits probe + 1 schema page — the driver may
+    not download/parse every page eagerly (round-3 advice)."""
+    df = read_wfs(spark, wfs_server, "app:city", page_size=2)
+    starts = {
+        int(q["startIndex"])
+        for q in _Handler.requests_seen
+        if "startIndex" in q
+    }
+    assert starts == {0}, f"plan time touched pages {starts}"
+    assert df.count() == 5  # scan still reads every page
+
+
+def test_wfs_sort_by_forwarded(spark, wfs_server):
+    read_wfs(
+        spark, wfs_server, "app:city", page_size=2, sort_by="app:name"
+    ).count()
+    assert all(
+        q.get("sortBy") == "app:name"
+        for q in _Handler.requests_seen
+        if "startIndex" in q
+    )
