@@ -651,13 +651,54 @@ def incremental_dedup_flags(
     digests and band sigs, plus the existing key sets, all hash
     equi-joins on uniform keys.
     """
+    old_digests, old_bands = _dedup_keysets(
+        existing_docs, id_col, text_col, n_hashes, bands, shingle_n
+    )
+    return _probe_dedup_keysets(
+        new_docs, old_digests, old_bands, id_col, text_col,
+        n_hashes, bands, shingle_n,
+    )
+
+
+def _dedup_keysets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """A corpus's dedup KEY SETS: distinct content digests and distinct
+    (band, band_sig) MinHash-LSH signatures. Everything a future
+    increment needs to dedup against this corpus — the text itself never
+    has to be read again."""
+    digests = docs.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    bandsigs = (
+        band_signatures(docs, id_col, text_col, n_hashes, bands, shingle_n)
+        .select("band", "band_sig")
+        .distinct()
+    )
+    return digests, bandsigs
+
+
+def _probe_dedup_keysets(
+    new_docs: DataFrame,
+    old_digests: DataFrame,
+    old_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Shared probe core: LEFT SEMI the new batch's digests and band
+    signatures against the existing key sets (duplicate keys on the
+    right side of a semi-join are harmless, so appended indexes need no
+    re-distinct). Output ≤ |new batch| rows by construction."""
     new_digests = new_docs.select(
         F.col(id_col).alias("doc"),
         F.md5(F.col(text_col)).alias("digest"),
     )
-    old_digests = existing_docs.select(
-        F.md5(F.col(text_col)).alias("digest")
-    ).distinct()
     exact = (
         new_digests.join(old_digests, "digest", "left_semi")
         .select("doc")
@@ -666,9 +707,6 @@ def incremental_dedup_flags(
     new_bands = band_signatures(
         new_docs, id_col, text_col, n_hashes, bands, shingle_n
     )
-    old_bands = band_signatures(
-        existing_docs, id_col, text_col, n_hashes, bands, shingle_n
-    ).select("band", "band_sig").distinct()
     near = (
         new_bands.join(old_bands, ["band", "band_sig"], "left_semi")
         .select("doc")
@@ -685,3 +723,77 @@ def incremental_dedup_flags(
             F.coalesce("_n", F.lit(0)).cast("bigint").alias("is_near_dup"),
         )
     )
+
+
+def save_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize a corpus's dedup index for rolling-crawl reuse (the
+    IVF-index-persistence pattern, ``similarity.save_ivf_index``): the
+    digest and band-signature key sets as parquet, plus a 1-row params
+    table so probes/appends reproduce the exact signature recipe. The
+    corpus text is scanned ONCE here; every later increment probes and
+    appends key sets only."""
+    digests, bandsigs = _dedup_keysets(
+        docs, id_col, text_col, n_hashes, bands, shingle_n
+    )
+    digests.write.mode("overwrite").parquet(path + "/digests")
+    bandsigs.write.mode("overwrite").parquet(path + "/bands")
+    docs.sparkSession.createDataFrame(
+        [(n_hashes, bands, shingle_n)],
+        "n_hashes int, bands int, shingle_n int",
+    ).write.mode("overwrite").parquet(path + "/params")
+
+
+def _dedup_index_params(spark, path: str) -> tuple[int, int, int]:
+    p = spark.read.parquet(path + "/params").collect()[0]
+    return p["n_hashes"], p["bands"], p["shingle_n"]
+
+
+def probe_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag a new batch against a PERSISTED dedup index — same output as
+    :func:`incremental_dedup_flags` but the existing corpus contributes
+    only its stored key sets: no corpus text is read (the probe plan
+    scans ``{path}/digests`` and ``{path}/bands`` parquet, nothing
+    else). Signature params come from the index so the recipe always
+    matches what was saved."""
+    spark = new_docs.sparkSession
+    n_hashes, bands, shingle_n = _dedup_index_params(spark, path)
+    return _probe_dedup_keysets(
+        new_docs,
+        spark.read.parquet(path + "/digests"),
+        spark.read.parquet(path + "/bands"),
+        id_col, text_col, n_hashes, bands, shingle_n,
+    )
+
+
+def append_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc",
+    text_col: str = "text",
+) -> None:
+    """Fold increment N's keys into the index after ingest: append the
+    increment's key sets (params read from the index, so signatures stay
+    compatible). Appended keys may duplicate existing ones — harmless
+    for semi-join probes (see :func:`_probe_dedup_keysets`); a periodic
+    compaction can re-distinct if storage matters. Cost: one scan of the
+    INCREMENT only — the accumulated corpus is never rescanned."""
+    spark = new_docs.sparkSession
+    n_hashes, bands, shingle_n = _dedup_index_params(spark, path)
+    digests, bandsigs = _dedup_keysets(
+        new_docs, id_col, text_col, n_hashes, bands, shingle_n
+    )
+    digests.write.mode("append").parquet(path + "/digests")
+    bandsigs.write.mode("append").parquet(path + "/bands")

@@ -91,15 +91,18 @@ def decode_image(
 ) -> DataFrame:
     """Distributed image decode via mapInPandas (Arrow batches).
 
-    ``codec='stub'`` uses the deterministic fake. ``codec='pil'``
-    decodes real image bytes (JPEG/PNG/…) through Pillow when it is
+    ``codec='stub'`` uses the deterministic fake. ``codec='png'``
+    decodes real PNG bytes (8-bit RGB/RGBA) through the vendored
+    pure-stdlib codec in :mod:`polars_gdal_spark.functions.png` — no
+    external library, so the real-bytes path runs everywhere.
+    ``codec='pil'`` decodes any format Pillow handles when it is
     importable — the import is probed on the driver so a missing
     library fails fast with a clear NotImplementedError instead of
     per-task executor errors; the decode itself runs executor-side per
     Arrow batch. Output pixels are raw RGB bytes (width*height*3). The
     Spark-side contract (schema, batch iteration, no driver collect) is
-    identical for both codecs, so pipelines built on the stub run
-    unchanged where Pillow exists.
+    identical for all codecs, so pipelines built on the stub run
+    unchanged where real codecs exist.
     """
     if codec == "pil":
         try:
@@ -107,13 +110,14 @@ def decode_image(
         except ImportError as e:
             raise NotImplementedError(
                 "image codec 'pil' requires Pillow, which is not "
-                "installed in this environment; use codec='stub' for "
-                "the deterministic fake"
+                "installed in this environment; use codec='png' for "
+                "real PNG bytes or 'stub' for the deterministic fake"
             ) from e
-    elif codec != "stub":
+    elif codec not in ("stub", "png"):
         raise NotImplementedError(
             f"image codec {codec!r} is not supported; use 'pil' "
-            "(requires Pillow) or 'stub' (deterministic fake)"
+            "(requires Pillow), 'png' (vendored pure-Python PNG "
+            "decode), or 'stub' (deterministic fake)"
         )
 
     def decode_one(payload: bytes) -> tuple[int, int, bytes]:
@@ -124,6 +128,15 @@ def decode_image(
 
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             return img.width, img.height, img.tobytes()
+        if codec == "png":
+            from polars_gdal_spark.functions.png import decode_png
+
+            w, h, ch, px = decode_png(payload)
+            if ch == 4:  # drop alpha -> RGB, matching the pil path
+                px = bytes(
+                    b for i, b in enumerate(px) if i % 4 != 3
+                )
+            return w, h, px
         return _fake_decode(payload)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

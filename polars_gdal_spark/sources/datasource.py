@@ -841,12 +841,22 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
     def write(self, iterator) -> GdalCommitMessage:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Attempt-unique part names (FileCommitProtocol's reason to
+        # exist): a retried or speculative attempt writes its OWN file,
+        # so a still-running zombie attempt can never interleave bytes
+        # into the file whose path the committed attempt reported.
+        # commit() assembles exactly the committed attempts' paths;
+        # failed-attempt leftovers die with the tmp dir in _cleanup().
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.tmp_dir, exist_ok=True)
         n = 0
         if self.partitioned:
             # NDJSON is this mode's OUTPUT format — build it row-wise.
-            part = os.path.join(self.tmp_dir, f"part-{pid:05d}.ndjson")
+            part = os.path.join(
+                self.tmp_dir, f"part-{pid:05d}-{attempt}.ndjson"
+            )
             with open(part, "w", encoding="utf-8") as f:
                 for batch in iterator:
                     for d in batch.to_pylist():
@@ -866,7 +876,7 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
         # no per-row Python; commit() decodes once while encoding.
         import pyarrow as pa
 
-        part = os.path.join(self.tmp_dir, f"part-{pid:05d}.arrow")
+        part = os.path.join(self.tmp_dir, f"part-{pid:05d}-{attempt}.arrow")
         writer = sink = None
         for batch in iterator:
             if writer is None:
@@ -933,7 +943,10 @@ class GdalDataSourceWriter(DataSourceArrowWriter):
             finally:
                 if os.path.exists(dest):
                     os.remove(dest)
-        self._cleanup(keep_parts=self.partitioned)
+        # Committed parts were consumed (moved/encoded) by assemble —
+        # the tmp dir now holds only failed-attempt leftovers; drop it
+        # in every mode so zombie-attempt files never linger.
+        self._cleanup()
 
     def abort(self, messages) -> None:
         self._cleanup()

@@ -251,9 +251,15 @@ class GeoParquetWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.tmp_dir, exist_ok=True)
-        part = os.path.join(self.tmp_dir, f"part-{pid:05d}.parquet")
+        # Attempt-unique name: a retried/speculative attempt writes its
+        # own file, so a zombie attempt can't interleave bytes into the
+        # part the committed attempt reported (see GdalDataSourceWriter).
+        part = os.path.join(
+            self.tmp_dir, f"part-{pid:05d}-{ctx.taskAttemptId()}.parquet"
+        )
         spill = part + ".arrow"
         # Parquet footers are written at close FROM the schema passed at
         # construction (pyarrow<18 has no post-hoc metadata API), but

@@ -556,3 +556,71 @@ def test_ivf_index_persistence_and_partition_pruning(spark, tmp_path):
         for f in os.listdir(os.path.join(idx, "cells", d))
         if f.endswith(".parquet")
     )
+
+
+def test_persisted_dedup_index_rolling_increments(spark, tmp_path):
+    """Rolling-crawl dedup index: save once, probe increments against the
+    stored KEY SETS, append each ingested increment. Increment N+1 never
+    rescans corpus text — proven by deleting the corpus source before
+    probing."""
+    import shutil
+
+    corpus_pq = str(tmp_path / "corpus.parquet")
+    idx = str(tmp_path / "dedup_index")
+    base_rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "spark shuffles hash partitions across the cluster ring"),
+        (2, "completely unrelated text about cooking pasta al dente"),
+    ]
+    spark.createDataFrame(base_rows, "doc bigint, text string").write.parquet(
+        corpus_pq
+    )
+    corpus = spark.read.parquet(corpus_pq)
+    D.save_dedup_index(corpus, idx, n_hashes=16, bands=4, shingle_n=3)
+
+    # reference flags computed the in-memory way, BEFORE the source dies
+    batch_b = spark.createDataFrame(
+        [
+            (10, base_rows[0][1]),  # exact copy -> exact+near
+            (11, base_rows[1][1] + " tail"),  # mutant -> near only
+            (12, "novel content that matches nothing in the corpus"),
+        ],
+        "doc bigint, text string",
+    )
+    expected = {
+        r["doc"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in D.incremental_dedup_flags(
+            batch_b, corpus, "doc", "text"
+        ).collect()
+    }
+
+    shutil.rmtree(corpus_pq)  # corpus text is GONE — only the index remains
+
+    got = {
+        r["doc"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in D.probe_dedup_index(batch_b, idx).collect()
+    }
+    assert got == expected
+    assert got[10] == (1, 1) and got[11][0] == 0 and got[12] == (0, 0)
+
+    # ingest increment B, then increment C must see B's keys via append
+    D.append_dedup_index(batch_b, idx)
+    batch_c = spark.createDataFrame(
+        [
+            (20, base_rows[0][1]),  # still caught (original corpus keys)
+            (21, "novel content that matches nothing in the corpus"),  # = doc 12
+            (22, "a third thing never seen before in any increment"),
+        ],
+        "doc bigint, text string",
+    )
+    got_c = {
+        r["doc"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in D.probe_dedup_index(batch_c, idx).collect()
+    }
+    assert got_c[20] == (1, 1)
+    assert got_c[21] == (1, 1)  # dup of ingested increment B
+    assert got_c[22] == (0, 0)
+
+    # the probe plan must touch ONLY index parquet, never any text source
+    plan = D.probe_dedup_index(batch_c, idx)._jdf.queryExecution().toString()
+    assert "corpus.parquet" not in plan
