@@ -90,8 +90,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    names = sys.argv[1:] or HEADLINE  # optional per-query iteration
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         spec = QUERIES[name]
         # Adaptive warmup: run until back-to-back times stabilize (the
         # heavy-codegen queries need 3-4 executions before C2 JIT

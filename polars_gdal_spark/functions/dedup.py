@@ -381,7 +381,9 @@ def ngram_jaccard_pairs(
     web-dedup practice, and it bounds the fan-out at
     ``max_shingle_df\u00b2/2`` pairs per shingle.
 
-    **Execution strategy** (re-profiled round 3, sf0.1, 3.2 s \u2192 1.8 s):
+    **Execution strategy** (round 3: 3.2 s \u2192 1.8 s at sf0.1; round 4:
+    prefix filtering fixed super-linear candidate growth \u2014 94 s \u2192 see
+    SCALE.md at sf1):
 
     1. Shingles are hashed to **64-bit longs at generation time**
        (``xxhash64`` over the n token slots \u2014 no n-gram string is ever
@@ -389,26 +391,31 @@ def ngram_jaccard_pairs(
        because tokens are space-split, and a 64-bit collision at corpus
        shingle cardinality is ~2\u207b\u00b3\u2075 \u2014 below any observable effect).
        Every downstream shuffle moves 8-byte keys instead of ~25-byte
-       strings; shingle generation itself fell 1.6 s \u2192 0.5 s.
+       strings.
     2. The DF cap stays an **in-plan broadcast anti-join** against the
        (tiny) hot set \u2014 no second shuffle of the shingle table.
-    3. One ``groupBy(doc)`` collects each document's retained shingles
-       AND its size in the same pass (the size is just ``size()`` of the
-       collected array \u2014 bounded by document length, safe at any scale),
-       then re-explodes carrying ``sz``. This replaces the former
-       separate sizes aggregation + two post-``inter`` equi-joins that
-       re-shuffled the multi-million-row pair table twice.
-    4. Pairs are generated map-side from per-shingle sorted doc lists
-       (every list \u2264 ``max_shingle_df`` by construction) and counted
-       into |A\u2229B| with the sizes riding along in the grouping key, so
-       the Jaccard is computed directly on the aggregated row \u2014 the
-       pair table is shuffled exactly once.
-    5. The two hot shuffles are **explicitly hash-repartitioned to
+    3. **Prefix filtering** (the PPJoin principle \u2014 Xiao, Wang, Lin &
+       Yu, "Efficient Similarity Joins for Near Duplicate Detection",
+       WWW 2008): order each document's shingles by ascending global
+       DF (rarest first) and index only the first
+       ``|r| \u2212 \u2308t\u00b7|r|\u2309 + 1``; any pair with Jaccard \u2265 t provably
+       shares a prefix shingle, so candidates come from the PREFIX
+       equi-join \u2014 lossless, and the hot (high-DF) shingles that drive
+       quadratic \u03a3df\u00b2 candidate growth fall out of the prefixes first.
+       At t=0 the prefix is the whole set and the operator degrades to
+       the plain all-sharing-pairs join.
+    4. A **length filter** (min \u2265 t\u00b7max, necessary for J \u2265 t) prunes
+       map-side before the candidate distinct.
+    5. Verification joins the candidate pairs back to the per-doc
+       shingle arrays (bounded by document length) and computes
+       |A\u2229B| with one vectorized ``array_intersect`` per pair \u2014 each
+       candidate pair crosses the wire ONCE, instead of once per
+       shared shingle as in the old co-occurrence count.
+    6. The hot shuffles are **explicitly hash-repartitioned to
        ``defaultParallelism``**: AQE's size-based coalescing sees only
-       a few MB here and would serialize the CPU-heavy pair explode +
-       count onto 4-8 tasks; pinning partition count keeps all cores
-       busy locally and is the neutral choice on a real cluster (the
-       same number AQE would target for a large shuffle)."""
+       a few MB here and would serialize the CPU-heavy pair explode
+       onto 4-8 tasks; pinning partition count keeps all cores busy
+       and is the neutral choice on a real cluster."""
     sc_p = df.sparkSession.sparkContext.defaultParallelism
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
@@ -423,22 +430,48 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(id_col).alias("doc"), toks.alias("tk")).select(
         "doc", F.explode(sh_expr).alias("sh")
     )
-    hot = (
-        base.groupBy("sh")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > max_shingle_df)
-        .select("sh")
-    )
+    from pyspark import StorageLevel
+
+    dfs = base.groupBy("sh").agg(F.count("*").alias("_df"))
+    hot = dfs.where(F.col("_df") > max_shingle_df).select("sh")
     shc = base.join(F.broadcast(hot), "sh", "left_anti")
-    docarr = shc.groupBy("doc").agg(F.collect_list("sh").alias("shs"))
-    shz = docarr.select(
-        "doc", F.size("shs").alias("sz"), F.explode("shs").alias("sh")
+    # One groupBy(doc) builds everything per document: the full retained
+    # shingle array (sorted by ascending global DF — the canonical rare-
+    # first order), its size, and the PREFIX slice. Persisted once; read
+    # by candidate generation and both verification joins.
+    #
+    # ceil() runs on floats, and a representation error that rounds UP
+    # would shorten the prefix below the completeness bound (a false-
+    # negative bug); the 1e-9 bias only ever LENGTHENS the prefix, which
+    # is always safe.
+    p_expr = (
+        f"size(a) - cast(ceil({threshold} * size(a) - 1e-9) as int) + 1"
+    )
+    docarr = (
+        shc.join(dfs, "sh")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("a"))
+        .select(
+            "doc",
+            F.size("a").alias("sz"),
+            F.expr("transform(a, x -> x.sh)").alias("shs"),
+            F.expr(
+                f"transform(slice(a, 1, {p_expr}), x -> x.sh)"
+            ).alias("pre"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = docarr.select(
+        "doc", "sz", F.explode("pre").alias("sh")
     ).repartition(sc_p, "sh")
-    grouped = shz.groupBy("sh").agg(
+    grouped = prefix.groupBy("sh").agg(
         F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
     )
-    # all (i < j) pairs of each sorted (doc, sz) list, generated map-side
-    pairs = (
+    # all (i < j) pairs of each sorted (doc, sz) list, generated map-side;
+    # the length filter (min size >= t * max size, a necessary condition
+    # for J >= t, epsilon-relaxed so float rounding can only keep extra
+    # candidates) prunes before the distinct
+    cand = (
         grouped.select(
             F.explode(
                 F.expr(
@@ -450,11 +483,26 @@ def ngram_jaccard_pairs(
             ).alias("p")
         )
         .select("p.*")
-        .repartition(sc_p, "doc_a", "doc_b")
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .repartition(sc_p, "doc_a")
     )
+    # exact verification: intersect the two full shingle arrays (each
+    # bounded by document length); |A∪B| = |A|+|B|−|A∩B|
     return (
-        pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(docarr.select(F.col("doc").alias("doc_a"), "shs"), "doc_a")
+        .withColumnRenamed("shs", "_sa")
+        .join(docarr.select(F.col("doc").alias("doc_b"), "shs"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("_sa", "shs")).alias("inter"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -2,8 +2,8 @@
 
 The raw corpus has no duplicates, so each query runs the operators over a
 deterministic **augmented corpus**: every document plus a near-duplicate
-mutation (the first 80% of its tokens, doc_id+10000) and — for the exact
-family — a verbatim copy (doc_id+20000). The augmentation itself is pure
+mutation (the first 80% of its tokens, doc_id+10000000) and — for the exact
+family — a verbatim copy (doc_id+20000000). The augmentation itself is pure
 DataFrame algebra, reproduced verbatim in the DuckDB oracle, so hits are
 guaranteed and hash-checked end to end.
 """
@@ -22,7 +22,7 @@ def _toks(c):
 
 
 def _augmented(spark: SparkSession, sf_dir: str, with_copy: bool = False) -> DataFrame:
-    """base (normalized) ∪ 80%-prefix mutation (+10000) [∪ verbatim copy (+20000)]."""
+    """base (normalized) ∪ 80%-prefix mutation (+10000000) [∪ verbatim copy (+20000000)]."""
     docs = load_tables(spark, sf_dir)["documents"]
     tk = _toks(F.col("text"))
     base = docs.select(
@@ -30,13 +30,13 @@ def _augmented(spark: SparkSession, sf_dir: str, with_copy: bool = False) -> Dat
     )
     k = F.greatest(F.lit(1), F.floor(F.size(tk) * 0.8).cast("int"))
     mut = docs.select(
-        (F.col("doc_id") + 10000).alias("doc"),
+        (F.col("doc_id") + 10000000).alias("doc"),
         F.array_join(F.slice(tk, F.lit(1), k), " ").alias("text"),
     )
     out = base.unionAll(mut)
     if with_copy:
         out = out.unionAll(
-            base.select((F.col("doc") + 20000).alias("doc"), "text")
+            base.select((F.col("doc") + 20000000).alias("doc"), "text")
         )
     # documents is a single parquet file → 1-2 input splits; spread the
     # shingle/hash work across the cluster before the heavy operators
@@ -52,7 +52,7 @@ _AUG_SQL = """
   aug AS (
     SELECT doc_id AS doc, array_to_string(tk, ' ') AS text FROM toks
     UNION ALL
-    SELECT doc_id + 10000 AS doc,
+    SELECT doc_id + 10000000 AS doc,
            array_to_string(
              array_slice(tk, 1, greatest(1, CAST(floor(0.8 * len(tk)) AS INT))),
              ' ') AS text
@@ -82,7 +82,7 @@ _SHINGLE_SQL = """
     aug2 AS (
       SELECT * FROM aug
       UNION ALL
-      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text FROM toks
+      SELECT doc_id + 20000000 AS doc, array_to_string(tk, ' ') AS text FROM toks
     )
     SELECT md5(lower(trim(text))) AS digest,
            count(*) AS n_dups,
@@ -306,7 +306,7 @@ def dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE augv AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000,
+      SELECT vec_id + 10000000,
              list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS FLOAT)],
                          embedding[2:])
       FROM embeddings
@@ -363,12 +363,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → drop every vector that is not its cluster's min-id
     representative. The corpus is augmented with a deterministic
     near-duplicate of every vector (+0.1 on the first coordinate,
-    vec_id+10000 — cosine ≈ 0.995 on unit vectors) so hits are
+    vec_id+10000000 — cosine ≈ 0.995 on unit vectors) so hits are
     guaranteed; all pair generation is bucket-equi-join, never corpus².
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
     mut = emb.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 10000000).alias("vec_id"),
         F.concat(
             F.array(
                 (F.element_at("embedding", 1).cast("double") + 0.1).cast(
@@ -482,7 +482,7 @@ _SIMHASH_SQL = """
     aug2 AS (
       SELECT * FROM aug
       UNION ALL
-      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text FROM toks
+      SELECT doc_id + 20000000 AS doc, array_to_string(tk, ' ') AS text FROM toks
     ),
     {_SIMHASH_SQL.strip()},
     banded AS (
@@ -784,7 +784,7 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug2 AS (
       SELECT * FROM aug
       UNION ALL
-      SELECT doc_id + 20000 AS doc, array_to_string(tk, ' ') AS text
+      SELECT doc_id + 20000000 AS doc, array_to_string(tk, ' ') AS text
       FROM toks
     ),
     tk2 AS (
@@ -812,20 +812,20 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mh GROUP BY doc, seed // 4
     ),
     old_digests AS (
-      SELECT DISTINCT md5(text) AS dg FROM aug2 WHERE doc < 10000
+      SELECT DISTINCT md5(text) AS dg FROM aug2 WHERE doc < 10000000
     ),
-    new_docs AS (SELECT doc, text FROM aug2 WHERE doc >= 10000),
+    new_docs AS (SELECT doc, text FROM aug2 WHERE doc >= 10000000),
     exact AS (
       SELECT doc FROM new_docs
       WHERE md5(text) IN (SELECT dg FROM old_digests)
     ),
     old_bands AS (
-      SELECT DISTINCT band, band_sig FROM bands WHERE doc < 10000
+      SELECT DISTINCT band, band_sig FROM bands WHERE doc < 10000000
     ),
     near AS (
       SELECT DISTINCT b.doc FROM bands b
       JOIN old_bands USING (band, band_sig)
-      WHERE b.doc >= 10000
+      WHERE b.doc >= 10000000
     )
     SELECT n.doc,
            CAST(CASE WHEN e.doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
@@ -839,8 +839,8 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: flag each document of a NEW batch
-    (the 80%-prefix mutants and verbatim copies, doc >= 10000) against
-    the EXISTING corpus (doc < 10000) — exact via content digest, near
+    (the 80%-prefix mutants and verbatim copies, doc >= 10000000) against
+    the EXISTING corpus (doc < 10000000) — exact via content digest, near
     via shared MinHash-LSH band signatures. This is the shape a rolling
     crawl pipeline runs on every increment: the existing corpus
     contributes only its digest and band-signature KEY SETS (persisted
@@ -849,6 +849,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket holds. Copies flag exact+near; mutants flag near only.
     """
     aug = _augmented(spark, sf_dir, with_copy=True)
-    existing = aug.where(F.col("doc") < 10000)
-    new = aug.where(F.col("doc") >= 10000)
+    existing = aug.where(F.col("doc") < 10000000)
+    new = aug.where(F.col("doc") >= 10000000)
     return D.incremental_dedup_flags(new, existing, "doc", "text")

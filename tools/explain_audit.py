@@ -238,6 +238,25 @@ EXPECT = {
     "distinct_values": ["HashAggregate", "!CartesianProduct"],
     "setop_except": ["!CartesianProduct"],
     "multimodal_payload_meta": ["!CartesianProduct"],
+    # ---- gdal datasource scans ------------------------------------------
+    # every fixture query scans through the Python datasource's Arrow
+    # batch reader ("BatchScan gdal"); geometry kernels run as
+    # ArrowEvalPython (vectorized pandas_udf — never row-Python), and the
+    # aggregating ones stay partial-first
+    "gdal_read_geojson": ["BatchScan gdal", "!CartesianProduct"],
+    "gdal_read_csv_points": [
+        "BatchScan gdal", "ArrowEvalPython", "!CartesianProduct",
+    ],
+    "gdal_roundtrip_gpkg": ["BatchScan gdal", "partial"],
+    "gdal_roundtrip_tab": ["BatchScan gdal", "ArrowEvalPython"],
+    "gdal_grid_bucket_agg": [
+        "BatchScan gdal", "ArrowEvalPython", "partial",
+    ],
+    "gdal_geometry_formats": ["BatchScan gdal", "ArrowEvalPython"],
+    "gdal_geoparquet_roundtrip": ["BatchScan geoparquet", "partial"],
+    # iterative min-label propagation ends in a localCheckpoint: the
+    # result plan is a materialized-RDD scan, re-derived from nothing
+    "dedup_components": ["ExistingRDD", "!Exchange", "!CartesianProduct"],
 }
 
 

@@ -156,12 +156,30 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
             [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
     }))
 
-    # documents: vocab words, ~0.2% exact dups + a batch of near-dups so
-    # dedup operators have real work at every sf
+    # documents: ~0.2% exact dups + a batch of near-dups so dedup
+    # operators have real work at every sf.
+    #
+    # Corpus statistics stay SCALE-INVARIANT: vocabulary grows with the
+    # corpus (Heaps' law, V ~ N^0.8 here) and word frequencies are
+    # Zipf-distributed — like real text, where a 10x corpus does NOT
+    # mean every n-gram appears 10x more often. A fixed tiny vocab
+    # makes shingle document frequency grow linearly with corpus size,
+    # which drives candidate-pair counts quadratic in EVERY sharing-
+    # based dedup algorithm — an artifact of the synthetic data, not a
+    # property any plan can avoid (the driver's own sf<=0.1 fixtures
+    # are small enough not to hit it).
+    n_vocab = max(len(VOCAB), int(len(VOCAB) * (sf / 0.1) ** 0.8))
+    vocab = np.array(
+        VOCAB + [
+            f"{VOCAB[i % len(VOCAB)]}{i // len(VOCAB)}"
+            for i in range(len(VOCAB), n_vocab)
+        ]
+    )
+    zipf_p = 1.0 / np.arange(1, n_vocab + 1)
+    zipf_p /= zipf_p.sum()
     lens = rng.integers(8, 90, n_doc)
     texts = [
-        " ".join(np.array(VOCAB)[rng.integers(0, len(VOCAB), ln)])
-        for ln in lens
+        " ".join(vocab[rng.choice(n_vocab, ln, p=zipf_p)]) for ln in lens
     ]
     dup_idx = rng.integers(0, n_doc, max(2, n_doc // 500))
     for j, i in enumerate(dup_idx):
