@@ -129,6 +129,7 @@ def _geo_meta_json(
     crs: str | None,
     geometry_types: Sequence[str],
     bbox: Sequence[float] | None = None,
+    covering_col: str | None = None,
 ) -> bytes:
     col: dict = {
         "encoding": "WKB",
@@ -137,6 +138,12 @@ def _geo_meta_json(
     }
     if bbox is not None:
         col["bbox"] = list(bbox)
+    if covering_col is not None:
+        col["covering"] = {
+            "bbox": {
+                k: [covering_col, k] for k in ("xmin", "ymin", "xmax", "ymax")
+            }
+        }
     return json.dumps(
         {
             "version": SPEC_VERSION,
@@ -183,20 +190,78 @@ class _RowGroupPartition(InputPartition):
 
 
 class GeoParquetReader(DataSourceReader):
+    """Row-group-partitioned scan with GeoParquet 1.1 ``covering``
+    pruning: when the file declares a per-row bbox covering column
+    (spec §covering — ``columns.<geom>.covering.bbox`` maps corner
+    names to struct field paths) and the query passes a ``bbox``
+    option, row groups whose parquet column statistics (min xmin /
+    max xmax / …) miss the filter window are dropped at PLANNING time
+    (metadata-only, no data pages touched) — the GeoParquet analogue of
+    parquet min/max predicate pushdown. Surviving groups still get an
+    exact per-row covering-intersects filter at scan time."""
+
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.path = options.get("path")
         self.files = _resolve_files(self.path)
+        bbox = options.get("bbox")
+        self.bbox = (
+            tuple(float(v) for v in str(bbox).split(",")) if bbox else None
+        )
+        # covering paths: corner name -> "structcol.field" parquet path
+        self.covering: dict[str, str] | None = None
+        if self.bbox is not None:
+            geo = read_geo_footer(self.path) or {}
+            primary = geo.get("primary_column", "geometry")
+            cov = (
+                geo.get("columns", {})
+                .get(primary, {})
+                .get("covering", {})
+                .get("bbox")
+            )
+            if isinstance(cov, dict) and all(
+                k in cov for k in ("xmin", "ymin", "xmax", "ymax")
+            ):
+                self.covering = {
+                    k: ".".join(cov[k]) for k in ("xmin", "ymin", "xmax", "ymax")
+                }
+
+    def _rg_intersects(self, md, rg: int) -> bool:
+        """Row-group stats vs filter bbox; keep on any missing stat."""
+        qx0, qy0, qx1, qy1 = self.bbox
+        grp = md.row_group(rg)
+        stats: dict[str, tuple] = {}
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            if col.path_in_schema in self.covering.values():
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return True
+                stats[col.path_in_schema] = (st.min, st.max)
+        try:
+            # group intersects query iff min(xmin) <= qx1, max(xmax) >= qx0 …
+            return (
+                stats[self.covering["xmin"]][0] <= qx1
+                and stats[self.covering["xmax"]][1] >= qx0
+                and stats[self.covering["ymin"]][0] <= qy1
+                and stats[self.covering["ymax"]][1] >= qy0
+            )
+        except KeyError:
+            return True  # covering columns absent from this part
 
     def partitions(self) -> Sequence[InputPartition]:
         import pyarrow.parquet as pq
 
+        prune = self.bbox is not None and self.covering is not None
         parts = []
         for f in self.files:
-            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                if prune and not self._rg_intersects(md, rg):
+                    continue
                 parts.append(_RowGroupPartition(file=f, row_group=rg))
-        # empty file set already raised; a file with zero row groups
-        # still needs one partition so the scan yields an empty result
+        # empty file set already raised; zero surviving row groups still
+        # needs one partition so the scan yields an empty result
         return parts or [_RowGroupPartition(file=self.files[0], row_group=-1)]
 
     def read(self, partition: _RowGroupPartition) -> Iterator:
@@ -206,9 +271,32 @@ class GeoParquetReader(DataSourceReader):
         names = [f.name for f in self.schema.fields]
         if partition.row_group < 0:
             return
-        yield from pf.iter_batches(
+        batches = pf.iter_batches(
             row_groups=[partition.row_group], columns=names
         )
+        if self.bbox is None or self.covering is None:
+            yield from batches
+            return
+        import pyarrow.compute as pc
+
+        qx0, qy0, qx1, qy1 = self.bbox
+
+        def corner(batch, key):
+            col, field = self.covering[key].split(".", 1)
+            return pc.struct_field(batch.column(col), field)
+
+        for batch in batches:
+            keep = pc.and_(
+                pc.and_(
+                    pc.less_equal(corner(batch, "xmin"), qx1),
+                    pc.greater_equal(corner(batch, "xmax"), qx0),
+                ),
+                pc.and_(
+                    pc.less_equal(corner(batch, "ymin"), qy1),
+                    pc.greater_equal(corner(batch, "ymax"), qy0),
+                ),
+            )
+            yield batch.filter(keep)
 
 
 @dataclass
@@ -239,6 +327,17 @@ class GeoParquetWriter(DataSourceArrowWriter):
             )
         meta = schema[self.geom_col].metadata or {}
         self.crs = options.get("crs", options.get("srs")) or meta.get("crs")
+        # GeoParquet 1.1 optional `covering`: emit a per-row bbox struct
+        # column + declare it, enabling row-group pruning in any
+        # spec-aware reader (including this package's own bbox scan)
+        self.covering = (
+            str(options.get("covering", "false")).lower() == "true"
+        )
+        if self.covering and "bbox" in names:
+            raise ValueError(
+                "covering=true writes a 'bbox' struct column, but the "
+                "schema already has a 'bbox' column"
+            )
         if os.path.exists(self.path) and not overwrite:
             raise ValueError(
                 f"{self.path!r} exists; use mode('overwrite')"
@@ -272,7 +371,34 @@ class GeoParquetWriter(DataSourceArrowWriter):
         n = 0
         gtypes: set[str] = set()
         ipc = sink = None
+        bbox_t = pa.struct(
+            [(k, pa.float64()) for k in ("xmin", "ymin", "xmax", "ymax")]
+        )
+
+        def with_bbox(b: pa.RecordBatch) -> pa.RecordBatch:
+            # per-row envelope from the WKB payload (opt-in slow path:
+            # a Python WKB walk per row; the parquet encode it feeds
+            # still dominates). Null geometry -> null bbox.
+            from polars_gdal_spark.geometry import geom_bounds, wkb_to_geom
+
+            vals = []
+            for v in b.column(self.geom_col):
+                raw = v.as_py()
+                if raw is None:
+                    vals.append(None)
+                    continue
+                x0, y0, x1, y1 = geom_bounds(wkb_to_geom(bytes(raw)))
+                vals.append(
+                    {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1}
+                )
+            return pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(vals, type=bbox_t)],
+                schema=b.schema.append(pa.field("bbox", bbox_t)),
+            )
+
         for batch in iterator:
+            if self.covering:
+                batch = with_bbox(batch)
             if ipc is None:
                 sink = pa.OSFile(spill, "wb")
                 ipc = pa.ipc.new_stream(sink, batch.schema)
@@ -294,7 +420,12 @@ class GeoParquetWriter(DataSourceArrowWriter):
             return _GeoParquetCommit(part_path=None, count=0)
         ipc.close()
         sink.close()
-        geo = _geo_meta_json(self.geom_col, self.crs, gtypes)
+        geo = _geo_meta_json(
+            self.geom_col,
+            self.crs,
+            gtypes,
+            covering_col="bbox" if self.covering else None,
+        )
         with pa.OSFile(spill, "rb") as src:
             reader = pa.ipc.open_stream(src)
             schema = reader.schema.with_metadata({GEO_KEY: geo})

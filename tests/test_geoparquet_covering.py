@@ -1,0 +1,158 @@
+"""GeoParquet 1.1 foreign-file interop: read a file produced by another
+writer (raw pyarrow here, standing in for GDAL/geopandas output) that
+carries the spec's optional ``covering`` bbox struct, and use it for
+row-group pruning — the GeoParquet analogue of parquet min/max pushdown.
+Spec: opengeospatial/geoparquet v1.1.0, "covering" §.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from polars_gdal_spark.sources.geoparquet import GeoParquetReader
+
+
+def _wkb_point(x: float, y: float) -> bytes:
+    return b"\x01\x01\x00\x00\x00" + struct.pack("<dd", x, y)
+
+
+@pytest.fixture(scope="module")
+def foreign_gpq(tmp_path_factory):
+    """3 row groups of points clustered at x≈0, x≈100, x≈200, with a
+    per-row bbox covering column and a CRS id — written by pyarrow
+    directly, NOT by this package's writer."""
+    path = str(tmp_path_factory.mktemp("foreign") / "cities.parquet")
+    geo = {
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {
+                "encoding": "WKB",
+                "geometry_types": ["Point"],
+                "crs": {"id": {"authority": "EPSG", "code": 3857}},
+                "covering": {
+                    "bbox": {
+                        "xmin": ["bbox", "xmin"],
+                        "ymin": ["bbox", "ymin"],
+                        "xmax": ["bbox", "xmax"],
+                        "ymax": ["bbox", "ymax"],
+                    }
+                },
+            }
+        },
+    }
+    bbox_t = pa.struct(
+        [(k, pa.float64()) for k in ("xmin", "ymin", "xmax", "ymax")]
+    )
+    schema = pa.schema(
+        [
+            ("name", pa.string()),
+            ("geometry", pa.binary()),
+            ("bbox", bbox_t),
+        ],
+        metadata={b"geo": json.dumps(geo).encode()},
+    )
+    with pq.ParquetWriter(path, schema) as w:
+        for base in (0.0, 100.0, 200.0):
+            rows = [(f"p{base:.0f}_{i}", base + i, float(i)) for i in range(10)]
+            w.write_table(
+                pa.table(
+                    {
+                        "name": [r[0] for r in rows],
+                        "geometry": [_wkb_point(r[1], r[2]) for r in rows],
+                        "bbox": [
+                            {"xmin": r[1], "ymin": r[2], "xmax": r[1], "ymax": r[2]}
+                            for r in rows
+                        ],
+                    },
+                    schema=schema.remove_metadata(),
+                )
+            )
+    return path
+
+
+def test_foreign_read_carries_crs(spark, foreign_gpq):
+    df = spark.read.format("geoparquet").load(foreign_gpq)
+    assert df.count() == 30
+    meta = df.schema["geometry"].metadata
+    assert meta["crs"] == "EPSG:3857"
+    assert meta["encoding"] == "WKB"
+
+
+def test_covering_row_group_pruning_metric(foreign_gpq):
+    """Planning-time proof: with a bbox over the middle cluster only, the
+    reader plans 1 of 3 row-group partitions (pure metadata decision)."""
+    r_all = GeoParquetReader(None, {"path": foreign_gpq})
+    assert len(r_all.partitions()) == 3
+    r_pruned = GeoParquetReader(
+        None, {"path": foreign_gpq, "bbox": "95,-1,115,11"}
+    )
+    assert len(r_pruned.partitions()) == 1
+
+
+def test_covering_bbox_filters_rows_exactly(spark, foreign_gpq):
+    df = (
+        spark.read.format("geoparquet")
+        .option("bbox", "95,-1,104.5,11")
+        .load(foreign_gpq)
+    )
+    names = sorted(r["name"] for r in df.collect())
+    # middle cluster x=100..109; covering filter keeps x<=104.5
+    assert names == [f"p100_{i}" for i in range(5)]
+
+
+def test_bbox_without_covering_returns_all(spark, tmp_path):
+    """A file with no covering declaration must not be silently filtered
+    — the bbox option degrades to a no-op scan (exact filtering is the
+    caller's job when no covering exists)."""
+    src = spark.createDataFrame(
+        [(1, _wkb_point(0, 0)), (2, _wkb_point(500, 500))],
+        "id bigint, geometry binary",
+    )
+    out = str(tmp_path / "plain_gpq")
+    src.write.format("geoparquet").mode("overwrite").save(out)
+    df = spark.read.format("geoparquet").option("bbox", "-1,-1,1,1").load(out)
+    assert df.count() == 2
+
+
+def test_write_covering_roundtrip_prunes_own_output(spark, tmp_path):
+    """covering=true writes the bbox struct + declaration; this
+    package's own bbox read then prunes row groups of its own output."""
+    rows = [(i, _wkb_point(float(x), 0.0)) for i, x in enumerate(range(0, 10))]
+    rows += [(100 + i, _wkb_point(1000.0 + i, 0.0)) for i in range(10)]
+    src = spark.createDataFrame(rows, "id bigint, geometry binary").repartition(2)
+    out = str(tmp_path / "cov_gpq")
+    src.write.format("geoparquet").mode("overwrite").option(
+        "covering", "true"
+    ).save(out)
+    # declaration present in the footer
+    from polars_gdal_spark.sources.geoparquet import read_geo_footer
+
+    geo = read_geo_footer(out)
+    cov = geo["columns"]["geometry"]["covering"]["bbox"]
+    assert cov["xmin"] == ["bbox", "xmin"]
+    df = (
+        spark.read.format("geoparquet")
+        .option("bbox", "-1,-1,50,1")
+        .load(out)
+    )
+    got = sorted(r["id"] for r in df.collect())
+    assert got == list(range(10))
+    # bbox column rides along per spec; values match the geometry
+    one = df.where("id = 3").collect()[0]
+    assert one["bbox"]["xmin"] == 3.0 and one["bbox"]["ymax"] == 0.0
+
+
+def test_write_covering_rejects_bbox_collision(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, _wkb_point(0, 0), "x")], "id bigint, geometry binary, bbox string"
+    )
+    with pytest.raises(Exception, match="bbox"):
+        src.write.format("geoparquet").mode("overwrite").option(
+            "covering", "true"
+        ).save(str(tmp_path / "clash"))
