@@ -777,9 +777,7 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_incremental",
-    oracle=f"""
+_INCREMENTAL_ORACLE = f"""
     WITH {_AUG_SQL},
     aug2 AS (
       SELECT * FROM aug
@@ -835,8 +833,10 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM new_docs n
     LEFT JOIN exact e ON e.doc = n.doc
     LEFT JOIN near r ON r.doc = n.doc
-    """,
-)
+    """
+
+
+@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: flag each document of a NEW batch
     (the 80%-prefix mutants and verbatim copies, doc >= 10000000) against
@@ -852,3 +852,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = aug.where(F.col("doc") < 10000000)
     new = aug.where(F.col("doc") >= 10000000)
     return D.incremental_dedup_flags(new, existing, "doc", "text")
+
+
+@query("dedup_index_probe", oracle=_INCREMENTAL_ORACLE)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index twin of ``dedup_incremental``: the existing
+    corpus's digest + band-signature key sets are WRITTEN to a parquet
+    dedup index (``functions.dedup.save_dedup_index``) and the new batch
+    is flagged by ``probe_dedup_index`` against the stored keys alone —
+    the probe plan scans only index parquet, never corpus text (pinned
+    by ``tests/test_llm_ops.py::test_persisted_dedup_index_rolling_
+    increments``, which deletes the corpus before probing). Same output,
+    same oracle, as the recompute-every-time variant — this row is the
+    driver-checked evidence for the rolling-crawl index path."""
+    import os
+    import tempfile
+
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    existing = aug.where(F.col("doc") < 10000000)
+    new = aug.where(F.col("doc") >= 10000000)
+    path = os.path.join(tempfile.mkdtemp(), "dedup_index")
+    D.save_dedup_index(existing, path, id_col="doc", text_col="text")
+    return D.probe_dedup_index(new, path, id_col="doc", text_col="text")

@@ -804,3 +804,87 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         nchars.alias("logit_den"),
         keep.cast("bigint").alias("keep"),
     )
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text,
+                           CAST(ceil(240.0 / length(text)) AS INT)),
+                    1, 240) AS s
+      FROM documents WHERE doc_id < 200
+    ),
+    ch AS (
+      SELECT doc_id, ascii(substr(s, i, 1)) // 32 AS bin
+      FROM px, (SELECT unnest(generate_series(1, 240)) AS i) g
+    )
+    SELECT doc_id AS doc, CAST(bin AS INT) AS bin, count(*) AS cnt
+    FROM ch GROUP BY 1, 2
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec pipeline, end-to-end oracle-checked: each
+    document's text bytes become an 8×10 RGB pixel buffer (repeat +
+    truncate to 240 bytes — ASCII corpus, so bytes == codepoints),
+    PNG-ENCODED into an opaque binary payload column, DECODED back
+    through the public ``decode_image(codec='png')`` mapInPandas path
+    (vendored pure-stdlib codec — functions/png.py), then reduced to a
+    per-bin byte histogram of the DECODED pixels. The DuckDB oracle
+    recomputes the histogram arithmetically from the text, so a
+    cell-exact match proves the encode→decode round-trip is lossless on
+    real compressed image bytes — the multimodal hot path (Arrow
+    batches in, Arrow batches out, zero driver collect) exercised with
+    a real codec, not the stub."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.multimodal import decode_image
+    from polars_gdal_spark.functions.png import encode_png
+
+    t = load_tables(spark, sf_dir)
+    pixels = (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.expr(
+                "substring(repeat(text, cast(ceil(240.0 / length(text)) "
+                "as int)), 1, 240)"
+            ).alias("s"),
+        )
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "payload": [
+                        encode_png(8, 10, s.encode("utf-8"))
+                        for s in pdf["s"]
+                    ],
+                }
+            )
+
+    payloads = pixels.mapInPandas(enc, "doc bigint, payload binary")
+    decoded = decode_image(payloads, id_col="doc", codec="png")
+
+    def hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict = {"doc": [], "bin": [], "cnt": []}
+            for d, px in zip(pdf["doc_id"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), np.uint8)
+                counts = np.bincount(arr // 32, minlength=8)
+                for b in range(8):
+                    if counts[b]:
+                        rows["doc"].append(d)
+                        rows["bin"].append(b)
+                        rows["cnt"].append(int(counts[b]))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(hist, "doc bigint, bin int, cnt bigint")

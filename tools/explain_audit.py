@@ -257,6 +257,12 @@ EXPECT = {
     # iterative min-label propagation ends in a localCheckpoint: the
     # result plan is a materialized-RDD scan, re-derived from nothing
     "dedup_components": ["ExistingRDD", "!Exchange", "!CartesianProduct"],
+    # persisted-index probe: semi-join probes against index parquet
+    # scans — corpus text appears nowhere in the plan
+    "dedup_index_probe": ["LeftSemi", "!CartesianProduct"],
+    # encode→decode→histogram is a pure narrow Arrow-batched map chain:
+    # three MapInPandas stages, zero shuffle
+    "multimodal_png_roundtrip": ["MapInPandas", "!Exchange"],
 }
 
 
