@@ -81,6 +81,9 @@ HEADLINE = [
     "events_transition_matrix",
     "embed_mean_pool",
     "pipeline_split_leakage",
+    # round-4 additions
+    "dedup_index_probe",
+    "multimodal_png_roundtrip",
 ]
 
 

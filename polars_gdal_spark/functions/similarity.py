@@ -368,18 +368,35 @@ def ivf_search_indexed(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def srp_bucket(col, planes: int = 8) -> Column:
+def srp_bucket(col, planes: int = 8, table: int = 0) -> Column:
     """Sign-random-projection LSH bucket key: a ``planes``-char 0/1 string,
     bit_p = sign of Σ_i x_i * w_pi with deterministic pseudo-random weights
-    w_pi = ((p*31 + i*17) % 7) - 3 (small ints → exact integer arithmetic
-    over the quantized vector; reproducible in the SQL oracle)."""
+    w_pi = (((s*73856093 + i*19349663) % 83) % 7) - 3, s = table*101 + p
+    (integer arithmetic →
+    exact integer arithmetic over the quantized vector; reproducible in
+    the SQL oracle). ``table`` seeds an independent hyperplane set per
+    LSH table; table=0 reproduces the original single-table key."""
     q = quantize(col)
     def bit(p: int) -> Column:
+        # s*73856093 folds to a Python-side constant; all remaining
+        # arithmetic is explicit bigint (int32 would overflow under ANSI)
+        base = (table * 101 + p) * 73856093
         proj = F.aggregate(
             F.zip_with(
                 q,
                 F.sequence(F.lit(0), F.size(q) - 1),
-                lambda x, i: x * (((F.lit(p) * 31 + i * 17) % 7) - 3),
+                lambda x, i: x
+                * (
+                    (
+                        (
+                            F.lit(base).cast("bigint")
+                            + i.cast("bigint") * 19349663
+                        )
+                        % 83
+                    )
+                    % 7
+                    - 3
+                ),
             ),
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
@@ -388,22 +405,74 @@ def srp_bucket(col, planes: int = 8) -> Column:
     return F.concat(*[bit(p) for p in range(planes)])
 
 
+def adaptive_planes(
+    n_rows: int,
+    target_bucket: int = 64,
+    min_planes: int = 8,
+    max_planes: int = 24,
+) -> int:
+    """Plane count that keeps EXPECTED bucket size ~``target_bucket`` as
+    the corpus grows: ceil(log2(n / target)). With a FIXED plane count
+    the bucket population grows linearly with the corpus and in-bucket
+    pair generation grows quadratically — the classic silent scale
+    killer in single-table LSH deployments. K planes ⇒ 2^K buckets, so
+    K must track log2(n); recall lost to longer keys is recovered with
+    multiple tables (``lsh_bucketed_pairs(tables=L)``), the standard
+    K/L trade of LSH (Charikar 2002; Indyk–Motwani 1998)."""
+    import math
+
+    need = math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket))))
+    return max(min_planes, min(max_planes, need))
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
     threshold: float = 0.8,
+    tables: int = 1,
 ) -> DataFrame:
     """ANN candidate pairs: equi-join on the SRP bucket, then exact cosine
     refinement. At scale this is the shuffle-friendly path: bucket keys
-    distribute uniformly and each bucket joins locally."""
-    withb = df.select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bkt")
+    distribute uniformly and each bucket joins locally.
+
+    **Sizing at scale**: pass ``planes=adaptive_planes(n)`` so expected
+    bucket size stays constant as the corpus grows (fixed planes ⇒
+    quadratic in-bucket pair growth), and raise ``tables`` (independent
+    hyperplane sets; candidates are the UNION of per-table bucket joins,
+    deduplicated) to recover the recall longer keys cost — the standard
+    L-tables-of-K-planes LSH layout. ``tables=1`` is byte-identical to
+    the original single-table operator (oracle-pinned)."""
+    if tables <= 1:
+        withb = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            srp_bucket(F.col(vec_col), planes).alias("bkt"),
+        )
+        return pairwise_cosine(
+            withb, id_col=id_col, vec_col=vec_col,
+            group_col="bkt", threshold=threshold,
+        ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"), srp_bucket(F.col(vec_col), planes, table=t)
+            )
+            for t in range(tables)
+        ]
     )
-    return pairwise_cosine(
-        withb, id_col=id_col, vec_col=vec_col, group_col="bkt", threshold=threshold
-    ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+    withb = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(keys).alias("bkt")
+    )
+    return (
+        pairwise_cosine(
+            withb, id_col=id_col, vec_col=vec_col,
+            group_col="bkt", threshold=threshold,
+        )
+        .withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
 
 
 def knn_join(

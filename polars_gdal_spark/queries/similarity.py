@@ -76,7 +76,8 @@ def sim_pairwise_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_Q_SQL},
     proj AS (
       SELECT q.vec_id, p.p,
-             sum(q.v[i.i + 1] * ((((p.p * 31) + (i.i * 17)) % 7) - 3)) AS s
+             sum(q.v[i.i + 1]
+                 * (((((p.p * 73856093) + (i.i * 19349663)) % 83) % 7) - 3)) AS s
       FROM q,
            (SELECT unnest(generate_series(0, 7)) AS p) p,
            (SELECT unnest(generate_series(0, 63)) AS i) i

@@ -624,3 +624,78 @@ def test_persisted_dedup_index_rolling_increments(spark, tmp_path):
     # the probe plan must touch ONLY index parquet, never any text source
     plan = D.probe_dedup_index(batch_c, idx)._jdf.queryExecution().toString()
     assert "corpus.parquet" not in plan
+
+
+def test_adaptive_planes_sizing():
+    from polars_gdal_spark.functions.similarity import adaptive_planes
+
+    assert adaptive_planes(1_000) == 8          # floor
+    assert adaptive_planes(1_000_000) == 14     # log2(1e6/64)
+    assert adaptive_planes(10**12) == 24        # ceiling clamp
+    assert adaptive_planes(0) == 8
+    # monotonic in n
+    vals = [adaptive_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)
+
+
+def _clustered_vecs(n_clusters=20, per=10, dim=16, seed=7, scale=0.08):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cent = rng.normal(size=(n_clusters, dim))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = cent[c] + rng.normal(scale=scale, size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_multi_table_lsh_recovers_recall(spark):
+    """L independent hyperplane tables recover pairs a single long-key
+    table misses — the K/L trade that makes adaptive_planes usable.
+    Fixture tuned so per-table collision probability is middling
+    ((1-θ/π)^12 ≈ 0.3 at the truth pairs' cosine), where the L effect
+    is the theory-predicted ~2× (deterministic seed → exact assert)."""
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in S.pairwise_cosine(df, threshold=0.9).collect()
+    }
+    assert len(truth) > 100, "fixture must contain many high-cosine pairs"
+
+    def found(tables):
+        got = S.lsh_bucketed_pairs(
+            df, planes=12, threshold=0.9, tables=tables
+        ).collect()
+        return {(r["vec_a"], r["vec_b"]) for r in got}
+
+    r1, r4 = found(1), found(4)
+    assert r1 <= truth and r4 <= truth  # refinement keeps only real pairs
+    assert r1 <= r4                     # union of tables only adds
+    assert len(r4) >= 1.5 * len(r1)     # and substantially improves recall
+    assert len(r4) >= 0.4 * len(truth)
+
+
+def test_multi_table_single_table_consistency(spark):
+    """tables=1 must be byte-identical to the original operator (the
+    oracle-pinned sim_lsh_bucketed path)."""
+    rows = _clustered_vecs(n_clusters=5, per=6)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a = sorted(
+        map(tuple, S.lsh_bucketed_pairs(df, planes=8, threshold=0.25).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.lsh_bucketed_pairs(
+                df, planes=8, threshold=0.25, tables=1
+            ).collect(),
+        )
+    )
+    assert a == b
