@@ -84,6 +84,7 @@ HEADLINE = [
     # round-4 additions
     "dedup_index_probe",
     "multimodal_png_roundtrip",
+    "text_rare_bigram_novelty",
 ]
 
 

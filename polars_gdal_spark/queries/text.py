@@ -888,3 +888,75 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return decoded.mapInPandas(hist, "doc bigint, bin int, cnt bigint")
+
+
+@query(
+    "text_rare_bigram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+      WHERE len(tk) >= 2
+    ),
+    cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+    SELECT bg.doc_id AS doc,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(sum(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_ratio
+    FROM bg JOIN cnt USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_rare_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-free novelty scoring: the fraction of a document's
+    word bigrams that are corpus-RARE (≤2 occurrences corpus-wide) — a
+    cheap surrogate for 'this text is unlike the rest of the corpus'
+    (high ratio → novel/noisy; near-zero → templated/boilerplate). Kept
+    transcendental-free on purpose (counts + one exact-rounded division)
+    so the value is bit-identical across engines — a log-prob LM score
+    would drift in the last ulp between libm implementations.
+
+    Scale shape: positional-bigram explode → bigram-count aggregation
+    (map-side combined, uniform text keys) → equi-join back → per-doc
+    aggregation. Two shuffles on uniform keys, no window, no collect."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    bg = (
+        t["documents"]
+        .select(F.col("doc_id").alias("doc"), toks.alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tk", i),
+                        F.element_at("tk", i + 1),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    cnt = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    rare = F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            rare.cast("bigint").alias("n_rare"),
+            (rare.cast("double") / F.count("*")).alias("rare_ratio"),
+        )
+    )

@@ -404,3 +404,116 @@ def foreach_batch_idempotent_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def row_band_signatures(
+    text_col,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> list:
+    """Per-ROW MinHash band signatures as pure projection columns — no
+    explode, no groupBy, no state. A document's signature depends only
+    on its own shingle set, so each band signature is
+    ``md5(join(min-hash per seed))`` computed with array expressions
+    over the row's own shingles: legal in a streaming ``select`` and
+    append-mode safe. Values are identical to the batch
+    ``functions.dedup.band_signatures`` (same seeded md5-prefix scheme,
+    same hex formatting); the batch path keeps its explode + groupBy
+    formulation because whole-stage codegen makes the exploded
+    expression ~3× faster at corpus scale, while interpreted
+    higher-order lambdas are fine at micro-batch size.
+
+    Returns ``bands`` Columns (band 0..bands-1); rows with no shingles
+    get NULL signatures (callers treat NULL as "no probe")."""
+    from polars_gdal_spark.functions.dedup import word_shingles
+
+    rows_per_band = n_hashes // bands
+    sh = word_shingles(text_col, shingle_n)
+
+    def mh(s: int):
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda x: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{s}:"), x)), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        )
+
+    def band(b: int):
+        parts = [
+            F.lpad(F.lower(F.hex(mh(b * rows_per_band + r))), 15, "0")
+            for r in range(rows_per_band)
+        ]
+        return F.when(
+            F.size(sh) > 0, F.md5(F.concat_ws("|", *parts))
+        ).otherwise(F.lit(None).cast("string"))
+
+    return [band(b) for b in range(bands)]
+
+
+def streaming_probe_dedup_index(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``functions.dedup.probe_dedup_index``: flag each
+    arriving document against a PERSISTED dedup index (the rolling-crawl
+    shape, applied to the live crawl itself).
+
+    Stateless by construction — every step is a projection or a
+    STREAM-STATIC join (no watermark, no state store, append-safe; the
+    static index side is NOT broadcast-hinted — at crawl scale the key
+    sets are corpus-sized, and Spark's stream-static join handles a
+    shuffled static side):
+
+    * exact: left join on the content digest against ``{path}/digests``.
+    * near: the row's ``bands`` band signatures are projection columns
+      (:func:`row_band_signatures`); each probes the static
+      ``{path}/bands`` key set for its band with its own stream-static
+      left join, and the per-band hits fold with ``greatest`` — a fixed
+      ``bands``-way join chain instead of the explode + groupBy the
+      batch path uses (a streaming groupBy would need state).
+
+    Emits ``(id_col, is_exact_dup, is_near_dup)`` with the same 0/1
+    bigint semantics as the batch probe.
+    """
+    from polars_gdal_spark.functions.dedup import (
+        _dedup_index_params,
+        content_digest,
+    )
+
+    spark = stream.sparkSession
+    n_hashes, bands, shingle_n = _dedup_index_params(spark, index_path)
+    digests = (
+        spark.read.parquet(index_path + "/digests")
+        .dropDuplicates(["digest"])
+        .withColumn("_e", F.lit(1))
+    )
+    band_keys = spark.read.parquet(index_path + "/bands").dropDuplicates(
+        ["band", "band_sig"]
+    )
+    sigs = row_band_signatures(F.col(text_col), n_hashes, bands, shingle_n)
+    out = stream.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("digest"),
+        *[s.alias(f"_bs{b}") for b, s in enumerate(sigs)],
+    ).join(digests, "digest", "left")
+    hit_cols = []
+    for b in range(bands):
+        keys_b = (
+            band_keys.where(F.col("band") == b)
+            .select(F.col("band_sig").alias(f"_bs{b}"))
+            .withColumn(f"_n{b}", F.lit(1))
+        )
+        out = out.join(keys_b, f"_bs{b}", "left")
+        hit_cols.append(F.coalesce(F.col(f"_n{b}"), F.lit(0)))
+    return out.select(
+        id_col,
+        F.coalesce("_e", F.lit(0)).cast("bigint").alias("is_exact_dup"),
+        F.greatest(*hit_cols).cast("bigint").alias("is_near_dup"),
+    )

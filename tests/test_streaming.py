@@ -566,3 +566,51 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
         again.select(F.sum("event_id")).first()[0]
         == batch.select(F.sum("event_id")).first()[0]
     )
+
+
+def test_streaming_probe_dedup_index_matches_batch(spark, tmp_path):
+    """Stream-static probe of the persisted dedup index flags arriving
+    docs identically to the batch probe — stateless (projection band
+    signatures + stream-static joins), append mode."""
+    from polars_gdal_spark.functions import dedup as D
+    from polars_gdal_spark.streaming import streaming_probe_dedup_index
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "spark shuffles hash partitions across the cluster ring"),
+            (2, "unrelated text about cooking pasta al dente slowly"),
+        ],
+        "doc bigint, text string",
+    )
+    idx = str(tmp_path / "didx")
+    D.save_dedup_index(corpus, idx, n_hashes=16, bands=4, shingle_n=3)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "spark shuffles hash partitions across the cluster ring today"),
+            (12, "entirely novel content matching nothing at all here"),
+            (13, "xy"),  # too short for a shingle -> no near probe
+        ],
+        "doc bigint, text string",
+    )
+    expected = {
+        r["doc"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in D.probe_dedup_index(batch, idx).collect()
+    }
+
+    stream_dir = tmp_path / "batch_stream"
+    stream_dir.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(stream_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(stream_dir))
+    got_df = _drain_append(
+        streaming_probe_dedup_index(stream, idx), "stream_didx"
+    )
+    got = {
+        r["doc"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in got_df.collect()
+    }
+    assert got == expected
+    assert got[10] == (1, 1) and got[12] == (0, 0) and got[13] == (0, 0)
+    assert got[11][1] == 1  # near dup of corpus doc 1

@@ -263,6 +263,9 @@ EXPECT = {
     # encode→decode→histogram is a pure narrow Arrow-batched map chain:
     # three MapInPandas stages, zero shuffle
     "multimodal_png_roundtrip": ["MapInPandas", "!Exchange"],
+    # bigram explode → map-combined count → equi-join back → per-doc agg:
+    # shuffles only on uniform keys, no window
+    "text_rare_bigram_novelty": ["partial", "!CartesianProduct", "!Window"],
 }
 
 
