@@ -11,6 +11,7 @@ Usage: python tools/explain_audit.py [query ...]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -19,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 from polars_gdal_spark.queries import QUERIES  # noqa: E402
 from polars_gdal_spark.session import get_spark  # noqa: E402
 
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 EXPECT = {
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate)", "partial"],
