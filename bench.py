@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_index_probe",
     "multimodal_png_roundtrip",
     "text_rare_bigram_novelty",
+    "multimodal_wav_roundtrip",
 ]
 
 

@@ -960,3 +960,84 @@ def text_rare_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rare.cast("double") / F.count("*")).alias("rare_ratio"),
         )
     )
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(200.0 / length(text)) AS INT)),
+                    1, 200) AS s
+      FROM documents WHERE doc_id < 200
+    ),
+    ch AS (
+      SELECT doc_id, ascii(substr(s, i, 1)) - 128 AS amp
+      FROM px, (SELECT unnest(generate_series(1, 200)) AS i) g
+    )
+    SELECT doc_id AS doc,
+           count(*) AS n_samples,
+           CAST(sum(amp * amp) AS BIGINT) AS energy
+    FROM ch GROUP BY 1
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container pipeline, end-to-end oracle-checked — the
+    audio twin of ``multimodal_png_roundtrip``: each document's text
+    bytes become 200 8-bit PCM samples, WAV-encoded into an opaque
+    binary payload (RIFF container via stdlib ``wave``), decoded back
+    through the public ``decode_audio`` mapInPandas path, then reduced
+    to per-doc signal energy Σ(s−128)² of the DECODED samples — all
+    integer-exact, recomputed arithmetically by the DuckDB oracle, so a
+    cell-exact match proves the container round-trip is lossless."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pcm = (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.expr(
+                "substring(repeat(text, cast(ceil(200.0 / length(text)) "
+                "as int)), 1, 200)"
+            ).alias("s"),
+        )
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "payload": [
+                        encode_wav(s.encode("utf-8")) for s in pdf["s"]
+                    ],
+                }
+            )
+
+    payloads = pcm.mapInPandas(enc, "doc bigint, payload binary")
+    decoded = decode_audio(payloads, id_col="doc")
+
+    def energy(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict = {"doc": [], "n_samples": [], "energy": []}
+            for d, raw in zip(pdf["doc_id"], pdf["samples"]):
+                arr = np.frombuffer(bytes(raw), np.uint8).astype(np.int64)
+                rows["doc"].append(d)
+                rows["n_samples"].append(len(arr))
+                rows["energy"].append(int(((arr - 128) ** 2).sum()))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(
+        energy, "doc bigint, n_samples bigint, energy bigint"
+    )

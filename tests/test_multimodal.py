@@ -228,3 +228,40 @@ def test_decode_image_png_feeds_feature_extraction(spark):
     assert abs(sum(vec) - 1.0) < 1e-6
     # bytes 0..239 hit bins 0..7 with 32 bytes each except bin 7 (16)
     assert all(abs(v - 32 / 240) < 1e-6 for v in vec[:7])
+
+
+def test_wav_codec_roundtrip_unit():
+    from polars_gdal_spark.functions.multimodal import encode_wav
+
+    import io
+    import wave
+
+    samples = bytes(range(200))
+    wav = encode_wav(samples, sample_rate=8000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    with wave.open(io.BytesIO(wav), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 1, 8000,
+        )
+        assert w.readframes(w.getnframes()) == samples
+
+
+def test_decode_audio_real_wav(spark):
+    from polars_gdal_spark.functions.multimodal import decode_audio, encode_wav
+
+    samples = bytes((i * 7) % 256 for i in range(300))
+    df = spark.createDataFrame(
+        [(5, encode_wav(samples, 16000))], "doc_id bigint, payload binary"
+    )
+    row = decode_audio(df).collect()[0]
+    assert row["sample_rate"] == 16000
+    assert row["n_samples"] == 300
+    assert bytes(row["samples"]) == samples
+
+
+def test_decode_audio_unknown_codec_raises(spark):
+    from polars_gdal_spark.functions.multimodal import decode_audio
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id bigint, payload binary")
+    with pytest.raises(NotImplementedError, match="wav"):
+        decode_audio(df, codec="mp3")

@@ -267,6 +267,8 @@ EXPECT = {
     # bigram explode → map-combined count → equi-join back → per-doc agg:
     # shuffles only on uniform keys, no window
     "text_rare_bigram_novelty": ["partial", "!CartesianProduct", "!Window"],
+    # audio twin of the png chain: pure narrow MapInPandas, zero shuffle
+    "multimodal_wav_roundtrip": ["MapInPandas", "!Exchange"],
 }
 
 
