@@ -86,6 +86,7 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "text_rare_bigram_novelty",
     "multimodal_wav_roundtrip",
+    "multimodal_video_pipeline",
 ]
 
 

@@ -316,3 +316,46 @@ def decode_audio(
     return df.select(id_col, payload_col).mapInPandas(
         batches, DECODED_AUDIO_SCHEMA
     )
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """Distributed video-container demux via mapInPandas: parse each
+    real AVI (RIFF) payload into one row per kept frame —
+    ``(doc_id, frame_no, frame)`` with the frame payload opaque bytes
+    (PNG/JPEG as stored; chain :func:`decode_image` to decode them).
+    ``every_n`` keeps every n-th frame (frame sampling happens during
+    demux so dropped frames never cross the Arrow boundary). The video
+    twin of :func:`decode_image`/:func:`decode_audio` — stdlib-only
+    container parsing (:mod:`polars_gdal_spark.functions.avi`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polars_gdal_spark.functions.avi import decode_avi_frames
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_no": [], "frame": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                for n, fr in enumerate(decode_avi_frames(bytes(payload))):
+                    if n % every_n:
+                        continue
+                    out["doc_id"].append(i)
+                    out["frame_no"].append(n)
+                    out["frame"].append(fr)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, VIDEO_FRAMES_SCHEMA
+    )

@@ -1062,3 +1062,102 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.mapInPandas(
         energy, "doc bigint, n_samples bigint, energy bigint"
     )
+
+
+@query(
+    "multimodal_video_pipeline",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(720.0 / length(text)) AS INT)),
+                    1, 720) AS s
+      FROM documents WHERE doc_id < 150
+    ),
+    fr AS (
+      SELECT doc_id, f.k AS frame_no, substr(s, f.k * 240 + 1, 240) AS fs
+      FROM px, (SELECT unnest([0, 2]) AS k) f
+    ),
+    ch AS (
+      SELECT doc_id, frame_no, ascii(substr(fs, i, 1)) // 32 AS bin
+      FROM fr, (SELECT unnest(generate_series(1, 240)) AS i) g
+    )
+    SELECT doc_id AS doc, CAST(frame_no AS INT) AS frame_no,
+           CAST(bin AS INT) AS bin, count(*) AS cnt
+    FROM ch GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline, end-to-end oracle-checked: each document's
+    text becomes THREE 8×10 RGB frames, each PNG-encoded, wrapped into a
+    real AVI (RIFF) container, then processed the way a training
+    pipeline would — distributed demux keeping every 2nd frame
+    (``decode_video_frames``), PNG decode of the sampled frames
+    (``decode_image(codec='png')``), byte histogram of the DECODED
+    pixels per (doc, frame). The DuckDB oracle recomputes the histogram
+    arithmetically from the text, so a cell-exact match proves
+    container + image codec lossless through the whole chain. Pure
+    narrow MapInPandas stages until the final aggregation."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.avi import encode_avi
+    from polars_gdal_spark.functions.multimodal import (
+        decode_image,
+        decode_video_frames,
+    )
+    from polars_gdal_spark.functions.png import encode_png
+
+    t = load_tables(spark, sf_dir)
+    src = (
+        t["documents"]
+        .where(F.col("doc_id") < 150)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.expr(
+                "substring(repeat(text, cast(ceil(720.0 / length(text)) "
+                "as int)), 1, 720)"
+            ).alias("s"),
+        )
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for s in pdf["s"]:
+                raw = s.encode("utf-8")
+                frames = [
+                    encode_png(8, 10, raw[k * 240 : (k + 1) * 240])
+                    for k in range(3)
+                ]
+                payloads.append(encode_avi(frames, 8, 10))
+            yield pd.DataFrame({"doc": pdf["doc"], "payload": payloads})
+
+    videos = src.mapInPandas(enc, "doc bigint, payload binary")
+    sampled = decode_video_frames(videos, id_col="doc", every_n=2)
+    # composite id carries (doc, frame_no) through the image decoder
+    composite = sampled.select(
+        (F.col("doc_id") * 10 + F.col("frame_no")).alias("doc_id"),
+        F.col("frame").alias("payload"),
+    )
+    decoded = decode_image(composite, codec="png")
+
+    def hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict = {"doc": [], "frame_no": [], "bin": [], "cnt": []}
+            for cid, px in zip(pdf["doc_id"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), np.uint8)
+                counts = np.bincount(arr // 32, minlength=8)
+                for b in range(8):
+                    if counts[b]:
+                        rows["doc"].append(cid // 10)
+                        rows["frame_no"].append(int(cid % 10))
+                        rows["bin"].append(b)
+                        rows["cnt"].append(int(counts[b]))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(
+        hist, "doc bigint, frame_no int, bin int, cnt bigint"
+    )

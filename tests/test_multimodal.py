@@ -265,3 +265,50 @@ def test_decode_audio_unknown_codec_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id bigint, payload binary")
     with pytest.raises(NotImplementedError, match="wav"):
         decode_audio(df, codec="mp3")
+
+
+def test_avi_codec_roundtrip_unit():
+    from polars_gdal_spark.functions.avi import decode_avi_frames, encode_avi
+
+    frames = [bytes([i]) * (10 + i) for i in range(5)]  # odd+even sizes
+    avi = encode_avi(frames, width=8, height=10, fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert decode_avi_frames(avi) == frames
+
+
+def test_avi_rejects_garbage():
+    import pytest as _pytest
+
+    from polars_gdal_spark.functions.avi import decode_avi_frames
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi_frames(b"not an avi at all")
+
+
+def test_decode_video_frames_real_container_to_real_pixels(spark):
+    """Full video pipeline on real bytes: PNG frames inside a real AVI
+    container -> distributed demux (every 2nd frame) -> PNG decode ->
+    exact pixels."""
+    from polars_gdal_spark.functions.avi import encode_avi
+    from polars_gdal_spark.functions.multimodal import decode_video_frames
+    from polars_gdal_spark.functions.png import encode_png
+
+    pix = [bytes([30 * k % 256] * (4 * 2 * 3)) for k in range(5)]
+    frames = [encode_png(4, 2, p) for p in pix]
+    df = spark.createDataFrame(
+        [(9, encode_avi(frames, 4, 2))], "doc_id bigint, payload binary"
+    )
+    demuxed = decode_video_frames(df, every_n=2)
+    rows = {r["frame_no"]: bytes(r["frame"]) for r in demuxed.collect()}
+    assert sorted(rows) == [0, 2, 4]
+    assert rows[2] == frames[2]
+    # decode the sampled frames through the image path
+    sampled = demuxed.select(
+        F.col("frame_no").cast("bigint").alias("doc_id"),
+        F.col("frame").alias("payload"),
+    )
+    decoded = {
+        r["doc_id"]: bytes(r["pixels"])
+        for r in decode_image(sampled, codec="png").collect()
+    }
+    assert decoded == {0: pix[0], 2: pix[2], 4: pix[4]}

@@ -269,6 +269,10 @@ EXPECT = {
     "text_rare_bigram_novelty": ["partial", "!CartesianProduct", "!Window"],
     # audio twin of the png chain: pure narrow MapInPandas, zero shuffle
     "multimodal_wav_roundtrip": ["MapInPandas", "!Exchange"],
+    # AVI demux -> PNG decode -> histogram: each frame is one row, so the
+    # per-(doc,frame) binning completes inside the row — a pure narrow
+    # MapInPandas chain with zero shuffle
+    "multimodal_video_pipeline": ["MapInPandas", "!Exchange"],
 }
 
 
