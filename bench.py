@@ -87,6 +87,7 @@ HEADLINE = [
     "text_rare_bigram_novelty",
     "multimodal_wav_roundtrip",
     "multimodal_video_pipeline",
+    "sim_lsh_multitable",
 ]
 
 

@@ -641,3 +641,56 @@ def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.count("*").cast("double"))
         ).alias("mean_val"),
     )
+
+
+@query(
+    "sim_lsh_multitable",
+    oracle=f"""
+    WITH {_Q_SQL},
+    proj AS (
+      SELECT q.vec_id, t.t, p.p,
+             sum(q.v[i.i + 1]
+                 * (((((((t.t * 101) + p.p) * 73856093)
+                       + (i.i * 19349663)) % 83) % 7) - 3)) AS s
+      FROM q,
+           (SELECT unnest(generate_series(0, 1)) AS t) t,
+           (SELECT unnest(generate_series(0, 11)) AS p) p,
+           (SELECT unnest(generate_series(0, 63)) AS i) i
+      GROUP BY q.vec_id, t.t, p.p
+    ),
+    bkt AS (
+      SELECT vec_id, t,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bkt
+      FROM proj GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bkt a
+      JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           list_dot_product(qa.v, qb.v)
+             / (sqrt(list_dot_product(qa.v, qa.v))
+                * sqrt(list_dot_product(qb.v, qb.v))) AS cosine
+    FROM cand c
+    JOIN q qa ON qa.vec_id = c.vec_a
+    JOIN q qb ON qb.vec_id = c.vec_b
+    WHERE list_dot_product(qa.v, qb.v)
+             / (sqrt(list_dot_product(qa.v, qa.v))
+                * sqrt(list_dot_product(qb.v, qb.v))) >= 0.25
+    """,
+)
+def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH (the K/L layout): candidates are the UNION of
+    bucket equi-joins over 2 independently seeded 12-plane tables,
+    deduplicated, then exact-cosine refined >= 0.25. Longer keys keep
+    expected bucket size constant as the corpus grows (pair generation
+    stays ~linear); the second table recovers the recall the longer key
+    costs — the production ANN shape `adaptive_planes` sizes. Candidate
+    generation is bucket-local per table; never corpus²."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.lsh_bucketed_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        planes=12, threshold=0.25, tables=2,
+    )

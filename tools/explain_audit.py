@@ -273,6 +273,8 @@ EXPECT = {
     # per-(doc,frame) binning completes inside the row — a pure narrow
     # MapInPandas chain with zero shuffle
     "multimodal_video_pipeline": ["MapInPandas", "!Exchange"],
+    # union of per-table bucket equi-joins, deduplicated — never corpus²
+    "sim_lsh_multitable": ["!CartesianProduct"],
 }
 
 
