@@ -359,3 +359,55 @@ def decode_video_frames(
     return df.select(id_col, payload_col).mapInPandas(
         batches, VIDEO_FRAMES_SCHEMA
     )
+
+
+def audio_features(
+    decoded: DataFrame,
+    frame_size: int = 400,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-level audio features over decoded 8-bit PCM
+    (:func:`decode_audio` output): per non-overlapping frame of
+    ``frame_size`` samples, the signal energy Σ(s−128)² and the
+    zero-crossing count (sign changes of s−128, skipping exact zeros) —
+    the classic cheap speech/music/silence discriminators. Integer-exact
+    (no transcendentals), vectorized numpy per Arrow batch, one output
+    row per frame; the trailing partial frame is kept with its actual
+    length."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("zero_crossings", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "frame_no": [], "n": [],
+                "energy": [], "zero_crossings": [],
+            }
+            for i, raw in zip(pdf[id_col], pdf["samples"]):
+                arr = np.frombuffer(bytes(raw), np.uint8).astype(
+                    np.int64
+                ) - 128
+                for fno in range(0, max(1, len(arr)), frame_size):
+                    fr = arr[fno : fno + frame_size]
+                    if not len(fr):
+                        break
+                    sgn = np.sign(fr[fr != 0])
+                    out["doc_id"].append(i)
+                    out["frame_no"].append(fno // frame_size)
+                    out["n"].append(len(fr))
+                    out["energy"].append(int((fr * fr).sum()))
+                    out["zero_crossings"].append(
+                        int((np.diff(sgn) != 0).sum()) if len(sgn) else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return decoded.select(id_col, "samples").mapInPandas(batches, schema)

@@ -312,3 +312,32 @@ def test_decode_video_frames_real_container_to_real_pixels(spark):
         for r in decode_image(sampled, codec="png").collect()
     }
     assert decoded == {0: pix[0], 2: pix[2], 4: pix[4]}
+
+
+def test_audio_features_frames(spark):
+    """Frame energy + zero crossings over a decoded real WAV: square wave
+    -> known exact energy and crossing count per frame."""
+    from polars_gdal_spark.functions.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    # 1000 samples alternating 128+50 / 128-50 every 10 samples
+    samples = bytes(
+        (128 + 50) if (i // 10) % 2 == 0 else (128 - 50)
+        for i in range(1000)
+    )
+    df = spark.createDataFrame(
+        [(1, encode_wav(samples))], "doc_id bigint, payload binary"
+    )
+    feats = audio_features(decode_audio(df), frame_size=400).collect()
+    by_frame = {r["frame_no"]: r for r in feats}
+    assert sorted(by_frame) == [0, 1, 2]
+    assert by_frame[0]["n"] == 400 and by_frame[2]["n"] == 200
+    # every sample is +/-50 -> energy = n * 2500 exactly
+    assert by_frame[0]["energy"] == 400 * 2500
+    assert by_frame[2]["energy"] == 200 * 2500
+    # sign flips every 10 samples -> 39 crossings in 400, 19 in 200
+    assert by_frame[0]["zero_crossings"] == 39
+    assert by_frame[2]["zero_crossings"] == 19
