@@ -1,0 +1,47 @@
+"""Driver-contract rotation: ``__spark_entry__.queries()`` must cover
+the full registry and order it oldest-verification-first, so the
+driver's bounded per-round sweep always refreshes the stalest green
+rows (round-3 verdict item #2)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_queries_covers_registry_and_rotates_oldest_first():
+    from polars_gdal_spark.queries import QUERIES
+
+    e = _entry()
+    names = list(e.queries())
+    assert set(names) == set(QUERIES), "every registry query must be exposed"
+
+    last = e._last_verified_round()
+    rounds = [last.get(n, 0) for n in names]
+    assert rounds == sorted(rounds), (
+        "queries() must be ordered by ascending last-verified round "
+        "(never-verified first) so a bounded sweep refreshes the stalest"
+    )
+    # ties break by registration order, keeping the rotation deterministic
+    reg = {n: i for i, n in enumerate(QUERIES)}
+    for a, b in zip(names, names[1:]):
+        if last.get(a, 0) == last.get(b, 0):
+            assert reg[a] < reg[b]
+
+
+def test_oracle_sql_subset_of_queries():
+    e = _entry()
+    qs = set(e.queries())
+    oracles = e.oracle_sql()
+    assert set(oracles) <= qs
+    assert all(isinstance(v, str) and v.strip() for v in oracles.values())
