@@ -277,26 +277,124 @@ class GeoParquetReader(DataSourceReader):
         if self.bbox is None or self.covering is None:
             yield from batches
             return
+        for batch in batches:
+            yield self._covering_filter(batch)
+
+    def _covering_filter(self, batch):
+        """Exact per-row covering-intersects filter for the bbox option."""
         import pyarrow.compute as pc
 
         qx0, qy0, qx1, qy1 = self.bbox
 
-        def corner(batch, key):
+        def corner(key):
             col, field = self.covering[key].split(".", 1)
             return pc.struct_field(batch.column(col), field)
 
-        for batch in batches:
-            keep = pc.and_(
-                pc.and_(
-                    pc.less_equal(corner(batch, "xmin"), qx1),
-                    pc.greater_equal(corner(batch, "xmax"), qx0),
-                ),
-                pc.and_(
-                    pc.less_equal(corner(batch, "ymin"), qy1),
-                    pc.greater_equal(corner(batch, "ymax"), qy0),
-                ),
-            )
-            yield batch.filter(keep)
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(corner("xmin"), qx1),
+                pc.greater_equal(corner("xmax"), qx0),
+            ),
+            pc.and_(
+                pc.less_equal(corner("ymin"), qy1),
+                pc.greater_equal(corner("ymax"), qy0),
+            ),
+        )
+        return batch.filter(keep)
+
+
+class GeoParquetPushdownReader(GeoParquetReader):
+    """Reader variant used only under ``option("pushdown", "true")`` —
+    a SEPARATE class for the same reason as ``GdalPushdownReader``
+    (Spark 4 asserts at plan time if the default reader merely defines
+    ``pushFilters`` while the pushdown conf is off), and OPT-IN for the
+    same reason (Spark caches the first-planned Python scan per
+    DataFrame, so a pushed filter from query 1 would constrain query 2).
+
+    Supported comparison filters translate to a pyarrow dataset
+    expression used twice: ``split_by_row_group(filter)`` prunes row
+    groups by parquet column STATISTICS at planning time (the min/max
+    pushdown a native scan gets), and the scan applies the same
+    expression exactly, so supported filters are fully consumed (not
+    returned as residual). Unsupported filters stay with Spark.
+    Composes with the GeoParquet ``covering`` bbox pruning."""
+
+    _COMPARES = None  # populated lazily (import cost at worker fork)
+
+    def pushFilters(self, filters):
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: lambda f, v: f == v,
+            GreaterThan: lambda f, v: f > v,
+            GreaterThanOrEqual: lambda f, v: f >= v,
+            LessThan: lambda f, v: f < v,
+            LessThanOrEqual: lambda f, v: f <= v,
+        }
+        exprs = []
+        for flt in filters:
+            op = ops.get(type(flt))
+            if op is None or len(flt.attribute) != 1:
+                yield flt  # Spark keeps evaluating this one
+                continue
+            exprs.append(op(pc.field(flt.attribute[0]), flt.value))
+        if exprs:
+            e = exprs[0]
+            for x in exprs[1:]:
+                e = e & x
+            self._ds_filter = e
+
+    def partitions(self) -> Sequence[InputPartition]:
+        flt = getattr(self, "_ds_filter", None)
+        if flt is None:
+            return super().partitions()
+        import pyarrow.dataset as pads
+        import pyarrow.fs as pafs
+
+        bbox_prune = self.bbox is not None and self.covering is not None
+        parts = []
+        fmt = pads.ParquetFileFormat()
+        fs = pafs.LocalFileSystem()
+        for f in self.files:
+            frag = fmt.make_fragment(f, filesystem=fs)
+            for sub in frag.split_by_row_group(flt, schema=frag.physical_schema):
+                rg = sub.row_groups[0].id
+                if bbox_prune:
+                    import pyarrow.parquet as pq
+
+                    if not self._rg_intersects(pq.ParquetFile(f).metadata, rg):
+                        continue
+                parts.append(_RowGroupPartition(file=f, row_group=rg))
+        return parts or [_RowGroupPartition(file=self.files[0], row_group=-1)]
+
+    def read(self, partition: _RowGroupPartition) -> Iterator:
+        flt = getattr(self, "_ds_filter", None)
+        if flt is None or partition.row_group < 0:
+            yield from super().read(partition)
+            return
+        import pyarrow.dataset as pads
+        import pyarrow.fs as pafs
+
+        fmt = pads.ParquetFileFormat()
+        frag = fmt.make_fragment(
+            partition.file,
+            filesystem=pafs.LocalFileSystem(),
+            row_groups=[partition.row_group],
+        )
+        names = [f.name for f in self.schema.fields]
+        table = frag.to_table(filter=flt, columns=names)
+        for batch in table.to_batches():
+            if self.bbox is not None and self.covering is not None:
+                batch = self._covering_filter(batch)
+            if batch.num_rows:
+                yield batch
 
 
 @dataclass
@@ -543,6 +641,8 @@ class GeoParquetDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema: StructType) -> GeoParquetReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return GeoParquetPushdownReader(schema, self.options)
         return GeoParquetReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> GeoParquetWriter:
