@@ -364,13 +364,15 @@ class GeoParquetPushdownReader(GeoParquetReader):
         fs = pafs.LocalFileSystem()
         for f in self.files:
             frag = fmt.make_fragment(f, filesystem=fs)
+            md = None
+            if bbox_prune:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(f).metadata  # one footer parse per file
             for sub in frag.split_by_row_group(flt, schema=frag.physical_schema):
                 rg = sub.row_groups[0].id
-                if bbox_prune:
-                    import pyarrow.parquet as pq
-
-                    if not self._rg_intersects(pq.ParquetFile(f).metadata, rg):
-                        continue
+                if md is not None and not self._rg_intersects(md, rg):
+                    continue
                 parts.append(_RowGroupPartition(file=f, row_group=rg))
         return parts or [_RowGroupPartition(file=self.files[0], row_group=-1)]
 
