@@ -17,6 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -442,37 +443,87 @@ def lsh_bucketed_pairs(
     quadratic in-bucket pair growth), and raise ``tables`` (independent
     hyperplane sets; candidates are the UNION of per-table bucket joins,
     deduplicated) to recover the recall longer keys cost — the standard
-    L-tables-of-K-planes LSH layout. ``tables=1`` is byte-identical to
-    the original single-table operator (oracle-pinned)."""
-    if tables <= 1:
-        withb = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            srp_bucket(F.col(vec_col), planes).alias("bkt"),
-        )
-        return pairwise_cosine(
-            withb, id_col=id_col, vec_col=vec_col,
-            group_col="bkt", threshold=threshold,
-        ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
-    keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{t}:"), srp_bucket(F.col(vec_col), planes, table=t)
-            )
-            for t in range(tables)
-        ]
-    )
+    L-tables-of-K-planes LSH layout. ``tables=1`` computes the same
+    bucket key (and therefore the same output) as the original
+    single-table operator (oracle-pinned).
+
+    Bucket keys come from ONE vectorized pandas_udf (numpy int64 GEMM
+    of the quantized vectors against the tables×planes weight matrix) —
+    the per-plane ``F.aggregate`` lambda formulation is interpreted by
+    Catalyst (higher-order functions don't codegen) and cost ~24× more
+    wall at tables×planes=24 (13.0 s → see bench at sf1); the integer
+    math is identical (dots ≤ 3e8 « 2⁵³), so bucket keys are bit-equal
+    in both formulations and the oracle keeps passing."""
+    keys_udf = _srp_keys_udf(planes, tables)
     withb = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(keys).alias("bkt")
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(keys_udf(F.col(vec_col))).alias("bkt"),
     )
-    return (
-        pairwise_cosine(
-            withb, id_col=id_col, vec_col=vec_col,
-            group_col="bkt", threshold=threshold,
-        )
-        .withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    pairs = pairwise_cosine(
+        withb, id_col=id_col, vec_col=vec_col,
+        group_col="bkt", threshold=threshold,
+    ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+    if tables <= 1:
+        return pairs
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
+
+
+def _srp_keys_udf(planes: int, tables: int):
+    """Arrow-vectorized SRP bucket keys: array of ``"{t}:{bits}"`` per
+    row (one entry per LSH table). Same seeded weight family and sign
+    rule as :func:`srp_bucket`; null vectors map to a null array."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def keys(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        wcache: dict[int, np.ndarray] = {}
+
+        def weights(dim: int) -> np.ndarray:
+            W = wcache.get(dim)
+            if W is None:
+                W = np.array(
+                    [
+                        [
+                            ((((t * 101 + p) * 73856093 + i * 19349663) % 83)
+                             % 7) - 3
+                            for i in range(dim)
+                        ]
+                        for t in range(tables)
+                        for p in range(planes)
+                    ],
+                    dtype=np.int64,
+                )
+                wcache[dim] = W
+            return W
+
+        out = []
+        notnull = v[v.notna()]
+        if len(notnull):
+            M = np.floor(
+                np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in notnull]
+                )
+                * QUANT
+            ).astype(np.int64)
+            bits = (M @ weights(M.shape[1]).T) > 0  # n × (tables*planes)
+            strs = np.where(bits, "1", "0")
+            keys_nn = iter(
+                [
+                    f"{t}:" + "".join(row[t * planes : (t + 1) * planes])
+                    for t in range(tables)
+                ]
+                for row in strs
+            )
+        else:
+            keys_nn = iter(())
+        for isna in v.isna():
+            out.append(None if isna else next(keys_nn))
+        return pd.Series(out)
+
+    return keys
 
 
 def knn_join(
