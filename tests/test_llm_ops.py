@@ -699,3 +699,28 @@ def test_multi_table_single_table_consistency(spark):
         )
     )
     assert a == b
+
+
+def test_srp_key_formulations_agree(spark):
+    """The expression-form srp_bucket (the oracle writers' reference
+    implementation) and the vectorized GEMM udf that production paths
+    use must produce identical bucket keys — guards the seeded weight
+    family from drifting between the two formulations."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions.similarity import (
+        _srp_keys_udf,
+        srp_bucket,
+    )
+
+    rows = _clustered_vecs(n_clusters=4, per=5, dim=16)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = df.select(
+        "vec_id",
+        srp_bucket(F.col("embedding"), 10, table=0).alias("expr0"),
+        srp_bucket(F.col("embedding"), 10, table=3).alias("expr3"),
+        _srp_keys_udf(10, 4)(F.col("embedding")).alias("udf"),
+    ).collect()
+    for r in got:
+        assert r["udf"][0] == f"0:{r['expr0']}"
+        assert r["udf"][3] == f"3:{r['expr3']}"
