@@ -162,8 +162,9 @@ def frame_sample(
 ) -> DataFrame:
     """'Video' frame sampling over the stub codec: chunk the payload into
     fixed-size pseudo-frames and keep every ``every_n``-th — exercises the
-    explode-to-frames shape (one row per sampled frame) used by real
-    pipelines."""
+    explode-to-frames shape (one row per sampled frame) with zero Python
+    (pure JVM expressions). For REAL containers use
+    :func:`decode_video_frames`, which demuxes AVI payloads."""
     frames = F.filter(
         F.transform(
             F.sequence(

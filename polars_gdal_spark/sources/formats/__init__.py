@@ -35,5 +35,6 @@ from polars_gdal_spark.sources.formats import (  # noqa: F401, E402
     shapefile,
     sqlite_vec,
     topojson,
+    vrt,
     zipped,
 )

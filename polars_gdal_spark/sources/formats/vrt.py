@@ -1,0 +1,271 @@
+"""OGR VRT (virtual format) driver — XML layer definitions over other
+sources (GDAL "Virtual Format" / ``ogr_vrt`` public documentation).
+
+A ``.vrt`` file wraps existing datasets: rename/select fields, synthesize
+point geometry from x/y columns, or parse a WKT column — without copying
+the data. Supported subset (the tutorial core):
+
+* ``<OGRVRTDataSource>`` with one or more ``<OGRVRTLayer name=...>``
+* ``<SrcDataSource relativeToVRT="0|1">`` (any format this engine reads,
+  including remote URLs through the shared localize cache)
+* ``<SrcLayer>`` (default: the source's first layer)
+* geometry: inherited from the source (default), or
+  ``<GeometryField encoding="PointFromColumns" x=... y=.../>``, or
+  ``<GeometryField encoding="WKT" field=.../>``
+* ``<Field name=... src=... type=.../>`` — declared fields select+rename;
+  absent → all source fields pass through
+* ``<LayerSRS>`` overrides the source CRS
+
+Unsupported VRT features (``<OGRVRTUnionLayer>``, ``<OGRVRTWarpedLayer>``,
+``<SrcSQL>``) raise a typed UnsupportedFormatError naming the element.
+
+Reference behavior: the reference opens VRT through libgdal like any
+other format (``Cargo.toml:7``); this is a from-spec reimplementation.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+from polars_gdal_spark.errors import UnsupportedFormatError
+from polars_gdal_spark.sources.formats.base import (
+    Feature,
+    Field,
+    FormatDriver,
+    register,
+)
+
+_TYPE_MAP = {
+    "integer": "bigint",
+    "integer64": "bigint",
+    "real": "double",
+    "string": "string",
+    "date": "date",
+    "datetime": "timestamp_ntz",
+}
+
+
+def _parse(path: str) -> ET.Element:
+    try:
+        root = ET.parse(path).getroot()
+    except ET.ParseError as e:
+        raise UnsupportedFormatError(f"malformed VRT {path!r}: {e}") from e
+    if root.tag != "OGRVRTDataSource":
+        raise UnsupportedFormatError(
+            f"{path!r}: root element {root.tag!r} is not OGRVRTDataSource"
+        )
+    for bad in ("OGRVRTUnionLayer", "OGRVRTWarpedLayer"):
+        if root.find(f".//{bad}") is not None:
+            raise UnsupportedFormatError(
+                f"{path!r}: VRT element <{bad}> is not supported"
+            )
+    return root
+
+
+def _layer_elem(root: ET.Element, path: str, layer: str) -> ET.Element:
+    for el in root.findall("OGRVRTLayer"):
+        if el.get("name") == layer:
+            return el
+    names = [el.get("name") for el in root.findall("OGRVRTLayer")]
+    raise UnsupportedFormatError(
+        f"{path!r}: VRT layer {layer!r} not found; available: {names}"
+    )
+
+
+class _Src:
+    """Resolved source of one VRT layer: local path + driver + layer."""
+
+    def __init__(self, vrt_path: str, el: ET.Element):
+        src = el.find("SrcDataSource")
+        if src is None or not (src.text or "").strip():
+            raise UnsupportedFormatError(
+                f"{vrt_path!r}: VRT layer {el.get('name')!r} has no "
+                "<SrcDataSource>"
+            )
+        if el.find("SrcSQL") is not None:
+            raise UnsupportedFormatError(
+                f"{vrt_path!r}: VRT element <SrcSQL> is not supported"
+            )
+        raw = src.text.strip()
+        if str(src.get("relativeToVRT", "0")) == "1":
+            raw = os.path.join(os.path.dirname(os.path.abspath(vrt_path)), raw)
+        # Remote sources go through the shared per-machine cache, exactly
+        # like a directly-loaded URL (lazy import: datasource imports us).
+        from polars_gdal_spark.sources.datasource import _localize
+
+        from polars_gdal_spark.sources.formats import find_driver
+
+        self.path = _localize(raw)
+        self.driver = find_driver(self.path, None)
+        sl = el.find("SrcLayer")
+        if sl is not None and (sl.text or "").strip():
+            self.layer = sl.text.strip()
+        else:
+            self.layer = self.driver.list_layers(self.path, {})[0]
+
+
+def _field_map(el: ET.Element) -> list[tuple[str, str, str | None]] | None:
+    """Declared (out_name, src_name, ddl_type|None) list, or None for
+    pass-through."""
+    fields = el.findall("Field")
+    if not fields:
+        return None
+    out = []
+    for f in fields:
+        name = f.get("name")
+        if not name:
+            raise UnsupportedFormatError("VRT <Field> without name attribute")
+        src = f.get("src", name)
+        t = f.get("type")
+        ddl = _TYPE_MAP.get(t.strip().lower()) if t else None
+        if t and ddl is None:
+            raise UnsupportedFormatError(f"VRT field type {t!r} not supported")
+        out.append((name, src, ddl))
+    return out
+
+
+def _geom_mode(el: ET.Element) -> tuple[str, dict]:
+    gf = el.find("GeometryField")
+    if gf is None:
+        return "direct", {}
+    enc = (gf.get("encoding") or "direct").strip().lower()
+    if enc == "direct":
+        return "direct", {}
+    if enc == "pointfromcolumns":
+        x, y = gf.get("x"), gf.get("y")
+        if not x or not y:
+            raise UnsupportedFormatError(
+                "VRT GeometryField PointFromColumns needs x= and y="
+            )
+        return "xy", {"x": x, "y": y}
+    if enc == "wkt":
+        fld = gf.get("field")
+        if not fld:
+            raise UnsupportedFormatError("VRT GeometryField WKT needs field=")
+        return "wkt", {"field": fld}
+    raise UnsupportedFormatError(
+        f"VRT GeometryField encoding {enc!r} not supported"
+    )
+
+
+def _coerce(v, ddl: str | None):
+    if v is None or ddl is None:
+        return v
+    try:
+        if ddl == "bigint":
+            return int(v)
+        if ddl == "double":
+            return float(v)
+        if ddl == "string" and not isinstance(v, str):
+            return str(v)
+    except (TypeError, ValueError):
+        return None
+    return v
+
+
+class VrtDriver(FormatDriver):
+    name = "OGR_VRT"
+    extensions = (".vrt",)
+
+    def can_open(self, path: str, head: bytes) -> bool:
+        return b"<OGRVRTDataSource" in head
+
+    def list_layers(self, path: str, options: dict) -> list[str]:
+        root = _parse(path)
+        names = [el.get("name") or "" for el in root.findall("OGRVRTLayer")]
+        if not names:
+            raise UnsupportedFormatError(f"{path!r}: VRT defines no layers")
+        return names
+
+    def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
+        el = _layer_elem(_parse(path), path, layer)
+        src = _Src(path, el)
+        fm = _field_map(el)
+        if fm is None:
+            return src.driver.layer_fields(src.path, src.layer, options)
+        src_fields = {
+            f.name: f
+            for f in src.driver.layer_fields(src.path, src.layer, options)
+        }
+        out = []
+        for name, s, ddl in fm:
+            inherited = src_fields.get(s)
+            out.append(
+                Field(name, ddl or (inherited.dtype if inherited else "string"))
+            )
+        return out
+
+    def layer_crs(self, path: str, layer: str, options: dict) -> str | None:
+        el = _layer_elem(_parse(path), path, layer)
+        srs = el.find("LayerSRS")
+        if srs is not None and (srs.text or "").strip():
+            return srs.text.strip()
+        src = _Src(path, el)
+        return src.driver.layer_crs(src.path, src.layer, options)
+
+    def feature_count(self, path: str, layer: str, options: dict) -> int | None:
+        el = _layer_elem(_parse(path), path, layer)
+        src = _Src(path, el)
+        return src.driver.feature_count(src.path, src.layer, options)
+
+    def split_ranges(
+        self, path: str, layer: str, options: dict, target_splits: int
+    ) -> list[tuple[int, int]] | None:
+        el = _layer_elem(_parse(path), path, layer)
+        src = _Src(path, el)
+        return src.driver.split_ranges(
+            src.path, src.layer, options, target_splits
+        )
+
+    def iter_features(
+        self, path: str, layer: str, options: dict
+    ) -> Iterator[Feature]:
+        yield from self._iter(path, layer, options, None, None)
+
+    def iter_features_range(
+        self, path: str, layer: str, options: dict, start: int, end: int
+    ) -> Iterator[Feature]:
+        yield from self._iter(path, layer, options, start, end)
+
+    def _iter(self, path, layer, options, start, end) -> Iterator[Feature]:
+        el = _layer_elem(_parse(path), path, layer)
+        src = _Src(path, el)
+        fm = _field_map(el)
+        mode, g = _geom_mode(el)
+        if start is None:
+            feats = src.driver.iter_features(src.path, src.layer, options)
+        else:
+            feats = src.driver.iter_features_range(
+                src.path, src.layer, options, start, end
+            )
+        for f in feats:
+            props = f.props
+            if mode == "direct":
+                geom, wkb = f.geom, f.wkb
+            elif mode == "xy":
+                wkb = None
+                try:
+                    x = float(props.get(g["x"]))
+                    y = float(props.get(g["y"]))
+                    geom = ("Point", (x, y))
+                except (TypeError, ValueError):
+                    geom = None
+            else:  # wkt
+                from polars_gdal_spark.geometry import wkt_to_geom
+
+                wkb = None
+                raw = props.get(g["field"])
+                try:
+                    geom = wkt_to_geom(raw) if raw else None
+                except Exception:  # noqa: BLE001 — malformed cell → null
+                    geom = None
+            if fm is not None:
+                props = {
+                    name: _coerce(props.get(s), ddl) for name, s, ddl in fm
+                }
+            yield Feature(fid=f.fid, geom=geom, props=props, wkb=wkb)
+
+
+register(VrtDriver())

@@ -1,0 +1,140 @@
+"""OGR VRT virtual format: XML layer definitions over other sources —
+field select/rename, PointFromColumns and WKT geometry synthesis,
+relative source resolution, typed errors for the unsupported subset."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_gdal_spark.errors import UnsupportedFormatError
+
+CITIES = "/root/repo/tests/data/cities.geojson"
+CITIES_CSV = "/root/repo/tests/data/cities.csv"
+
+
+def _write(p, body):
+    p.write_text(body)
+    return str(p)
+
+
+def test_vrt_direct_passthrough_with_field_selection(spark, tmp_path):
+    vrt = _write(tmp_path / "sel.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="cities_sel">
+    <SrcDataSource>{CITIES}</SrcDataSource>
+    <Field name="city" src="name"/>
+    <Field name="pop" src="population" type="Integer64"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    df = spark.read.format("gdal").load(vrt)
+    assert set(df.columns) == {"city", "pop", "geometry"}
+    assert df.count() == 120
+    row = df.where("city = 'city_000'").first()
+    assert row["pop"] > 0 and row["geometry"] is not None
+
+
+def test_vrt_point_from_columns_over_csv(spark, tmp_path):
+    vrt = _write(tmp_path / "xy.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="pts">
+    <SrcDataSource>{CITIES_CSV}</SrcDataSource>
+    <GeometryField encoding="PointFromColumns" x="lon" y="lat"/>
+    <Field name="name" src="name"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    df = (
+        spark.read.format("gdal")
+        .option("geometryFormat", "wkt")
+        .load(vrt)
+    )
+    assert df.count() == 120
+    wkt = df.where("name = 'city_000'").first()["geometry"]
+    assert wkt.startswith("POINT (")
+
+
+def test_vrt_wkt_field(spark, tmp_path):
+    src = tmp_path / "w.csv"
+    src.write_text(
+        'id,shape\n1,"POINT (1 2)"\n2,"LINESTRING (0 0, 3 4)"\n3,\n'
+    )
+    vrt = _write(tmp_path / "w.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="w">
+    <SrcDataSource relativeToVRT="1">w.csv</SrcDataSource>
+    <GeometryField encoding="WKT" field="shape"/>
+    <Field name="id" src="id" type="Integer64"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    rows = {
+        r["id"]: r["geometry"]
+        for r in spark.read.format("gdal")
+        .option("geometryFormat", "wkt")
+        .load(vrt)
+        .collect()
+    }
+    assert rows[1] == "POINT (1 2)"
+    assert rows[2].startswith("LINESTRING")
+    assert rows[3] is None
+
+
+def test_vrt_relative_to_vrt_resolution(spark, tmp_path):
+    import shutil
+
+    shutil.copy(CITIES, tmp_path / "c.geojson")
+    vrt = _write(tmp_path / "rel.vrt", """
+<OGRVRTDataSource>
+  <OGRVRTLayer name="c">
+    <SrcDataSource relativeToVRT="1">c.geojson</SrcDataSource>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    assert spark.read.format("gdal").load(vrt).count() == 120
+
+
+def test_vrt_layer_selection_and_listing(spark, tmp_path):
+    vrt = _write(tmp_path / "two.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="a"><SrcDataSource>{CITIES}</SrcDataSource></OGRVRTLayer>
+  <OGRVRTLayer name="b">
+    <SrcDataSource>{CITIES}</SrcDataSource>
+    <Field name="only" src="name"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    df_b = spark.read.format("gdal").option("layer", "b").load(vrt)
+    assert set(df_b.columns) == {"only", "geometry"}
+    df_a = spark.read.format("gdal").option("layer", "a").load(vrt)
+    assert "population" in df_a.columns
+
+
+def test_vrt_unsupported_elements_raise(spark, tmp_path):
+    vrt = _write(tmp_path / "union.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTUnionLayer name="u">
+    <OGRVRTLayer name="a"><SrcDataSource>{CITIES}</SrcDataSource></OGRVRTLayer>
+  </OGRVRTUnionLayer>
+</OGRVRTDataSource>""")
+    with pytest.raises(Exception, match="OGRVRTUnionLayer"):
+        spark.read.format("gdal").load(vrt).count()
+
+    bad = _write(tmp_path / "sql.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="s">
+    <SrcDataSource>{CITIES}</SrcDataSource>
+    <SrcSQL>SELECT 1</SrcSQL>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    with pytest.raises(Exception, match="SrcSQL"):
+        spark.read.format("gdal").load(bad).count()
+
+
+def test_vrt_crs_override(spark, tmp_path):
+    import polars_gdal_spark as pg
+
+    vrt = _write(tmp_path / "srs.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="c">
+    <SrcDataSource>{CITIES}</SrcDataSource>
+    <LayerSRS>EPSG:3857</LayerSRS>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    df = pg.read_gdal(spark, vrt)
+    assert df.schema["geometry"].metadata.get("crs") == "EPSG:3857"
