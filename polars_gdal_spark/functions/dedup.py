@@ -492,7 +492,7 @@ def ngram_jaccard_pairs(
     )
     # exact verification: intersect the two full shingle arrays (each
     # bounded by document length); |A∪B| = |A|+|B|−|A∩B|
-    return (
+    result = (
         cand.join(docarr.select(F.col("doc").alias("doc_a"), "shs"), "doc_a")
         .withColumnRenamed("shs", "_sa")
         .join(docarr.select(F.col("doc").alias("doc_b"), "shs"), "doc_b")
@@ -513,6 +513,14 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # docarr stays persisted for the returned (lazy) plan's lifetime;
+    # repeated calls re-cache a fresh copy, but MEMORY_AND_DISK blocks
+    # are LRU-evicted by the block manager, so accumulation is bounded
+    # by the storage pool. An eager-checkpoint-then-unpersist (the
+    # minhash lifecycle) would free it deterministically, but collapses
+    # the returned plan to an RDD scan and with it the pinned
+    # broadcast-anti-join plan evidence — laziness wins here.
+    return result
 
 
 def benchmark_contamination(
