@@ -15,9 +15,13 @@ the data. Supported subset (the tutorial core):
 * ``<Field name=... src=... type=.../>`` — declared fields select+rename;
   absent → all source fields pass through
 * ``<LayerSRS>`` overrides the source CRS
+* ``<OGRVRTUnionLayer name=...>`` — concatenation of member
+  ``<OGRVRTLayer>`` definitions with first-seen schema union (the same
+  per-file drift semantics the multi-file datasource applies; missing
+  member fields read as null)
 
-Unsupported VRT features (``<OGRVRTUnionLayer>``, ``<OGRVRTWarpedLayer>``,
-``<SrcSQL>``) raise a typed UnsupportedFormatError naming the element.
+Unsupported VRT features (``<OGRVRTWarpedLayer>``, ``<SrcSQL>``) raise a
+typed UnsupportedFormatError naming the element.
 
 Reference behavior: the reference opens VRT through libgdal like any
 other format (``Cargo.toml:7``); this is a from-spec reimplementation.
@@ -56,19 +60,22 @@ def _parse(path: str) -> ET.Element:
         raise UnsupportedFormatError(
             f"{path!r}: root element {root.tag!r} is not OGRVRTDataSource"
         )
-    for bad in ("OGRVRTUnionLayer", "OGRVRTWarpedLayer"):
-        if root.find(f".//{bad}") is not None:
-            raise UnsupportedFormatError(
-                f"{path!r}: VRT element <{bad}> is not supported"
-            )
+    if root.find(".//OGRVRTWarpedLayer") is not None:
+        raise UnsupportedFormatError(
+            f"{path!r}: VRT element <OGRVRTWarpedLayer> is not supported"
+        )
     return root
 
 
+_LAYER_TAGS = ("OGRVRTLayer", "OGRVRTUnionLayer")
+
+
 def _layer_elem(root: ET.Element, path: str, layer: str) -> ET.Element:
-    for el in root.findall("OGRVRTLayer"):
+    els = [el for tag in _LAYER_TAGS for el in root.findall(tag)]
+    for el in els:
         if el.get("name") == layer:
             return el
-    names = [el.get("name") for el in root.findall("OGRVRTLayer")]
+    names = [el.get("name") for el in els]
     raise UnsupportedFormatError(
         f"{path!r}: VRT layer {layer!r} not found; available: {names}"
     )
@@ -174,13 +181,36 @@ class VrtDriver(FormatDriver):
 
     def list_layers(self, path: str, options: dict) -> list[str]:
         root = _parse(path)
-        names = [el.get("name") or "" for el in root.findall("OGRVRTLayer")]
+        names = [
+            el.get("name") or ""
+            for tag in _LAYER_TAGS
+            for el in root.findall(tag)
+        ]
         if not names:
             raise UnsupportedFormatError(f"{path!r}: VRT defines no layers")
         return names
 
     def layer_fields(self, path: str, layer: str, options: dict) -> list[Field]:
         el = _layer_elem(_parse(path), path, layer)
+        if el.tag == "OGRVRTUnionLayer":
+            # first-seen schema union across members (multi-file drift
+            # semantics; conflicting dtypes widen to string)
+            seen: dict[str, int] = {}
+            out: list[Field] = []
+            for mem in el.findall("OGRVRTLayer"):
+                for f in self._member_fields(path, mem, options):
+                    if f.name in seen:
+                        prev = out[seen[f.name]]
+                        if prev.dtype != f.dtype:
+                            prev.dtype = "string"
+                    else:
+                        seen[f.name] = len(out)
+                        out.append(f)
+            if not out and not el.findall("OGRVRTLayer"):
+                raise UnsupportedFormatError(
+                    f"{path!r}: union layer {layer!r} has no members"
+                )
+            return out
         src = _Src(path, el)
         fm = _field_map(el)
         if fm is None:
@@ -202,11 +232,25 @@ class VrtDriver(FormatDriver):
         srs = el.find("LayerSRS")
         if srs is not None and (srs.text or "").strip():
             return srs.text.strip()
+        if el.tag == "OGRVRTUnionLayer":
+            mems = el.findall("OGRVRTLayer")
+            el = mems[0] if mems else el
+            if el.tag == "OGRVRTUnionLayer":
+                return None
         src = _Src(path, el)
         return src.driver.layer_crs(src.path, src.layer, options)
 
     def feature_count(self, path: str, layer: str, options: dict) -> int | None:
         el = _layer_elem(_parse(path), path, layer)
+        if el.tag == "OGRVRTUnionLayer":
+            total = 0
+            for mem in el.findall("OGRVRTLayer"):
+                src = _Src(path, mem)
+                n = src.driver.feature_count(src.path, src.layer, options)
+                if n is None:
+                    return None
+                total += n
+            return total
         src = _Src(path, el)
         return src.driver.feature_count(src.path, src.layer, options)
 
@@ -214,6 +258,8 @@ class VrtDriver(FormatDriver):
         self, path: str, layer: str, options: dict, target_splits: int
     ) -> list[tuple[int, int]] | None:
         el = _layer_elem(_parse(path), path, layer)
+        if el.tag == "OGRVRTUnionLayer":
+            return None  # members read sequentially (one global order)
         src = _Src(path, el)
         return src.driver.split_ranges(
             src.path, src.layer, options, target_splits
@@ -229,8 +275,33 @@ class VrtDriver(FormatDriver):
     ) -> Iterator[Feature]:
         yield from self._iter(path, layer, options, start, end)
 
+    def _member_fields(
+        self, path: str, el: ET.Element, options: dict
+    ) -> list[Field]:
+        src = _Src(path, el)
+        fm = _field_map(el)
+        if fm is None:
+            return src.driver.layer_fields(src.path, src.layer, options)
+        src_fields = {
+            f.name: f
+            for f in src.driver.layer_fields(src.path, src.layer, options)
+        }
+        return [
+            Field(n, ddl or (src_fields[s].dtype if s in src_fields else "string"))
+            for n, s, ddl in fm
+        ]
+
     def _iter(self, path, layer, options, start, end) -> Iterator[Feature]:
         el = _layer_elem(_parse(path), path, layer)
+        if el.tag == "OGRVRTUnionLayer":
+            # sequential member concatenation; start/end never reach here
+            # (split_ranges returns None for union layers)
+            for mem in el.findall("OGRVRTLayer"):
+                yield from self._iter_member(path, mem, options, None, None)
+            return
+        yield from self._iter_member(path, el, options, start, end)
+
+    def _iter_member(self, path, el, options, start, end) -> Iterator[Feature]:
         src = _Src(path, el)
         fm = _field_map(el)
         mode, g = _geom_mode(el)

@@ -106,13 +106,14 @@ def test_vrt_layer_selection_and_listing(spark, tmp_path):
 
 
 def test_vrt_unsupported_elements_raise(spark, tmp_path):
-    vrt = _write(tmp_path / "union.vrt", f"""
+    vrt = _write(tmp_path / "warped.vrt", f"""
 <OGRVRTDataSource>
-  <OGRVRTUnionLayer name="u">
+  <OGRVRTWarpedLayer>
     <OGRVRTLayer name="a"><SrcDataSource>{CITIES}</SrcDataSource></OGRVRTLayer>
-  </OGRVRTUnionLayer>
+    <TargetSRS>EPSG:3857</TargetSRS>
+  </OGRVRTWarpedLayer>
 </OGRVRTDataSource>""")
-    with pytest.raises(Exception, match="OGRVRTUnionLayer"):
+    with pytest.raises(Exception, match="OGRVRTWarpedLayer"):
         spark.read.format("gdal").load(vrt).count()
 
     bad = _write(tmp_path / "sql.vrt", f"""
@@ -138,3 +139,51 @@ def test_vrt_crs_override(spark, tmp_path):
 </OGRVRTDataSource>""")
     df = pg.read_gdal(spark, vrt)
     assert df.schema["geometry"].metadata.get("crs") == "EPSG:3857"
+
+
+def test_vrt_union_layer_concatenates_with_schema_drift(spark, tmp_path):
+    a = tmp_path / "a.csv"
+    a.write_text("name,pop\nalpha,10\nbeta,20\n")
+    b = tmp_path / "b.csv"
+    b.write_text("name,extra\ngamma,x\n")
+    vrt = _write(tmp_path / "u.vrt", """
+<OGRVRTDataSource>
+  <OGRVRTUnionLayer name="all">
+    <OGRVRTLayer name="a">
+      <SrcDataSource relativeToVRT="1">a.csv</SrcDataSource>
+    </OGRVRTLayer>
+    <OGRVRTLayer name="b">
+      <SrcDataSource relativeToVRT="1">b.csv</SrcDataSource>
+    </OGRVRTLayer>
+  </OGRVRTUnionLayer>
+</OGRVRTDataSource>""")
+    df = spark.read.format("gdal").load(vrt)
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"alpha", "beta", "gamma"}
+    assert "pop" in df.columns and "extra" in df.columns
+    assert rows["gamma"]["pop"] is None and rows["gamma"]["extra"] == "x"
+    assert rows["alpha"]["extra"] is None
+
+
+def test_vrt_union_member_field_rename(spark, tmp_path):
+    a = tmp_path / "m1.csv"
+    a.write_text("city,n\nparis,1\n")
+    b = tmp_path / "m2.csv"
+    b.write_text("town,n\nlyon,2\n")
+    vrt = _write(tmp_path / "u2.vrt", """
+<OGRVRTDataSource>
+  <OGRVRTUnionLayer name="norm">
+    <OGRVRTLayer name="m1">
+      <SrcDataSource relativeToVRT="1">m1.csv</SrcDataSource>
+      <Field name="place" src="city"/>
+    </OGRVRTLayer>
+    <OGRVRTLayer name="m2">
+      <SrcDataSource relativeToVRT="1">m2.csv</SrcDataSource>
+      <Field name="place" src="town"/>
+    </OGRVRTLayer>
+  </OGRVRTUnionLayer>
+</OGRVRTDataSource>""")
+    got = sorted(
+        r["place"] for r in spark.read.format("gdal").load(vrt).collect()
+    )
+    assert got == ["lyon", "paris"]
