@@ -88,6 +88,7 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "multimodal_video_pipeline",
     "sim_lsh_multitable",
+    "graph_pagerank",
 ]
 
 

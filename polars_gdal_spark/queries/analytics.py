@@ -920,3 +920,160 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqe", "sq", "se", "sqq", "see").alias("corr_qty_price"),
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""WITH
+    nodes AS (SELECT doc_id AS doc FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT doc AS src, (doc * 7 + 1) % (SELECT n FROM nn) AS dst FROM nodes
+        UNION ALL
+        SELECT doc AS src, (doc * 13 + 5) % (SELECT n FROM nn) AS dst FROM nodes
+      ) WHERE src <> dst
+    ),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT doc, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS rank
+      FROM nodes
+    ),
+    c1 AS (
+      SELECT e.dst AS doc,
+             CAST(sum(r.rank // o.deg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r0 r ON r.doc = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.doc,
+             (15 * CAST(1000000000000 AS BIGINT)) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN c1 c ON c.doc = n.doc
+    ),
+    c2 AS (
+      SELECT e.dst AS doc,
+             CAST(sum(r.rank // o.deg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r1 r ON r.doc = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.doc,
+             (15 * CAST(1000000000000 AS BIGINT)) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN c2 c ON c.doc = n.doc
+    ),
+    c3 AS (
+      SELECT e.dst AS doc,
+             CAST(sum(r.rank // o.deg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r2 r ON r.doc = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.doc,
+             (15 * CAST(1000000000000 AS BIGINT)) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN c3 c ON c.doc = n.doc
+    ),
+    c4 AS (
+      SELECT e.dst AS doc,
+             CAST(sum(r.rank // o.deg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r3 r ON r.doc = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r4 AS (
+      SELECT n.doc,
+             (15 * CAST(1000000000000 AS BIGINT)) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN c4 c ON c.doc = n.doc
+    ),
+    c5 AS (
+      SELECT e.dst AS doc,
+             CAST(sum(r.rank // o.deg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r4 r ON r.doc = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r5 AS (
+      SELECT n.doc,
+             (15 * CAST(1000000000000 AS BIGINT)) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN c5 c ON c.doc = n.doc
+    ),
+    c6 AS (
+      SELECT e.dst AS doc,
+             CAST(sum(r.rank // o.deg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r5 r ON r.doc = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r6 AS (
+      SELECT n.doc,
+             (15 * CAST(1000000000000 AS BIGINT)) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN c6 c ON c.doc = n.doc
+    )
+    SELECT doc, rank FROM r6""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic graph on the document ids
+    (edges u -> (7u+1) mod N and u -> (13u+5) mod N, self-loops dropped)
+    — the iterative-algorithm family next to connected components, with
+    an EXACT oracle: ranks are integer-quantized (SCALE=1e12) and every
+    update uses floor division, so the arithmetic is order-independent
+    and hashes bit-equal against the DuckDB oracle's unrolled-iteration
+    CTEs (float PageRank would drift with summation order).
+
+    Scale shape: each of the 6 iterations is one edges-to-ranks
+    equi-join + map-side-combined aggregation + left join back to the
+    node set; lineage is cut with localCheckpoint every other round
+    (the connected-components pattern) so plan depth stays bounded. The
+    rank relation is node-sized; edges shuffle on uniform id keys. The
+    only driver scalar is the node count."""
+    t = load_tables(spark, sf_dir)
+    nodes = t["documents"].select(F.col("doc_id").alias("doc"))
+    n = nodes.count()
+    e1 = nodes.select(
+        F.col("doc").alias("src"), ((F.col("doc") * 7 + 1) % n).alias("dst")
+    )
+    e2 = nodes.select(
+        F.col("doc").alias("src"), ((F.col("doc") * 13 + 5) % n).alias("dst")
+    )
+    edges = e1.unionAll(e2).where(F.col("src") != F.col("dst"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    esrc = edges.join(outdeg, "src")
+    scale = 1000000000000
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.select("doc", F.lit(scale // n).cast("bigint").alias("rank"))
+    for i in range(6):
+        contrib = (
+            esrc.join(ranks.withColumnRenamed("doc", "src"), "src")
+            .select(
+                F.col("dst").alias("doc"),
+                F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("_c"),
+            )
+            .groupBy("doc")
+            .agg(F.sum("_c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "doc", "left").select(
+            "doc",
+            (
+                F.lit(base)
+                + F.floor(
+                    (85 * F.coalesce(F.col("contrib"), F.lit(0))) / 100
+                )
+            ).cast("bigint").alias("rank"),
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
