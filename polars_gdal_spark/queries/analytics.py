@@ -1043,6 +1043,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     nodes = t["documents"].select(F.col("doc_id").alias("doc"))
     n = nodes.count()
+    if n == 0:  # empty corpus: no nodes, no ranks (oracle agrees)
+        return nodes.select(
+            "doc", F.lit(None).cast("bigint").alias("rank")
+        )
     e1 = nodes.select(
         F.col("doc").alias("src"), ((F.col("doc") * 7 + 1) % n).alias("dst")
     )
