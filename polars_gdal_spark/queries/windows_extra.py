@@ -240,3 +240,46 @@ def argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
         )
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(nth_value(o_orderkey, 2) OVER w, -1) AS second_cheapest,
+           CAST(CAST(COALESCE(nth_value(o_totalprice, 3) OVER w, -1)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS third_price
+    FROM orders
+    WHERE o_orderkey < 1000
+    WINDOW w AS (
+      PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-partition frame (the per-group "2nd/3rd
+    best" lookup without a self-join): second-cheapest order id and
+    third-cheapest price per status, -1 when the partition is smaller
+    than n (null-free output keeps the cross-engine compare exact).
+    Deterministic under ties via the (price, key) compound ordering;
+    partitioned window, parallel over status groups."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.coalesce(F.nth_value("o_orderkey", 2).over(w), F.lit(-1))
+            .alias("second_cheapest"),
+            F.coalesce(F.nth_value("o_totalprice", 3).over(w), F.lit(-1))
+            .cast(DEC)
+            .cast("double")
+            .alias("third_price"),
+        )
+    )

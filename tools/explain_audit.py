@@ -278,6 +278,8 @@ EXPECT = {
     # iterative rank propagation ends on a lineage-cut checkpoint, so
     # the result plan is the checkpoint scan (dedup_components shape)
     "graph_pagerank": ["ExistingRDD", "!CartesianProduct", "!Window"],
+    # full-partition nth_value: one partitioned window, no cartesian
+    "window_nth_value": ["Window", "!CartesianProduct"],
 }
 
 
