@@ -72,8 +72,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) < length:
+        if len(body) < length or pos + 12 + length > len(data):
             raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(
+                f"corrupt PNG: CRC mismatch in {tag.decode(errors='replace')} "
+                "chunk"
+            )
         pos += 12 + length  # len + tag + body + crc
         if tag == b"IHDR":
             width, height, depth, ctype, comp, filt, ilace = struct.unpack(

@@ -341,3 +341,17 @@ def test_audio_features_frames(spark):
     # sign flips every 10 samples -> 39 crossings in 400, 19 in 200
     assert by_frame[0]["zero_crossings"] == 39
     assert by_frame[2]["zero_crossings"] == 19
+
+
+def test_png_codec_rejects_corrupt_chunks():
+    """A flipped byte inside a chunk must fail the CRC check loudly,
+    never decode to garbage pixels."""
+    from polars_gdal_spark.functions.png import decode_png, encode_png
+
+    good = encode_png(6, 4, bytes(range(6 * 4 * 3)))
+    assert decode_png(good)[3] == bytes(range(72))  # sanity
+    for flip_at in (20, len(good) // 2, len(good) - 20):
+        bad = bytearray(good)
+        bad[flip_at] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC|truncated|PNG"):
+            decode_png(bytes(bad))
