@@ -119,20 +119,33 @@ def pairwise_cosine(
     vec_col: str = "embedding",
     group_col: str | None = None,
     threshold: float = 0.8,
+    block_cap: int = 2048,
 ) -> DataFrame:
     """All-pairs cosine above threshold, optionally blocked by a group
     column (e.g. a cluster label or LSH bucket) so the pair space is
     per-block, never corpus².
 
-    Blocked path: one numpy int64 GEMM per block via ``applyInPandas`` —
-    the vectorized replacement for per-pair ``F.aggregate`` lambdas,
-    which Catalyst interprets (higher-order functions don't codegen) and
+    Blocked path: numpy int64 GEMM via ``applyInPandas`` — the
+    vectorized replacement for per-pair ``F.aggregate`` lambdas, which
+    Catalyst interprets (higher-order functions don't codegen) and
     which cost ~30× more per pair. Bit-exact with the expression form:
     quantization is the same cast→multiply→floor in float64, int64 dots
-    stay below 2^53 (exactly representable), and the cosine divides in
-    the same operand order. Block size bounds the n×n matrix; at 100 TB
-    the group key must keep blocks executor-sized (LSH bucket / label),
-    which is the same contract the join form had.
+    stay below 2^53 (exactly representable), and the cosine multiplies/
+    divides commutatively-identical operands (IEEE 754 multiplication
+    is exactly commutative).
+
+    **Two-level tiling (round 5)**: a group larger than ``block_cap``
+    is hash-salted into ``m = ceil(n/cap)`` chunks; each row fans out to
+    the ``m`` tile tasks ``(min(ck,o), max(ck,o))`` it participates in,
+    and every ``applyInPandas`` task GEMMs at most a ``cap × cap`` tile
+    (diagonal tiles do the upper triangle, off-diagonal tiles the full
+    cross product — each unordered pair lands in exactly one tile, so
+    no dedup pass is needed). Total work is still the per-group pair
+    space, but task memory is bounded by the cap instead of by the
+    group: the single-task dense n² matrix measured 8.5× wall at 3×
+    data (sf1→sf3) and would OOM one executor at 100×. Groups at or
+    under the cap take m=1 and produce byte-identical output to the
+    round-4 single-tile path.
     """
     if group_col is None:
         base = df.select(
@@ -158,32 +171,98 @@ def pairwise_cosine(
     id_dtype = dict(df.dtypes)[id_col]
     out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cosine double"
     thr = float(threshold)
+    cap = max(2, int(block_cap))
 
-    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.dropna(subset=[vec_col])
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
-        raw = pdf[vec_col].to_numpy()[order]
-        M = np.floor(
+    def _quant_matrix(raw) -> "np.ndarray":
+        return np.floor(
             np.stack([np.asarray(v, dtype=np.float64) for v in raw]) * QUANT
         ).astype(np.int64)
-        dots = M @ M.T
-        nrm = np.sqrt(np.diag(dots).astype(np.float64))
-        cos = dots.astype(np.float64) / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(n, 1)
-        c = cos[ia, ib]
+
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def tile_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = key[-2], key[-1]
+        pdf = pdf.dropna(subset=[vec_col])
+        if ci == cj:
+            # Diagonal tile: upper triangle of one chunk (m=1 reduces to
+            # the whole group — the original single-tile computation).
+            n = len(pdf)
+            if n < 2:
+                return _empty
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            ids = pdf[id_col].to_numpy()[order]
+            M = _quant_matrix(pdf[vec_col].to_numpy()[order])
+            dots = M @ M.T
+            nrm = np.sqrt(np.diag(dots).astype(np.float64))
+            cos = dots.astype(np.float64) / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(n, 1)
+            c = cos[ia, ib]
+            keep = c >= thr
+            return pd.DataFrame(
+                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                 "cosine": c[keep]}
+            )
+        # Off-diagonal tile: full cross product chunk ci × chunk cj.
+        # Chunks are disjoint (each id hashes to one chunk), so every
+        # unordered pair appears in exactly one tile; ids re-orient to
+        # (min, max) and the norm product is commutative, so values are
+        # bit-identical to the single-tile ordering.
+        ck = pdf["_ck"].to_numpy()
+        a, b = pdf[ck == ci], pdf[ck == cj]
+        if len(a) == 0 or len(b) == 0:
+            return _empty
+        ids_a, ids_b = a[id_col].to_numpy(), b[id_col].to_numpy()
+        Ma, Mb = _quant_matrix(a[vec_col].to_numpy()), _quant_matrix(
+            b[vec_col].to_numpy()
+        )
+        dots = Ma @ Mb.T
+        nrm_a = np.sqrt(np.einsum("ij,ij->i", Ma, Ma).astype(np.float64))
+        nrm_b = np.sqrt(np.einsum("ij,ij->i", Mb, Mb).astype(np.float64))
+        cos = dots.astype(np.float64) / np.outer(nrm_a, nrm_b)
+        c = cos.ravel()
         keep = c >= thr
+        ga = np.repeat(ids_a, len(ids_b))[keep]
+        gb = np.tile(ids_b, len(ids_a))[keep]
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": c[keep]}
+            {"id_a": np.minimum(ga, gb), "id_b": np.maximum(ga, gb),
+             "cosine": c[keep]}
         )
 
-    return (
+    # Chunk count per group from a pre-aggregated (null-safe broadcast)
+    # count — deliberately NOT a partitionBy(group) window, which would
+    # co-locate an entire group in one task and reintroduce the memory
+    # wall the tiling removes.
+    cnts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").alias("_gn")
+    )
+    exploded = (
         df.select(id_col, vec_col, group_col)
-        .groupBy(group_col)
-        .applyInPandas(gemm, out_schema)
+        .join(
+            F.broadcast(cnts),
+            F.col(group_col).eqNullSafe(F.col("_g")),
+            "inner",
+        )
+        .withColumn(
+            "_m",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_gn") / F.lit(cap))
+            ).cast("int"),
+        )
+        .withColumn(
+            "_ck", F.pmod(F.xxhash64(F.col(id_col)), F.col("_m")).cast("int")
+        )
+        .withColumn("_o", F.explode(F.sequence(F.lit(0), F.col("_m") - 1)))
+        .select(
+            id_col,
+            vec_col,
+            group_col,
+            "_ck",
+            F.least("_ck", "_o").alias("_ci"),
+            F.greatest("_ck", "_o").alias("_cj"),
+        )
+    )
+    return exploded.groupBy(group_col, "_ci", "_cj").applyInPandas(
+        tile_gemm, out_schema
     )
 
 
@@ -419,10 +498,15 @@ def adaptive_planes(
     killer in single-table LSH deployments. K planes ⇒ 2^K buckets, so
     K must track log2(n); recall lost to longer keys is recovered with
     multiple tables (``lsh_bucketed_pairs(tables=L)``), the standard
-    K/L trade of LSH (Charikar 2002; Indyk–Motwani 1998)."""
-    import math
+    K/L trade of LSH (Charikar 2002; Indyk–Motwani 1998).
 
-    need = math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket))))
+    Integer-exact: ``ceil(log2(n/target)) == bit_length(ceil(n/target)-1)``
+    (smallest K with ``2^K * target >= n``), so the DuckDB oracle can
+    reproduce the same K with ``length(bin(m-1))`` — no float log2 on
+    either side, no boundary drift between engines."""
+    target = max(1, target_bucket)
+    m = (max(0, n_rows) + target - 1) // target  # ceil(n/target)
+    need = 0 if m <= 1 else (m - 1).bit_length()
     return max(min_planes, min(max_planes, need))
 
 

@@ -22,6 +22,19 @@ _Q_SQL = """
   )
 """
 
+# SQL twin of functions/similarity.adaptive_planes(n, 64, 8, 24):
+# ceil(log2(ceil(n/64))) via length(bin(m-1)) — integer-exact on both
+# engines, so Spark (python bit_length) and DuckDB pick the SAME plane
+# count at every scale factor. Keeps expected LSH bucket size ~64 as the
+# corpus grows instead of letting in-bucket pairs go quadratic.
+_ADAPTIVE_PLANES_SQL = """
+  params AS (
+    SELECT greatest(8, least(24,
+             CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS pl
+    FROM (SELECT (count(*) + 63) // 64 AS m FROM q)
+  )
+"""
+
 
 @query(
     "sim_knn_bruteforce",
@@ -74,12 +87,14 @@ def sim_pairwise_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_lsh_bucketed",
     oracle=f"""
     WITH {_Q_SQL},
+    {_ADAPTIVE_PLANES_SQL},
     proj AS (
       SELECT q.vec_id, p.p,
              sum(q.v[i.i + 1]
                  * (((((p.p * 73856093) + (i.i * 19349663)) % 83) % 7) - 3)) AS s
       FROM q,
-           (SELECT unnest(generate_series(0, 7)) AS p) p,
+           (SELECT unnest(generate_series(0, (SELECT pl FROM params) - 1))
+              AS p) p,
            (SELECT unnest(generate_series(0, 63)) AS i) i
       GROUP BY q.vec_id, p.p
     ),
@@ -101,12 +116,20 @@ def sim_pairwise_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-random-projection LSH: 8 deterministic hyperplanes →
-    bucket key → bucket-local pairs → exact cosine refinement ≥ 0.25.
-    The scale path: equi-join on the bucket, no cross product."""
+    """ANN via sign-random-projection LSH: ``adaptive_planes(n)``
+    deterministic hyperplanes → bucket key → bucket-local pairs → exact
+    cosine refinement ≥ 0.25. The scale path: equi-join on the bucket,
+    no cross product, and — since round 5 — a plane count that grows
+    with log2(n) so expected bucket size stays ~64 and in-bucket pair
+    generation stays linear (fixed planes=8 measured 13.6× wall at 3×
+    data, sf1→sf3). The oracle computes the SAME count in SQL
+    (``_ADAPTIVE_PLANES_SQL``); the one driver scalar is a
+    metadata-only parquet ``count()``."""
     emb = load_tables(spark, sf_dir)["embeddings"]
+    planes = S.adaptive_planes(emb.count())
     return S.lsh_bucketed_pairs(
-        emb, id_col="vec_id", vec_col="embedding", planes=8, threshold=0.25
+        emb, id_col="vec_id", vec_col="embedding",
+        planes=planes, threshold=0.25,
     )
 
 
@@ -647,6 +670,7 @@ def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_lsh_multitable",
     oracle=f"""
     WITH {_Q_SQL},
+    {_ADAPTIVE_PLANES_SQL},
     proj AS (
       SELECT q.vec_id, t.t, p.p,
              sum(q.v[i.i + 1]
@@ -654,7 +678,8 @@ def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + (i.i * 19349663)) % 83) % 7) - 3)) AS s
       FROM q,
            (SELECT unnest(generate_series(0, 1)) AS t) t,
-           (SELECT unnest(generate_series(0, 11)) AS p) p,
+           (SELECT unnest(generate_series(0, (SELECT pl FROM params) + 3))
+              AS p) p,
            (SELECT unnest(generate_series(0, 63)) AS i) i
       GROUP BY q.vec_id, t.t, p.p
     ),
@@ -687,10 +712,16 @@ def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated, then exact-cosine refined >= 0.25. Longer keys keep
     expected bucket size constant as the corpus grows (pair generation
     stays ~linear); the second table recovers the recall the longer key
-    costs — the production ANN shape `adaptive_planes` sizes. Candidate
-    generation is bucket-local per table; never corpus²."""
+    costs — the production ANN K/L shape. K = ``adaptive_planes(n) + 4``
+    (4 extra planes over the single-table key because L=2 tables pay the
+    recall back): 12 at sf≤0.1 — identical keys/output to the round-4
+    fixed-K version — and 13/14 at sf1/sf3 where fixed K measured
+    super-linear. The oracle computes the same K via
+    ``_ADAPTIVE_PLANES_SQL`` (``pl + 4``). Candidate generation is
+    bucket-local per table; never corpus²."""
     emb = load_tables(spark, sf_dir)["embeddings"]
+    planes = S.adaptive_planes(emb.count()) + 4
     return S.lsh_bucketed_pairs(
         emb, id_col="vec_id", vec_col="embedding",
-        planes=12, threshold=0.25, tables=2,
+        planes=planes, threshold=0.25, tables=2,
     )

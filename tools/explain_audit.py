@@ -215,8 +215,17 @@ EXPECT = {
     "events_sessionize": ["Window", "partial"],
     "events_session_windows": ["Window", "partial"],
     # ---- bucketed candidate generation ----------------------------------
-    "sim_lsh_bucketed": ["!CartesianProduct"],
-    "sim_pairwise_label_blocked": ["!CartesianProduct"],
+    # tiled GEMM: chunk counts broadcast back (BroadcastHashJoin), rows
+    # fan out to tile tasks (Generate = explode), bounded-memory pandas
+    # tiles (FlatMapGroupsInPandas) — never a cross join
+    "sim_lsh_bucketed": [
+        "BroadcastHashJoin", "Generate", "FlatMapGroupsInPandas",
+        "!CartesianProduct",
+    ],
+    "sim_pairwise_label_blocked": [
+        "BroadcastHashJoin", "Generate", "FlatMapGroupsInPandas",
+        "!CartesianProduct",
+    ],
     "geo_spatial_join_pip": [
         "BroadcastHashJoin", "Generate", "!CartesianProduct",
     ],
