@@ -120,6 +120,7 @@ def pairwise_cosine(
     group_col: str | None = None,
     threshold: float = 0.8,
     block_cap: int = 2048,
+    cache_input: bool = False,
 ) -> DataFrame:
     """All-pairs cosine above threshold, optionally blocked by a group
     column (e.g. a cluster label or LSH bucket) so the pair space is
@@ -232,11 +233,24 @@ def pairwise_cosine(
     # count — deliberately NOT a partitionBy(group) window, which would
     # co-locate an entire group in one task and reintroduce the memory
     # wall the tiling removes.
-    cnts = df.groupBy(F.col(group_col).alias("_g")).agg(
+    #
+    # ``cache_input``: the count aggregate is a SECOND consumer of
+    # ``df``. Over a parquet scan that's a pruned single-column re-read
+    # (cheap — leave False); but when the group key is itself computed
+    # (the SRP bucket pandas UDF in ``lsh_bucketed_pairs``) recomputing
+    # it doubles the most expensive stage, so persist the projection
+    # once (MEMORY_AND_DISK, LRU-evicted — same lazy-plan cache
+    # lifecycle as ``dedup.ngram_jaccard_pairs``' docarr).
+    base_in = df.select(id_col, vec_col, group_col)
+    if cache_input:
+        from pyspark import StorageLevel
+
+        base_in = base_in.persist(StorageLevel.MEMORY_AND_DISK)
+    cnts = base_in.groupBy(F.col(group_col).alias("_g")).agg(
         F.count("*").alias("_gn")
     )
     exploded = (
-        df.select(id_col, vec_col, group_col)
+        base_in
         .join(
             F.broadcast(cnts),
             F.col(group_col).eqNullSafe(F.col("_g")),
@@ -547,6 +561,9 @@ def lsh_bucketed_pairs(
     pairs = pairwise_cosine(
         withb, id_col=id_col, vec_col=vec_col,
         group_col="bkt", threshold=threshold,
+        # bucket keys come from the GEMM pandas UDF above — cache so the
+        # tiler's group-count pass doesn't run the UDF a second time
+        cache_input=True,
     ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
     if tables <= 1:
         return pairs

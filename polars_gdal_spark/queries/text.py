@@ -924,15 +924,25 @@ def text_rare_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the value is bit-identical across engines — a log-prob LM score
     would drift in the last ulp between libm implementations.
 
-    Scale shape: per-doc totals are a PROJECTION (size(tokens)−1 — every
-    positional bigram exists, no join needed for the denominator); the
-    positional stream joins only the RARE key set (count ≤ 2), which is
-    skew-free BY CONSTRUCTION — a rare bigram matches at most 2
-    positional rows, so no hot key ever concentrates a partition (the
-    naive join-back-on-all-counts is skewed exactly by the Zipf-hot
-    bigrams that carry no signal; measured 6.5 s → see bench). Shuffles:
-    the bigram-count aggregation (map-side combined) and the rare join,
-    both on uniform keys; no window, no collect."""
+    Scale shape (reworked in round 5 — the round-4 form re-evaluated an
+    INTERPRETED ``F.transform`` bigram lambda for two consumers and
+    joined the full positional stream back to the rare key set, which
+    measured 27.5× wall at 3× data):
+
+    * bigrams come from codegen-able ``arrays_zip(slice, slice)`` —
+      no higher-order-function lambda anywhere (Catalyst interprets HOF
+      lambdas; measured 3–24× slower elsewhere in this repo);
+    * the positional stream is consumed ONCE, map-side combined to
+      (bigram, doc, c_doc) — nothing is persisted and nothing is
+      computed twice;
+    * there is NO join back to the stream at all: a corpus-RARE bigram
+      (count ≤ 2) touches at most TWO documents, so one more aggregate
+      per bigram (sum, n_docs, min(doc), max(doc)) fully determines the
+      per-doc rare contributions — explode ≤2 tiny structs per rare
+      bigram and re-aggregate by doc. Skew-free by construction and
+      join-free by construction;
+    * per-doc totals stay a projection (size(tokens)−1), left-joined to
+      the ≤|docs|-row rare counts on the uniform doc key."""
     t = load_tables(spark, sf_dir)
     toks = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
@@ -948,27 +958,38 @@ def text_rare_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = base.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("tk", i),
-                    F.element_at("tk", i + 1),
-                ),
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("a"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("b"),
             )
-        ).alias("bigram"),
+        ).alias("z"),
+    ).select("doc", F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("bigram"))
+    per_doc = bg.groupBy("bigram", "doc").agg(F.count("*").alias("c_doc"))
+    per_bigram = per_doc.groupBy("bigram").agg(
+        F.sum("c_doc").alias("c"),
+        F.count("*").alias("nd"),
+        F.min("doc").alias("d1"),
+        F.max("doc").alias("d2"),
     )
-    rare_keys = (
-        bg.groupBy("bigram")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") <= 2)
-        .select("bigram")
-    )
-    rare_per_doc = (
-        bg.join(rare_keys, "bigram")
-        .groupBy("doc")
-        .agg(F.count("*").alias("_nr"))
-    )
+    # c <= 2 leaves exactly two shapes: one doc holding c occurrences,
+    # or two docs holding one each — reconstructible without a join.
+    contribs = per_bigram.where(F.col("c") <= 2).select(
+        F.explode(
+            F.when(
+                F.col("nd") == 1,
+                F.array(F.struct(F.col("d1").alias("doc"),
+                                 F.col("c").alias("k"))),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("d1").alias("doc"),
+                             F.lit(1).cast("bigint").alias("k")),
+                    F.struct(F.col("d2").alias("doc"),
+                             F.lit(1).cast("bigint").alias("k")),
+                )
+            )
+        ).alias("z")
+    ).select("z.doc", "z.k")
+    rare_per_doc = contribs.groupBy("doc").agg(F.sum("k").alias("_nr"))
     return (
         totals.join(rare_per_doc, "doc", "left")
         .select(
