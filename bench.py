@@ -82,6 +82,11 @@ HEADLINE = [
     "embed_mean_pool",
     "pipeline_split_leakage",
     # round-4 additions
+    # build before probe: the build warms _DEDUP_INDEX_CACHE, so the
+    # probe row measures the steady-state increment flagging a rolling
+    # crawl actually runs (round 4 booked the one-time build against
+    # the probe and read as 7.5x super-linear)
+    "dedup_index_build",
     "dedup_index_probe",
     "multimodal_png_roundtrip",
     "text_rare_bigram_novelty",

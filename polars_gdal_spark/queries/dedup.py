@@ -886,3 +886,80 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_INDEX_CACHE: dict[str, str] = {}
+
+
+_INDEX_BUILD_ORACLE = f"""
+    WITH {_AUG_SQL},
+    aug2 AS (
+      SELECT * FROM aug
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc, array_to_string(tk, ' ') AS text
+      FROM toks
+    ),
+    tk2 AS (
+      SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM aug2 WHERE doc < 10000000
+    ),
+    shing AS (
+      SELECT doc, unnest(list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(generate_series(1, len(tk) - 2),
+                         i -> array_to_string(array_slice(tk, i, i + 2), ' '))
+        ELSE []::VARCHAR[] END)) AS shingle
+      FROM tk2
+    ),
+    mh AS (
+      SELECT doc, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+               AS mh
+      FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc, seed
+    ),
+    bands AS (
+      SELECT doc, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc, seed // 4
+    ),
+    old_digests AS (
+      SELECT DISTINCT md5(text) AS dg FROM aug2 WHERE doc < 10000000
+    ),
+    old_bands AS (SELECT DISTINCT band, band_sig FROM bands)
+    SELECT 'digest' AS key_type, count(*) AS n_keys FROM old_digests
+    UNION ALL
+    SELECT 'band' AS key_type, count(*) AS n_keys FROM old_bands
+    """
+
+
+@query("dedup_index_build", oracle=_INDEX_BUILD_ORACLE)
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time (per corpus) dedup-index BUILD, split out of
+    ``dedup_index_probe`` so the bench reports build and steady-state
+    probe separately — the round-4 sf3 artifact conflated them and
+    booked the build's corpus scan against the probe (7.5× apparent
+    growth; the probe alone measures ~1.2× at 3× data). Every execution
+    builds a FRESH index into a new temp dir (honest build timing) and
+    refreshes ``_DEDUP_INDEX_CACHE`` so the probe query always measures
+    the production shape: flagging an increment against a pre-built
+    index. Returns the index's key-set sizes (distinct content digests,
+    distinct (band, band_sig) MinHash-LSH signatures) read back from the
+    written parquet — so the driver check covers the on-disk artifact,
+    not a recomputation."""
+    import os
+    import tempfile
+
+    aug = _augmented(spark, sf_dir, with_copy=True)
+    existing = aug.where(F.col("doc") < 10000000)
+    path = os.path.join(tempfile.mkdtemp(), "dedup_index")
+    D.save_dedup_index(existing, path, id_col="doc", text_col="text")
+    _DEDUP_INDEX_CACHE[sf_dir] = path
+    dg = (
+        spark.read.parquet(path + "/digests")
+        .agg(F.count("*").alias("n_keys"))
+        .select(F.lit("digest").alias("key_type"), "n_keys")
+    )
+    bd = (
+        spark.read.parquet(path + "/bands")
+        .agg(F.count("*").alias("n_keys"))
+        .select(F.lit("band").alias("key_type"), "n_keys")
+    )
+    return dg.unionAll(bd)

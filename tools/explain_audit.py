@@ -270,6 +270,9 @@ EXPECT = {
     # persisted-index probe: semi-join probes against index parquet
     # scans — corpus text appears nowhere in the plan
     "dedup_index_probe": ["LeftSemi", "!CartesianProduct"],
+    # returned plan only counts the written index parquet; the build
+    # itself runs eagerly inside the query body
+    "dedup_index_build": ["Union", "!CartesianProduct"],
     # encode→decode→histogram is a pure narrow Arrow-batched map chain:
     # three MapInPandas stages, zero shuffle
     "multimodal_png_roundtrip": ["MapInPandas", "!Exchange"],
