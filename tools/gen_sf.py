@@ -181,11 +181,19 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
     texts = [
         " ".join(vocab[rng.choice(n_vocab, ln, p=zipf_p)]) for ln in lens
     ]
+    # Deliberate duplicate cases: every 3rd planted index is an EXACT
+    # copy of one anchor doc (exercises digest dedup); the rest are
+    # NEAR-duplicates — the first 80% of another doc's tokens — the
+    # same augmentation recipe the dedup queries' oracles use, so
+    # LSH/Jaccard operators have true near-dup (not exact-dup) recall
+    # cases at every generated sf.
     dup_idx = rng.integers(0, n_doc, max(2, n_doc // 500))
     for j, i in enumerate(dup_idx):
-        texts[int(i)] = texts[int(dup_idx[0])] if j % 3 == 0 else texts[
-            int(rng.integers(0, n_doc))
-        ]
+        if j % 3 == 0:
+            texts[int(i)] = texts[int(dup_idx[0])]
+        else:
+            src = texts[int(rng.integers(0, n_doc))].split(" ")
+            texts[int(i)] = " ".join(src[: max(1, (len(src) * 4) // 5)])
     _write(outdir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
