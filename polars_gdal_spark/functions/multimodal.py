@@ -134,8 +134,12 @@ def decode_image(
 
             w, h, ch, px = decode_png(payload)
             if ch == 4:  # drop alpha -> RGB, matching the pil path
-                px = bytes(
-                    b for i, b in enumerate(px) if i % 4 != 3
+                import numpy as np
+
+                px = (
+                    np.frombuffer(px, np.uint8)
+                    .reshape(-1, 4)[:, :3]
+                    .tobytes()
                 )
             return w, h, px
         return _fake_decode(payload)
@@ -261,6 +265,7 @@ DECODED_AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("sample_rate", IntegerType()),
+        StructField("sample_width", IntegerType()),  # bytes per sample
         StructField("n_samples", LongType()),
         StructField("samples", BinaryType()),
     ]
@@ -305,11 +310,15 @@ def decode_audio(
         import wave
 
         for pdf in it:
-            out = {"doc_id": [], "sample_rate": [], "n_samples": [], "samples": []}
+            out = {
+                "doc_id": [], "sample_rate": [], "sample_width": [],
+                "n_samples": [], "samples": [],
+            }
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     out["doc_id"].append(i)
                     out["sample_rate"].append(w.getframerate())
+                    out["sample_width"].append(w.getsampwidth())
                     out["n_samples"].append(w.getnframes())
                     out["samples"].append(w.readframes(w.getnframes()))
             yield pd.DataFrame(out)
@@ -367,14 +376,17 @@ def audio_features(
     frame_size: int = 400,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Frame-level audio features over decoded 8-bit PCM
+    """Frame-level audio features over decoded PCM
     (:func:`decode_audio` output): per non-overlapping frame of
-    ``frame_size`` samples, the signal energy Σ(s−128)² and the
-    zero-crossing count (sign changes of s−128, skipping exact zeros) —
-    the classic cheap speech/music/silence discriminators. Integer-exact
-    (no transcendentals), vectorized numpy per Arrow batch, one output
-    row per frame; the trailing partial frame is kept with its actual
-    length."""
+    ``frame_size`` samples, the signal energy Σs² of the zero-centered
+    samples and the zero-crossing count (sign changes, skipping exact
+    zeros) — the classic cheap speech/music/silence discriminators.
+    Sample width comes from the decoded rows (``sample_width``):
+    1 → unsigned 8-bit, centered by −128; 2 → signed little-endian
+    16-bit (already centered); anything else raises loudly rather than
+    producing garbage features. Integer-exact (no transcendentals),
+    vectorized numpy per Arrow batch, one output row per frame; the
+    trailing partial frame is kept with its actual length."""
     import numpy as np
 
     schema = StructType(
@@ -393,10 +405,22 @@ def audio_features(
                 "doc_id": [], "frame_no": [], "n": [],
                 "energy": [], "zero_crossings": [],
             }
-            for i, raw in zip(pdf[id_col], pdf["samples"]):
-                arr = np.frombuffer(bytes(raw), np.uint8).astype(
-                    np.int64
-                ) - 128
+            for i, raw, width in zip(
+                pdf[id_col], pdf["samples"], pdf["sample_width"]
+            ):
+                if width == 1:
+                    arr = np.frombuffer(bytes(raw), np.uint8).astype(
+                        np.int64
+                    ) - 128
+                elif width == 2:
+                    arr = np.frombuffer(
+                        bytes(raw), np.dtype("<i2")
+                    ).astype(np.int64)
+                else:
+                    raise NotImplementedError(
+                        f"audio_features supports 8/16-bit PCM, got "
+                        f"sample_width={width} for doc_id={i}"
+                    )
                 for fno in range(0, max(1, len(arr)), frame_size):
                     fr = arr[fno : fno + frame_size]
                     if not len(fr):
@@ -411,4 +435,6 @@ def audio_features(
                     )
             yield pd.DataFrame(out)
 
-    return decoded.select(id_col, "samples").mapInPandas(batches, schema)
+    return decoded.select(id_col, "samples", "sample_width").mapInPandas(
+        batches, schema
+    )

@@ -531,6 +531,7 @@ def lsh_bucketed_pairs(
     planes: int = 8,
     threshold: float = 0.8,
     tables: int = 1,
+    cache_keys: bool = True,
 ) -> DataFrame:
     """ANN candidate pairs: equi-join on the SRP bucket, then exact cosine
     refinement. At scale this is the shuffle-friendly path: bucket keys
@@ -562,8 +563,13 @@ def lsh_bucketed_pairs(
         withb, id_col=id_col, vec_col=vec_col,
         group_col="bkt", threshold=threshold,
         # bucket keys come from the GEMM pandas UDF above — cache so the
-        # tiler's group-count pass doesn't run the UDF a second time
-        cache_input=True,
+        # tiler's group-count pass doesn't run the UDF a second time.
+        # Callers with a SMALL corpus pass cache_keys=False: the persist
+        # has ~1 s of constant stage/materialization overhead in local
+        # runs, which only pays for itself once the key UDF dominates
+        # (measured: n=2k loses ~1 s, n=20k saves ~1.5 s, n=60k saves
+        # ~3 s per run).
+        cache_input=cache_keys,
     ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
     if tables <= 1:
         return pairs

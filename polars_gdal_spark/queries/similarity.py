@@ -126,10 +126,11 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_ADAPTIVE_PLANES_SQL``); the one driver scalar is a
     metadata-only parquet ``count()``."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    planes = S.adaptive_planes(emb.count())
+    n = emb.count()
     return S.lsh_bucketed_pairs(
         emb, id_col="vec_id", vec_col="embedding",
-        planes=planes, threshold=0.25,
+        planes=S.adaptive_planes(n), threshold=0.25,
+        cache_keys=n >= 10_000,
     )
 
 
@@ -720,8 +721,9 @@ def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_ADAPTIVE_PLANES_SQL`` (``pl + 4``). Candidate generation is
     bucket-local per table; never corpus²."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    planes = S.adaptive_planes(emb.count()) + 4
+    n = emb.count()
     return S.lsh_bucketed_pairs(
         emb, id_col="vec_id", vec_col="embedding",
-        planes=planes, threshold=0.25, tables=2,
+        planes=S.adaptive_planes(n) + 4, threshold=0.25, tables=2,
+        cache_keys=n >= 10_000,
     )

@@ -70,8 +70,33 @@ def _parse(path: str) -> ET.Element:
 _LAYER_TAGS = ("OGRVRTLayer", "OGRVRTUnionLayer")
 
 
+def _doc_order_layers(root: ET.Element) -> list[ET.Element]:
+    """Layer elements in DOCUMENT order (the order OGR numbers layers
+    in) — a findall-per-tag sweep would list every plain layer before
+    every union layer and mis-resolve the 'first layer' default."""
+    return [el for el in root if el.tag in _LAYER_TAGS]
+
+
+def _union_members(el: ET.Element, path: str) -> list[ET.Element]:
+    """Members of an OGRVRTUnionLayer in document order. Only plain
+    <OGRVRTLayer> members are supported: a nested union (or warped
+    layer) raises a typed error instead of being silently skipped —
+    findall("OGRVRTLayer") would drop its rows without a trace."""
+    mems = []
+    for child in el:
+        if child.tag == "OGRVRTLayer":
+            mems.append(child)
+        elif child.tag in ("OGRVRTUnionLayer", "OGRVRTWarpedLayer"):
+            raise UnsupportedFormatError(
+                f"{path!r}: union layer {el.get('name')!r} has a "
+                f"<{child.tag}> member; only plain <OGRVRTLayer> "
+                "members are supported"
+            )
+    return mems
+
+
 def _layer_elem(root: ET.Element, path: str, layer: str) -> ET.Element:
-    els = [el for tag in _LAYER_TAGS for el in root.findall(tag)]
+    els = _doc_order_layers(root)
     for el in els:
         if el.get("name") == layer:
             return el
@@ -181,11 +206,7 @@ class VrtDriver(FormatDriver):
 
     def list_layers(self, path: str, options: dict) -> list[str]:
         root = _parse(path)
-        names = [
-            el.get("name") or ""
-            for tag in _LAYER_TAGS
-            for el in root.findall(tag)
-        ]
+        names = [el.get("name") or "" for el in _doc_order_layers(root)]
         if not names:
             raise UnsupportedFormatError(f"{path!r}: VRT defines no layers")
         return names
@@ -197,7 +218,7 @@ class VrtDriver(FormatDriver):
             # semantics; conflicting dtypes widen to string)
             seen: dict[str, int] = {}
             out: list[Field] = []
-            for mem in el.findall("OGRVRTLayer"):
+            for mem in _union_members(el, path):
                 for f in self._member_fields(path, mem, options):
                     if f.name in seen:
                         prev = out[seen[f.name]]
@@ -206,7 +227,7 @@ class VrtDriver(FormatDriver):
                     else:
                         seen[f.name] = len(out)
                         out.append(f)
-            if not out and not el.findall("OGRVRTLayer"):
+            if not out and not _union_members(el, path):
                 raise UnsupportedFormatError(
                     f"{path!r}: union layer {layer!r} has no members"
                 )
@@ -233,7 +254,7 @@ class VrtDriver(FormatDriver):
         if srs is not None and (srs.text or "").strip():
             return srs.text.strip()
         if el.tag == "OGRVRTUnionLayer":
-            mems = el.findall("OGRVRTLayer")
+            mems = _union_members(el, path)
             el = mems[0] if mems else el
             if el.tag == "OGRVRTUnionLayer":
                 return None
@@ -244,7 +265,7 @@ class VrtDriver(FormatDriver):
         el = _layer_elem(_parse(path), path, layer)
         if el.tag == "OGRVRTUnionLayer":
             total = 0
-            for mem in el.findall("OGRVRTLayer"):
+            for mem in _union_members(el, path):
                 src = _Src(path, mem)
                 n = src.driver.feature_count(src.path, src.layer, options)
                 if n is None:
@@ -296,7 +317,7 @@ class VrtDriver(FormatDriver):
         if el.tag == "OGRVRTUnionLayer":
             # sequential member concatenation; start/end never reach here
             # (split_ranges returns None for union layers)
-            for mem in el.findall("OGRVRTLayer"):
+            for mem in _union_members(el, path):
                 yield from self._iter_member(path, mem, options, None, None)
             return
         yield from self._iter_member(path, el, options, start, end)

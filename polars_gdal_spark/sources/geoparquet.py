@@ -210,6 +210,8 @@ class GeoParquetReader(DataSourceReader):
         )
         # covering paths: corner name -> "structcol.field" parquet path
         self.covering: dict[str, str] | None = None
+        # exact-filter fallback geometry column (bbox w/o covering)
+        self._bbox_geom_col: str | None = None
         if self.bbox is not None:
             geo = read_geo_footer(self.path) or {}
             primary = geo.get("primary_column", "geometry")
@@ -225,6 +227,28 @@ class GeoParquetReader(DataSourceReader):
                 self.covering = {
                     k: ".".join(cov[k]) for k in ("xmin", "ymin", "xmax", "ymax")
                 }
+            else:
+                # No covering declared: bbox must STILL filter (the GDAL
+                # reference applies a spatial filter unconditionally —
+                # silently returning the full dataset would make filter
+                # semantics depend on how the file was written). Fall
+                # back to an exact per-row WKB-envelope filter at scan
+                # time; no row-group pruning (there are no bbox stats),
+                # so this is correct-but-unpruned — write a covering
+                # (spec §covering) to get planning-time pruning back.
+                names = {f.name for f in self.schema.fields}
+                if primary in names:
+                    self._bbox_geom_col = primary
+                else:
+                    from polars_gdal_spark.errors import (
+                        CannotFindGeometryColumnError,
+                    )
+
+                    raise CannotFindGeometryColumnError(
+                        f"bbox option given but {self.path!r} declares no "
+                        f"GeoParquet covering and has no geometry column "
+                        f"{primary!r} to filter exactly"
+                    )
 
     def _rg_intersects(self, md, rg: int) -> bool:
         """Row-group stats vs filter bbox; keep on any missing stat."""
@@ -274,11 +298,15 @@ class GeoParquetReader(DataSourceReader):
         batches = pf.iter_batches(
             row_groups=[partition.row_group], columns=names
         )
-        if self.bbox is None or self.covering is None:
+        if self.bbox is None:
             yield from batches
             return
+        if self.covering is not None:
+            for batch in batches:
+                yield self._covering_filter(batch)
+            return
         for batch in batches:
-            yield self._covering_filter(batch)
+            yield self._wkb_envelope_filter(batch)
 
     def _covering_filter(self, batch):
         """Exact per-row covering-intersects filter for the bbox option."""
@@ -301,6 +329,29 @@ class GeoParquetReader(DataSourceReader):
             ),
         )
         return batch.filter(keep)
+
+    def _wkb_envelope_filter(self, batch):
+        """Exact envelope-intersects filter decoded from the WKB itself —
+        the bbox fallback for files without a GeoParquet covering. Null
+        geometries are excluded, matching the gdal reader's ``bbox``
+        semantics; undecodable WKB raises (loud, never silent rows)."""
+        import pyarrow as pa
+
+        from polars_gdal_spark.geometry import geom_bounds
+        from polars_gdal_spark.geometry.wkb import wkb_to_geom
+
+        qx0, qy0, qx1, qy1 = self.bbox
+        keep = []
+        for v in batch.column(self._bbox_geom_col):
+            raw = v.as_py()
+            if raw is None:
+                keep.append(False)
+                continue
+            x0, y0, x1, y1 = geom_bounds(wkb_to_geom(bytes(raw)))
+            keep.append(
+                x0 <= qx1 and x1 >= qx0 and y0 <= qy1 and y1 >= qy0
+            )
+        return batch.filter(pa.array(keep, type=pa.bool_()))
 
 
 class GeoParquetPushdownReader(GeoParquetReader):

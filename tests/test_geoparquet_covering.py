@@ -106,18 +106,20 @@ def test_covering_bbox_filters_rows_exactly(spark, foreign_gpq):
     assert names == [f"p100_{i}" for i in range(5)]
 
 
-def test_bbox_without_covering_returns_all(spark, tmp_path):
-    """A file with no covering declaration must not be silently filtered
-    — the bbox option degrades to a no-op scan (exact filtering is the
-    caller's job when no covering exists)."""
+def test_bbox_without_covering_filters_exactly(spark, tmp_path):
+    """A file with no covering declaration must STILL honor ``bbox`` —
+    the GDAL reference applies its spatial filter unconditionally, so
+    filter semantics must not depend on how the file was written. With
+    no bbox stats to prune row groups, the reader decodes each row's
+    WKB envelope and filters exactly (null geometries excluded)."""
     src = spark.createDataFrame(
-        [(1, _wkb_point(0, 0)), (2, _wkb_point(500, 500))],
+        [(1, _wkb_point(0, 0)), (2, _wkb_point(500, 500)), (3, None)],
         "id bigint, geometry binary",
     )
     out = str(tmp_path / "plain_gpq")
     src.write.format("geoparquet").mode("overwrite").save(out)
     df = spark.read.format("geoparquet").option("bbox", "-1,-1,1,1").load(out)
-    assert df.count() == 2
+    assert [r["id"] for r in df.collect()] == [1]
 
 
 def test_write_covering_roundtrip_prunes_own_output(spark, tmp_path):

@@ -355,3 +355,38 @@ def test_png_codec_rejects_corrupt_chunks():
         bad[flip_at] ^= 0xFF
         with pytest.raises(ValueError, match="CRC|truncated|PNG"):
             decode_png(bytes(bad))
+
+
+def test_audio_features_16bit(spark):
+    """16-bit WAVs must produce correct (not silently-garbage) features:
+    sample_width rides along from decode_audio and selects the signed
+    little-endian int16 interpretation."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from polars_gdal_spark.functions.multimodal import (
+        audio_features,
+        decode_audio,
+    )
+
+    # square wave +/-1000 every 10 samples, 16-bit signed LE
+    sig = np.where((np.arange(1000) // 10) % 2 == 0, 1000, -1000).astype(
+        "<i2"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [(7, buf.getvalue())], "doc_id bigint, payload binary"
+    )
+    decoded = decode_audio(df)
+    assert [r["sample_width"] for r in decoded.select("sample_width").collect()] == [2]
+    feats = {r["frame_no"]: r for r in audio_features(decoded, frame_size=400).collect()}
+    assert feats[0]["energy"] == 400 * 1000 * 1000
+    assert feats[0]["zero_crossings"] == 39
+    assert feats[2]["n"] == 200 and feats[2]["energy"] == 200 * 1000 * 1000

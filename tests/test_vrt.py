@@ -187,3 +187,63 @@ def test_vrt_union_member_field_rename(spark, tmp_path):
         r["place"] for r in spark.read.format("gdal").load(vrt).collect()
     )
     assert got == ["lyon", "paris"]
+
+
+def test_vrt_first_layer_default_is_document_order(spark, tmp_path):
+    """When no layer is selected, the default must be the FIRST layer in
+    document order — even when that is a union layer declared before a
+    plain layer (a per-tag findall sweep would pick the plain one)."""
+    a = tmp_path / "d1.csv"
+    a.write_text("name,v\nfirst,1\n")
+    b = tmp_path / "d2.csv"
+    b.write_text("name,v\nsecond,2\n")
+    vrt = _write(tmp_path / "order.vrt", """
+<OGRVRTDataSource>
+  <OGRVRTUnionLayer name="both">
+    <OGRVRTLayer name="x">
+      <SrcDataSource relativeToVRT="1">d1.csv</SrcDataSource>
+    </OGRVRTLayer>
+    <OGRVRTLayer name="y">
+      <SrcDataSource relativeToVRT="1">d2.csv</SrcDataSource>
+    </OGRVRTLayer>
+  </OGRVRTUnionLayer>
+  <OGRVRTLayer name="solo">
+    <SrcDataSource relativeToVRT="1">d2.csv</SrcDataSource>
+  </OGRVRTLayer>
+</OGRVRTDataSource>""")
+    got = sorted(
+        r["name"] for r in spark.read.format("gdal").load(vrt).collect()
+    )
+    assert got == ["first", "second"]  # the union, not "solo"
+
+
+def test_vrt_nested_union_member_raises(spark, tmp_path):
+    """A union member that is itself a union must raise a typed error,
+    never silently drop that member's rows."""
+    import pytest
+
+    from polars_gdal_spark.errors import UnsupportedFormatError
+
+    a = tmp_path / "n1.csv"
+    a.write_text("name,v\nrowa,1\n")
+    vrt = _write(tmp_path / "nested.vrt", """
+<OGRVRTDataSource>
+  <OGRVRTUnionLayer name="outer">
+    <OGRVRTLayer name="m">
+      <SrcDataSource relativeToVRT="1">n1.csv</SrcDataSource>
+    </OGRVRTLayer>
+    <OGRVRTUnionLayer name="inner">
+      <OGRVRTLayer name="m2">
+        <SrcDataSource relativeToVRT="1">n1.csv</SrcDataSource>
+      </OGRVRTLayer>
+    </OGRVRTUnionLayer>
+  </OGRVRTUnionLayer>
+</OGRVRTDataSource>""")
+    from polars_gdal_spark.sources.formats.vrt import VrtDriver
+
+    with pytest.raises(UnsupportedFormatError, match="OGRVRTUnionLayer"):
+        list(VrtDriver().iter_features(vrt, "outer", {}))
+    # through Spark the typed message still surfaces (wrapped by the
+    # task-failure machinery when it fires executor-side)
+    with pytest.raises(Exception, match="OGRVRTUnionLayer"):
+        spark.read.format("gdal").load(vrt).collect()
