@@ -94,6 +94,8 @@ HEADLINE = [
     "multimodal_video_pipeline",
     "sim_lsh_multitable",
     "graph_pagerank",
+    # round-5 additions
+    "dedup_substring_windows",
 ]
 
 

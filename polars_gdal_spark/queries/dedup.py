@@ -963,3 +963,99 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("band").alias("key_type"), "n_keys")
     )
     return dg.unionAll(bd)
+
+
+@query(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    tkw AS (
+      SELECT doc, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM aug
+    ),
+    w AS (
+      SELECT doc, md5(array_to_string(tk[i.i : i.i + 19], ' ')) AS h
+      FROM tkw,
+           LATERAL (SELECT unnest(generate_series(1, len(tk) - 19)) AS i) i
+      WHERE len(tk) >= 20
+    ),
+    shared AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc) >= 2),
+    dup AS (SELECT doc, count(*) AS dw FROM w JOIN shared USING (h)
+            GROUP BY doc)
+    SELECT t.doc,
+           CAST(greatest(0, len(t.tk) - 19) AS BIGINT) AS n_windows,
+           CAST(coalesce(d.dw, 0) AS BIGINT) AS dup_windows,
+           CASE WHEN len(t.tk) >= 20
+                THEN CAST(coalesce(d.dw, 0) AS DOUBLE) / (len(t.tk) - 19)
+                ELSE 0.0 END AS dup_ratio
+    FROM tkw t LEFT JOIN dup d USING (doc)
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal — the OVERLAPPING rolling
+    20-token-window variant of line dedup (the span-level signal
+    'Deduplicating Training Data Makes Language Models Better', Lee et
+    al. 2022, removes; the reference engine has no dedup at all, so
+    this extends the engine the way its users' training pipelines do):
+    per document, how many of its k-token windows occur verbatim in
+    >= 2 DISTINCT documents, as count + ratio. Unlike disjoint lines
+    (``dedup_line_corpus``), overlapping windows catch shared spans at
+    ANY alignment — a copied paragraph flags every window it covers,
+    not just the lines that happen to align to the 10-token grid.
+
+    Scale shape: window generation is explode(sequence) + slice +
+    array_join + md5 — all codegen (no interpreted higher-order
+    lambda); the shared-window set comes from one map-side-combined
+    count-distinct groupBy on the 128-bit window hash; attribution is
+    one equi-join on the same uniform key; per-doc totals are a
+    projection (size − k + 1). Two balanced shuffles, no all-pairs
+    stage, no window function — the CCNet/line-dedup plan with a k×
+    denser (but still linear) stream. Runs over the augmented corpus
+    (base ∪ 80%-prefix mutants) so genuinely shared spans exist at
+    every SF."""
+    k = 20
+    aug = _augmented(spark, sf_dir)
+    tk = _toks(F.col("text"))
+    base = aug.select("doc", tk.alias("tk"))
+    w = (
+        base.where(F.size("tk") >= k)
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1))
+            ).alias("i"),
+            "tk",
+        )
+        .select(
+            "doc",
+            F.md5(
+                F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")
+            ).alias("h"),
+        )
+    )
+    shared = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = w.join(shared, "h").groupBy("doc").agg(
+        F.count("*").alias("dw")
+    )
+    totals = base.select(
+        "doc",
+        F.greatest(F.lit(0), F.size("tk") - (k - 1))
+        .cast("bigint")
+        .alias("n_windows"),
+    )
+    return totals.join(dup, "doc", "left").select(
+        "doc",
+        "n_windows",
+        F.coalesce("dw", F.lit(0)).cast("bigint").alias("dup_windows"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.coalesce("dw", F.lit(0)).cast("double") / F.col("n_windows"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )

@@ -237,6 +237,10 @@ EXPECT = {
     # line hashes shuffle once (partial distinct-doc count), dup lines
     # attribute back via an equi-join — never an all-pairs stage
     "dedup_line_corpus": ["partial", "!CartesianProduct"],
+    # overlapping rolling-window substring dedup: codegen window stream
+    # (Generate = explode(sequence)), map-side-combined hash groupBy,
+    # equi-join attribution — never an all-pairs stage
+    "dedup_substring_windows": ["Generate", "partial", "!CartesianProduct"],
     # JL projection is a pure narrow transform: literal sign arrays,
     # zero shuffle, zero Python — one Generate for the long-form explode
     "embed_random_projection": ["!Exchange", "Generate"],
