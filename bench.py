@@ -96,6 +96,7 @@ HEADLINE = [
     "graph_pagerank",
     # round-5 additions
     "dedup_substring_windows",
+    "sim_pq_adc_topk",
 ]
 
 

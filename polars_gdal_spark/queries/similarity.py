@@ -727,3 +727,64 @@ def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=S.adaptive_planes(n) + 4, threshold=0.25, tables=2,
         cache_keys=n >= 10_000,
     )
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_Q_SQL},
+    blocks AS (SELECT unnest(generate_series(0, 7)) AS b),
+    sub AS (
+      SELECT q.vec_id, b.b, q.v[b.b*8 + 1 : b.b*8 + 8] AS sv
+      FROM q, blocks b
+    ),
+    cb AS (SELECT vec_id AS c, b, sv AS cv FROM sub WHERE vec_id < 16),
+    dist AS (
+      SELECT s.vec_id, s.b, cb.c,
+             list_dot_product(s.sv, s.sv)
+             - 2 * list_dot_product(s.sv, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS d2
+      FROM sub s JOIN cb ON s.b = cb.b
+    ),
+    enc AS (
+      SELECT vec_id, b, c AS code FROM (
+        SELECT vec_id, b, c,
+               row_number() OVER (PARTITION BY vec_id, b
+                                  ORDER BY d2, c) AS rk
+        FROM dist) t WHERE rk = 1
+    ),
+    tq AS (SELECT b, c, d2 FROM dist WHERE vec_id = 0),
+    score AS (
+      SELECT e.vec_id, sum(t.d2) AS s
+      FROM enc e JOIN tq t ON e.b = t.b AND e.code = t.c
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, CAST(s AS DOUBLE) AS adc_dist
+    FROM score ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the memory
+    side of the 100 TB story: 64 floats compress to 8 codebook indices
+    (8 contiguous 8-dim subspaces × 16 deterministic sampled centroids
+    each = the sub-vectors of vec_id 0..15), and the query ranks the
+    corpus by ASYMMETRIC distance — per-subspace exact-int L2 tables
+    computed once for the query, then m lookups + a sum per corpus row.
+    No decompression, no per-row float math, integer-valued doubles
+    < 2^53 end to end, so ranking and values are bit-reproducible and
+    the DuckDB oracle replays the identical codebook/encode/ADC chain.
+
+    Scale shape: encoding is one shuffle-free vectorized pandas UDF;
+    the codebook (16 rows) and the query (1 row) are the only driver
+    collects (ANN metadata, same contract as IVF centroids); ADC ends
+    in TakeOrderedAndProject. The compressed code column is what a
+    RAM-resident cluster-wide ANN index stores — 8 bytes/vector vs
+    256."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    C = S.pq_codebooks(emb, id_col="vec_id", vec_col="embedding", m=8, k=16)
+    qvec = (
+        emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    enc = S.pq_encode(emb.where(F.col("vec_id") != 0), C)
+    return S.pq_adc_topk(enc, C, qvec, k=10)

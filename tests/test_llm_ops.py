@@ -774,3 +774,39 @@ def test_srp_key_formulations_agree(spark):
     for r in got:
         assert r["udf"][0] == f"0:{r['expr0']}"
         assert r["udf"][3] == f"3:{r['expr3']}"
+
+
+def test_pq_adc_recall_and_compression(spark):
+    """PQ/ADC must (a) compress to exactly m small ints per vector and
+    (b) rank a clustered corpus well enough that ADC top-10 overlaps
+    the exact cosine top-10 substantially (deterministic fixture →
+    exact assert)."""
+    from polars_gdal_spark.functions.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = _clustered_vecs(n_clusters=10, per=20, dim=16, seed=3)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    C = pq_codebooks(df, m=4, k=16)
+    assert C.shape == (4, 16, 4)
+    enc = pq_encode(df.where("vec_id != 0"), C)
+    first = enc.orderBy("vec_id").first()
+    assert len(first["codes"]) == 4 and all(
+        0 <= c < 16 for c in first["codes"]
+    )
+    qvec = rows[0][1]
+    adc = {
+        r["vec_id"]
+        for r in pq_adc_topk(enc, C, qvec, k=10).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(
+            df, df.where("vec_id = 0"), k=10
+        ).collect()
+    }
+    # same 20-vector cluster as the query dominates both rankings
+    assert len(adc & exact) >= 6, (sorted(adc), sorted(exact))

@@ -291,6 +291,8 @@ EXPECT = {
     "multimodal_video_pipeline": ["MapInPandas", "!Exchange"],
     # union of per-table bucket equi-joins, deduplicated — never corpus²
     "sim_lsh_multitable": ["!CartesianProduct"],
+    # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
+    "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
     # iterative rank propagation ends on a lineage-cut checkpoint, so
     # the result plan is the checkpoint scan (dedup_components shape)
     "graph_pagerank": ["ExistingRDD", "!CartesianProduct", "!Window"],
