@@ -120,3 +120,78 @@ def stratified_sample_exact(
         .where(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): score every document by how much more likely its
+    hashed-unigram features are under the TARGET distribution (rows
+    matching ``target_pred`` — the trusted high-quality subset) than
+    under the raw SOURCE corpus. High scores = "looks like the data I
+    want more of"; resampling by score steers a 100 TB crawl toward the
+    target domain without a trained classifier.
+
+    Integer-exact formulation so Spark and the SQL oracle agree bit-for-
+    bit: tokens hash to ``n_buckets`` buckets via md5-prefix arithmetic
+    (cross-engine identical), per-bucket counts get +1 smoothing, and
+    log-probabilities quantize to bit_length (``length(bin(c))`` on both
+    engines) — score = Σ_tok [bitlen(tgt_b+1) − bitlen(src_b+1)]
+    + n_tok·[bitlen(S+1) − bitlen(T+1)] (the normalizer term, also
+    exact). No transcendentals anywhere.
+
+    Scale shape: one explode + two map-side-combinable aggregates build
+    the (n_buckets)-row stats table, which broadcast-joins back to the
+    token stream; totals ride a broadcast 1-row crossJoin. Nothing ever
+    collects to the driver."""
+    tok = (
+        docs.select(
+            F.col(id_col),
+            target_pred.alias("_is_tgt"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
+        .select(
+            id_col,
+            "_is_tgt",
+            (
+                F.conv(F.substring(F.md5("_tok"), 1, 6), 16, 10).cast("long")
+                % n_buckets
+            ).alias("_b"),
+        )
+    )
+    stats = tok.groupBy("_b").agg(
+        F.count("*").alias("_sc"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tc"),
+    )
+    totals = tok.agg(
+        F.count("*").alias("_S"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_T"),
+    )
+
+    def _bitlen(c):
+        return F.length(F.bin(c))
+
+    return (
+        tok.join(F.broadcast(stats), "_b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    _bitlen(F.col("_tc") + 1) - _bitlen(F.col("_sc") + 1)
+                )
+                + F.count("*")
+                * F.first(
+                    _bitlen(F.col("_S") + 1) - _bitlen(F.col("_T") + 1)
+                )
+            )
+            .cast("bigint")
+            .alias("dsir_score")
+        )
+    )

@@ -767,6 +767,89 @@ def kmeans_lloyd(
     return centroids
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the ``k`` most-cosine-similar corpus vectors whose label
+    DIFFERS from the query's — the near-miss negatives that make
+    embedding models actually learn (easy random negatives carry no
+    gradient signal).
+
+    Same scale shape as :func:`knn_join` — broadcast query matrix,
+    per-partition int64 GEMM, local top-k, global top-k window over
+    ``k × partitions`` rows — plus a label mask applied INSIDE the GEMM
+    (same-label cosines set to -inf before the local top-k), so the
+    exclusion costs zero extra passes and no join. The corpus is never
+    moved; the only collect is the bounded query set."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col, label_col).collect()
+    out_schema = (
+        f"qid {dict(queries.dtypes)[id_col]}, "
+        f"{id_col} {dict(corpus.dtypes)[id_col]}, cosine double"
+    )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qids = np.array([r[0] for r in qrows])
+    qlabels = np.array([r[2] for r in qrows])
+    Q = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]) * QUANT
+    ).astype(np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qlabels, Q, qn))
+
+    def score(batches):
+        qids_b, qlab_b, Q_b, qn_b = bq.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            M = np.floor(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                * QUANT
+            ).astype(np.int64)
+            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            cos = (M @ Q_b.T).astype(np.float64) / np.outer(cn, qn_b)
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            for j in range(len(qids_b)):
+                col = np.where(labs == qlab_b[j], -np.inf, cos[:, j])
+                keep = np.isfinite(col)
+                if not keep.any():
+                    continue
+                ids_j, col_j = ids[keep], col[keep]
+                take = min(k, len(col_j))
+                top = np.lexsort((ids_j, -col_j))[:take]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids_b[j], take),
+                        id_col: ids_j[top],
+                        "cosine": col_j[top],
+                    }
+                )
+
+    from pyspark.sql import Window
+
+    local = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_codebooks(
     df: DataFrame,
     id_col: str = "vec_id",

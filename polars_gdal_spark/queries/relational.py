@@ -1152,3 +1152,49 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_v"),
         )
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join — sideways information passing made
+    explicit: the selective customer key set compresses to a bitmap
+    (~10 bits/key, sized from the dim count), broadcasts as a literal,
+    and drops non-matching orders BEFORE the shuffle; the exact semi
+    join after it removes the ~1% false positives, so the result (and
+    the oracle) is the plain semi join. This is the shape for a dim too
+    big to broadcast as rows but whose key set fits a few KB of bits —
+    at 100 TB the exchange this avoids IS the query cost. Filter apply
+    is pure codegen'd integral arithmetic, no extra pass."""
+    from polars_gdal_spark.functions.bloom import bloom_prefiltered_semi_join
+
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t["customer"]
+        .where(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5)
+        )
+        .select("c_custkey")
+    )
+    kept = bloom_prefiltered_semi_join(
+        t["orders"], dim, fact_key="o_custkey", dim_key="c_custkey"
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

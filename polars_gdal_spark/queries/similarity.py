@@ -730,6 +730,44 @@ def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH {_Q_SQL},
+    qs AS (SELECT vec_id, label, v FROM q WHERE vec_id < 8),
+    corpus AS (SELECT vec_id, label, v FROM q WHERE vec_id >= 8),
+    scored AS (
+      SELECT qs.vec_id AS qid, corpus.vec_id AS vec_id,
+             list_dot_product(qs.v, corpus.v)
+               / (sqrt(list_dot_product(qs.v, qs.v))
+                  * sqrt(list_dot_product(corpus.v, corpus.v))) AS cosine
+      FROM qs JOIN corpus ON qs.label <> corpus.label
+    )
+    SELECT qid, vec_id, cosine
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — for each of 8 anchor vectors, the 5 most
+    similar corpus vectors with a DIFFERENT label: the contrastive-
+    training negatives that sit just outside the class boundary. The
+    label mask runs inside the broadcast-GEMM kernel (same-label
+    cosines → -inf before the local top-k), so exclusion is free — no
+    join, no second pass, and the shuffle still carries only
+    k × partitions rows per anchor."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.hard_negatives(
+        emb.where(F.col("vec_id") >= 8),
+        emb.where(F.col("vec_id") < 8),
+        k=5,
+    )
+
+
+@query(
     "sim_pq_adc_topk",
     oracle=f"""
     WITH {_Q_SQL},

@@ -293,6 +293,19 @@ EXPECT = {
     "sim_lsh_multitable": ["!CartesianProduct"],
     # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # label mask runs inside the GEMM kernel: no join, bounded window
+    "sim_hard_negatives": ["MapInPandas", "!CartesianProduct"],
+    # morton key is pure codegen arithmetic; stats agg map-side combines
+    "pipeline_zorder_layout": ["partial", "!CartesianProduct"],
+    # bloom bitmap applies as a pre-shuffle Filter (xxhash64 in-plan);
+    # the exactness semi join broadcasts the dim
+    "join_bloom_prefilter": ["xxhash64", "BroadcastHashJoin", "!CartesianProduct"],
+    # 1024-row stats broadcast back to the token stream; top-200 is a
+    # TakeOrderedAndProject, aggs map-side combine
+    "pipeline_importance_resample": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "partial",
+        "!CartesianProduct",
+    ],
     # iterative rank propagation ends on a lineage-cut checkpoint, so
     # the result plan is the checkpoint scan (dedup_components shape)
     "graph_pagerank": ["ExistingRDD", "!CartesianProduct", "!Window"],
