@@ -97,6 +97,7 @@ HEADLINE = [
     # round-5 additions
     "dedup_substring_windows",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "sim_hard_negatives",
     "pipeline_zorder_layout",
     "join_bloom_prefilter",

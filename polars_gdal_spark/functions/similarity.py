@@ -767,6 +767,141 @@ def kmeans_lloyd(
     return centroids
 
 
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_vec,
+    m: int = 8,
+    codebook_k: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style two-level ANN that carries vector search
+    to 100 TB — a coarse IVF quantizer prunes the search to ``n_probe``
+    cells, and product quantization compresses each vector's RESIDUAL
+    (vector − its centroid) to ``m`` codebook indices, so the scan
+    ranks by asymmetric distance (per-cell lookup tables) without ever
+    touching the original floats.
+
+    Fused single-pass design: coarse assignment, residual, PQ encode,
+    and ADC lookup all run inside ONE ``mapInPandas`` kernel (the
+    centroid matrix, residual codebooks, and per-probed-cell query
+    tables ride the closure — a few KB), so the corpus is scanned once
+    with NO shuffle; rows assigned to unprobed cells drop inside the
+    kernel. The result is a TakeOrderedAndProject top-k. The persisted
+    steady-state twin (scan only probed cell directories) is
+    ``save_ivf_index``/``ivf_search_indexed`` — this operator is the
+    build+query path and the compression contract.
+
+    Deterministic metadata contracts (like IVF centroids / PQ
+    codebooks): centroids and the ``codebook_k`` smallest-id corpus
+    rows collect to the driver; residual arithmetic is exact int64, so
+    codes, tables, and distances are bit-reproducible on any cluster
+    shape and the SQL oracle replays the identical chain."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf  # noqa: F401
+
+    crows = centroids.select(id_col, vec_col).orderBy(id_col).collect()
+    cids = np.array([r[0] for r in crows])
+    C0 = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in crows]) * QUANT
+    ).astype(np.int64)
+    cn = np.sqrt((C0 * C0).sum(axis=1).astype(np.float64))
+    d = C0.shape[1]
+    assert d % m == 0
+    dsub = d // m
+
+    q = np.floor(np.asarray(query_vec, dtype=np.float64) * QUANT).astype(
+        np.int64
+    )
+    qn = np.sqrt(float(q @ q))
+
+    # probe cells: top n_probe by centroid cosine, smallest-cid tiebreak
+    ccos = (C0 @ q).astype(np.float64) / (cn * qn)
+    porder = np.lexsort((cids, -ccos))[:n_probe]
+    probe_cids = cids[porder]
+
+    # residual codebooks from the codebook_k smallest-id corpus rows
+    srows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(codebook_k)
+    ).collect()
+    S0 = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in srows]) * QUANT
+    ).astype(np.int64)
+    sn = np.sqrt((S0 * S0).sum(axis=1).astype(np.float64))
+    sassign = np.argmax(
+        (S0 @ C0.T).astype(np.float64) / np.outer(sn, cn), axis=1
+    )
+    R = S0 - C0[sassign]
+    CB = np.stack(
+        [R[:, b * dsub : (b + 1) * dsub] for b in range(m)]
+    )  # (m, codebook_k, dsub)
+    cbsq = np.einsum("mkd,mkd->mk", CB, CB)
+
+    # per-probed-cell ADC tables over the query residual
+    tables = {}
+    for cid, ci in zip(probe_cids, porder):
+        qr = q - C0[ci]
+        T = np.empty((m, CB.shape[1]), dtype=np.int64)
+        for b in range(m):
+            qb = qr[b * dsub : (b + 1) * dsub]
+            T[b] = (qb @ qb) - 2 * (CB[b] @ qb) + cbsq[b]
+        tables[int(cid)] = T
+
+    sc = corpus.sparkSession.sparkContext
+    bmeta = sc.broadcast((cids, C0, cn, CB, cbsq, tables))
+    out_schema = f"{id_col} {dict(corpus.dtypes)[id_col]}, adc_dist double"
+
+    def kernel(batches):
+        cids_b, C0_b, cn_b, CB_b, cbsq_b, tab_b = bmeta.value
+        mm, kk, ds = CB_b.shape
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                * QUANT
+            ).astype(np.int64)
+            xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+            cell = np.argmax(
+                (X @ C0_b.T).astype(np.float64) / np.outer(xn, cn_b), axis=1
+            )
+            cell_ids = cids_b[cell]
+            keep = np.isin(cell_ids, list(tab_b.keys()))
+            if not keep.any():
+                continue
+            Xk = X[keep] - C0_b[cell[keep]]  # residuals
+            ids = pdf[id_col].to_numpy()[keep]
+            cells_k = cell_ids[keep]
+            adc = np.zeros(len(Xk), dtype=np.int64)
+            codes = np.empty((len(Xk), mm), dtype=np.int64)
+            for b in range(mm):
+                Rb = Xk[:, b * ds : (b + 1) * ds]
+                dists = (
+                    np.einsum("nd,nd->n", Rb, Rb)[:, None]
+                    - 2 * (Rb @ CB_b[b].T)
+                    + cbsq_b[b][None, :]
+                )
+                codes[:, b] = np.argmin(dists, axis=1)
+            for cid, T in tab_b.items():
+                sel = cells_k == cid
+                if sel.any():
+                    adc[sel] = T[
+                        np.arange(mm)[None, :], codes[sel]
+                    ].sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: ids, "adc_dist": adc.astype(np.float64)}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    return local.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

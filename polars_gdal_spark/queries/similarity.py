@@ -826,3 +826,120 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = S.pq_encode(emb.where(F.col("vec_id") != 0), C)
     return S.pq_adc_topk(enc, C, qvec, k=10)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_Q_SQL},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    corpus AS (SELECT vec_id, v FROM q WHERE vec_id >= 16),
+    qq AS (SELECT v AS qv FROM q WHERE vec_id = 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY list_dot_product(corpus.v, cent.cv)
+                          / (sqrt(list_dot_product(corpus.v, corpus.v))
+                             * sqrt(list_dot_product(cent.cv, cent.cv)))
+                            DESC,
+                          cent.cid) AS rk
+        FROM corpus CROSS JOIN cent) t
+      WHERE rk = 1
+    ),
+    probe AS (
+      SELECT cid, cv FROM cent, qq
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv))
+                  * sqrt(list_dot_product(qv, qv))) DESC, cid
+      LIMIT 2
+    ),
+    samp AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+      FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 16) s
+    ),
+    sres AS (
+      SELECT samp.code,
+             list_transform(generate_series(1, 64),
+                            i -> c.v[i] - ct.cv[i]) AS rv
+      FROM samp JOIN corpus c USING (vec_id)
+      JOIN assign a ON a.vec_id = samp.vec_id
+      JOIN cent ct ON ct.cid = a.cid
+    ),
+    blocks AS (SELECT unnest(generate_series(0, 7)) AS b),
+    cb AS (
+      SELECT code, b.b, rv[b.b*8 + 1 : b.b*8 + 8] AS cbv
+      FROM sres, blocks b
+    ),
+    pres AS (
+      SELECT c.vec_id, a.cid,
+             list_transform(generate_series(1, 64),
+                            i -> c.v[i] - ct.cv[i]) AS rv
+      FROM corpus c JOIN assign a ON a.vec_id = c.vec_id
+      JOIN probe p ON p.cid = a.cid
+      JOIN cent ct ON ct.cid = a.cid
+    ),
+    psub AS (
+      SELECT vec_id, cid, b.b, rv[b.b*8 + 1 : b.b*8 + 8] AS sv
+      FROM pres, blocks b
+    ),
+    enc AS (
+      SELECT vec_id, cid, b, code FROM (
+        SELECT psub.vec_id, psub.cid, psub.b, cb.code,
+               row_number() OVER (PARTITION BY psub.vec_id, psub.b
+                 ORDER BY list_dot_product(psub.sv, psub.sv)
+                          - 2 * list_dot_product(psub.sv, cb.cbv)
+                          + list_dot_product(cb.cbv, cb.cbv),
+                          cb.code) AS rk
+        FROM psub JOIN cb ON psub.b = cb.b) t
+      WHERE rk = 1
+    ),
+    qres AS (
+      SELECT p.cid,
+             list_transform(generate_series(1, 64),
+                            i -> qq.qv[i] - p.cv[i]) AS rv
+      FROM probe p, qq
+    ),
+    tq AS (
+      SELECT q2.cid, cb.b, cb.code,
+             list_dot_product(q2.rv[cb.b*8+1 : cb.b*8+8],
+                              q2.rv[cb.b*8+1 : cb.b*8+8])
+             - 2 * list_dot_product(q2.rv[cb.b*8+1 : cb.b*8+8], cb.cbv)
+             + list_dot_product(cb.cbv, cb.cbv) AS d2
+      FROM qres q2 CROSS JOIN cb
+    ),
+    score AS (
+      SELECT e.vec_id, sum(t.d2) AS s
+      FROM enc e
+      JOIN tq t ON t.cid = e.cid AND t.b = e.b AND t.code = e.code
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, CAST(s AS DOUBLE) AS adc_dist
+    FROM score ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al., PAMI 2011; the FAISS IVFPQ shape) —
+    coarse IVF cells (8 deterministic sampled centroids, vec_id < 8)
+    prune the search to the 2 cells nearest the query (vec_id = 8);
+    product quantization compresses each corpus RESIDUAL
+    (vector − centroid) to 8 codebook indices (codebooks = residuals of
+    the 16 smallest-id corpus rows); ranking is asymmetric distance via
+    per-cell lookup tables. Everything after the quantization is exact
+    int64, so Spark and DuckDB replay the identical
+    assign→residual→encode→ADC chain bit-for-bit.
+
+    Scale shape: assignment, residual, encode, and ADC all run fused in
+    ONE mapInPandas kernel over a single corpus scan — no shuffle; rows
+    in unprobed cells drop inside the kernel; the only driver collects
+    are the 8 centroids + 16 codebook rows + 1 query (ANN metadata).
+    Steady-state deployments persist the codes with
+    ``save_ivf_index``-style cell partitioning so probes read only
+    probed directories."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 16)
+    qvec = emb.where(F.col("vec_id") == 8).select("embedding").collect()[0][0]
+    return S.ivfpq_adc_topk(
+        corpus, cent, qvec, m=8, codebook_k=16, n_probe=2, k=10
+    )

@@ -810,3 +810,42 @@ def test_pq_adc_recall_and_compression(spark):
     }
     # same 20-vector cluster as the query dominates both rankings
     assert len(adc & exact) >= 6, (sorted(adc), sorted(exact))
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """Fused IVF-PQ must rank a clustered corpus well enough that its
+    ADC top-10 overlaps the exact cosine top-10 restricted to probed
+    cells — and every returned id must belong to a probed cell."""
+    import numpy as np
+
+    from polars_gdal_spark.functions.similarity import (
+        cosine_topk,
+        ivfpq_adc_topk,
+    )
+
+    rows = _clustered_vecs(n_clusters=8, per=30, dim=16, seed=11)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cent = df.where("vec_id % 30 = 0")  # one seed per cluster
+    corpus = df.where("vec_id >= 16 and vec_id % 30 != 0")
+    qvec = rows[17][1]  # inside cluster 0
+    got = ivfpq_adc_topk(
+        corpus, cent, qvec, m=4, codebook_k=16, n_probe=2, k=10
+    ).collect()
+    assert len(got) == 10
+    # distances are non-negative ints and non-decreasing
+    dists = [r["adc_dist"] for r in got]
+    assert dists == sorted(dists) and all(
+        d >= 0 and d == int(d) for d in dists
+    )
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(
+            corpus,
+            spark.createDataFrame(
+                [(99999, qvec)], "vec_id bigint, embedding array<float>"
+            ),
+            k=10,
+        ).collect()
+    }
+    overlap = len({r["vec_id"] for r in got} & exact)
+    assert overlap >= 5, (sorted(r["vec_id"] for r in got), sorted(exact))

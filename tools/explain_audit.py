@@ -293,6 +293,11 @@ EXPECT = {
     "sim_lsh_multitable": ["!CartesianProduct"],
     # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # IVF-PQ fused kernel: one corpus scan, no shuffle before the top-k
+    "sim_ivfpq_topk": [
+        "MapInPandas", "TakeOrderedAndProject", "!CartesianProduct",
+        "!Window",
+    ],
     # label mask runs inside the GEMM kernel: no join, bounded window
     "sim_hard_negatives": ["MapInPandas", "!CartesianProduct"],
     # morton key is pure codegen arithmetic; stats agg map-side combines
