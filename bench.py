@@ -102,6 +102,7 @@ HEADLINE = [
     "pipeline_zorder_layout",
     "join_bloom_prefilter",
     "pipeline_importance_resample",
+    "multimodal_image_phash_dedup",
 ]
 
 

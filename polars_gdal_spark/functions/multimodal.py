@@ -438,3 +438,48 @@ def audio_features(
     return decoded.select(id_col, "samples", "sample_width").mapInPandas(
         batches, schema
     )
+
+
+def image_ahash(
+    decoded: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of decoded images —
+    the image twin of text MinHash: per pixel, integer grayscale
+    (r+g+b)//3; bit_i = 1 iff gray_i·n_px > Σgray (the exact-integer
+    form of "above the mean", no float division); bits pack into two
+    BIGINTs (lo = pixels 0..31, hi = 32..63 for an 8×8 input) so the
+    hash is engine-reproducible and join-able — equal hashes = visually
+    identical images regardless of byte-level encoding differences.
+
+    Runs as one vectorized mapInPandas over the decoded pixel batches
+    (no shuffle); dedup is then a plain groupBy on (hash_hi, hash_lo).
+    Input is :func:`decode_image` output (doc_id, width, height,
+    pixels)."""
+    import numpy as np
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lo = np.zeros(len(pdf), dtype=np.int64)
+            hi = np.zeros(len(pdf), dtype=np.int64)
+            for r, px in enumerate(pdf["pixels"]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(-1, 3).sum(axis=1) // 3
+                n = len(gray)
+                bits = (gray * n > gray.sum()).astype(np.int64)
+                w = np.left_shift(bits, np.arange(n) % 32)
+                lo[r] = int(w[np.arange(n) < 32].sum())
+                hi[r] = int(w[np.arange(n) >= 32].sum())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "hash_lo": lo,
+                    "hash_hi": hi,
+                }
+            )
+
+    schema = f"{id_col} {dict(decoded.dtypes)[id_col]}, " \
+             "hash_lo bigint, hash_hi bigint"
+    return decoded.select(id_col, "pixels").mapInPandas(kernel, schema)

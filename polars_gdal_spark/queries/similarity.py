@@ -820,12 +820,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAM-resident cluster-wide ANN index stores — 8 bytes/vector vs
     256."""
     emb = load_tables(spark, sf_dir)["embeddings"]
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").take(1)
+    if not qrow:  # empty corpus -> empty result, same schema
+        return spark.createDataFrame([], "vec_id bigint, adc_dist double")
     C = S.pq_codebooks(emb, id_col="vec_id", vec_col="embedding", m=8, k=16)
-    qvec = (
-        emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    )
     enc = S.pq_encode(emb.where(F.col("vec_id") != 0), C)
-    return S.pq_adc_topk(enc, C, qvec, k=10)
+    return S.pq_adc_topk(enc, C, qrow[0][0], k=10)
 
 
 @query(
@@ -937,9 +937,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``save_ivf_index``-style cell partitioning so probes read only
     probed directories."""
     emb = load_tables(spark, sf_dir)["embeddings"]
+    qrow = emb.where(F.col("vec_id") == 8).select("embedding").take(1)
+    if not qrow:  # empty corpus -> empty result, same schema
+        return spark.createDataFrame([], "vec_id bigint, adc_dist double")
     cent = emb.where(F.col("vec_id") < 8)
     corpus = emb.where(F.col("vec_id") >= 16)
-    qvec = emb.where(F.col("vec_id") == 8).select("embedding").collect()[0][0]
     return S.ivfpq_adc_topk(
-        corpus, cent, qvec, m=8, codebook_k=16, n_probe=2, k=10
+        corpus, cent, qrow[0][0], m=8, codebook_k=16, n_probe=2, k=10
     )

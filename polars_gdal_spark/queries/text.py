@@ -1182,3 +1182,98 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.mapInPandas(
         hist, "doc bigint, frame_no int, bin int, cnt bigint"
     )
+
+
+@query(
+    "multimodal_image_phash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text,
+                           CAST(ceil(192.0 / length(text)) AS INT)),
+                    1, 192) AS s
+      FROM documents WHERE doc_id < 400
+    ),
+    g AS (
+      SELECT doc_id, gi.i,
+             (ascii(substr(s, 3*gi.i + 1, 1))
+              + ascii(substr(s, 3*gi.i + 2, 1))
+              + ascii(substr(s, 3*gi.i + 3, 1))) // 3 AS gray
+      FROM px, (SELECT unnest(generate_series(0, 63)) AS i) gi
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+    bits AS (
+      SELECT g.doc_id, g.i,
+             CASE WHEN g.gray * 64 > t.total THEN 1 ELSE 0 END AS b
+      FROM g JOIN tot t USING (doc_id)
+    ),
+    h AS (
+      SELECT doc_id,
+             sum(CASE WHEN i < 32 THEN b << i ELSE 0 END) AS hash_lo,
+             sum(CASE WHEN i >= 32 THEN b << (i - 32) ELSE 0 END) AS hash_hi
+      FROM bits GROUP BY doc_id
+    )
+    SELECT CAST(hash_hi AS BIGINT) AS hash_hi,
+           CAST(hash_lo AS BIGINT) AS hash_lo,
+           count(*) AS n_images,
+           min(doc_id) AS rep_doc
+    FROM h GROUP BY hash_hi, hash_lo
+    """,
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual hash, through the REAL
+    codec path: each doc's text bytes become an 8×8 RGB buffer,
+    PNG-encode → opaque binary payload → ``decode_image(codec='png')``
+    → aHash (integer grayscale vs mean, packed into two BIGINTs) →
+    groupBy hash = dedup clusters. The oracle replays the grayscale/
+    bit arithmetic from the text directly, so a cell-exact match proves
+    BOTH the encode→decode round-trip and the hash kernel. Everything
+    is exact integers (bit_i uses gray·64 > Σgray, no float mean).
+
+    Scale shape: encode, decode, and hash are three chained mapInPandas
+    stages with NO exchange between them (one corpus scan); the only
+    shuffle is the final hash groupBy — the same shape as text
+    dedup_exact, applied to pixels. Planted corpus duplicates land in
+    shared buckets (n_images > 1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.multimodal import (
+        decode_image,
+        image_ahash,
+    )
+    from polars_gdal_spark.functions.png import encode_png
+
+    t = load_tables(spark, sf_dir)
+    pixels = (
+        t["documents"]
+        .where(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.expr(
+                "substring(repeat(text, cast(ceil(192.0 / length(text)) "
+                "as int)), 1, 192)"
+            ).alias("s"),
+        )
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(8, 8, s.encode("utf-8"))
+                        for s in pdf["s"]
+                    ],
+                }
+            )
+
+    payloads = pixels.mapInPandas(enc, "doc_id bigint, payload binary")
+    decoded = decode_image(payloads, codec="png")
+    hashed = image_ahash(decoded)
+    return hashed.groupBy("hash_hi", "hash_lo").agg(
+        F.count("*").alias("n_images"),
+        F.min("doc_id").alias("rep_doc"),
+    )

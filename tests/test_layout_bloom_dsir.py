@@ -171,3 +171,46 @@ def test_hard_negatives_empty_queries(spark):
         [(0, [1.0, 0.0], 1)], "vec_id long, embedding array<float>, label int"
     )
     assert hard_negatives(df, df.where("vec_id < 0"), k=3).count() == 0
+
+
+def test_image_ahash_identical_images_collide(spark):
+    """Byte-identical pixel buffers must hash equal; a buffer with a
+    different bright/dark structure must hash different. Exercises the
+    real PNG encode->decode->hash chain."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.multimodal import (
+        decode_image,
+        image_ahash,
+    )
+    from polars_gdal_spark.functions.png import encode_png
+
+    a = bytes(range(64)) * 3  # gradient
+    b = bytes([0] * 96 + [255] * 96)  # half dark / half bright
+    rows = [(0, a), (1, a), (2, b)]
+
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(8, 8, bytes(r)) for r in pdf["raw"]
+                    ],
+                }
+            )
+
+    payloads = df.mapInPandas(enc, "doc_id long, payload binary")
+    hashed = {
+        r["doc_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in image_ahash(decode_image(payloads, codec="png")).collect()
+    }
+    assert hashed[0] == hashed[1]
+    assert hashed[0] != hashed[2]
+    # half-bright image: exactly the 32 bright pixels are above mean
+    hi, lo = hashed[2]
+    assert bin(hi).count("1") + bin(lo).count("1") == 32
