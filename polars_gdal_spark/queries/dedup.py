@@ -358,8 +358,11 @@ def dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dedup resolve — the semantic-dedup step of a
-    training pipeline: SRP-LSH buckets (8 hyperplanes over the exact-int
+    """Embedding-cosine near-dedup resolve (the SemDeDup shape, Abbas
+    et al. 2023, with LSH buckets standing in for the k-means blocking
+    — same block-pairwise-resolve structure, but the bucket count grows
+    with n via adaptive planes where SemDeDup fixes k) — the
+    semantic-dedup step of a training pipeline: SRP-LSH buckets (8 hyperplanes over the exact-int
     quantization) → bucket-local exact cosine ≥ 0.95 → connected
     components → drop every vector that is not its cluster's min-id
     representative. The corpus is augmented with a deterministic

@@ -1277,3 +1277,52 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("doc_id").alias("rep_doc"),
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT tok FROM tok WHERE length(tok) >= 2),
+    pos AS (
+      SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+      FROM t2
+    ),
+    p AS (SELECT substr(tok, i, 2) AS pair FROM pos)
+    SELECT pair, count(*) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 30
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction (Sennrich et al.,
+    ACL 2016): count adjacent character pairs inside tokens across the
+    corpus and rank the top merge candidates — what a tokenizer-training
+    pipeline runs over 100 TB before anything else.
+
+    Scale shape: explode(split) → explode(sequence) → substring are all
+    codegen'd generators (NO interpreted higher-order lambdas — the
+    MinHash lesson: HOFs cost 3-24×); the pair count is a map-side-
+    combined aggregate and the top-30 collapses to
+    TakeOrderedAndProject. One scan, one shuffle of (pair, partial
+    count) rows."""
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where((F.col("tok") != "") & (F.length("tok") >= 2))
+    )
+    pairs = tok.select(
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+    ).select(F.col("tok").substr(F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )

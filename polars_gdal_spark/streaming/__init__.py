@@ -517,3 +517,26 @@ def streaming_probe_dedup_index(
         F.coalesce("_e", F.lit(0)).cast("bigint").alias("is_exact_dup"),
         F.greatest(*hit_cols).cast("bigint").alias("is_near_dup"),
     )
+
+
+def streaming_bloom_prefilter(
+    stream: DataFrame,
+    bitmap: list,
+    key_col: str,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``functions.bloom.bloom_might_contain``: drop
+    arriving rows whose key cannot be in the (pre-built, broadcast-as-
+    literal) Bloom bitmap — the first gate of a live-crawl pipeline,
+    where the bitmap holds e.g. already-ingested URL keys or an
+    allowlist, and the exact check (a stream-static join or an
+    idempotent sink upsert) runs only on survivors.
+
+    Stateless and append-safe: the filter is pure codegen'd integral
+    arithmetic per row — no state store, no watermark, no join. False
+    positives pass through (bounded by the bitmap sizing) and must be
+    resolved by the exact stage downstream; true members are NEVER
+    dropped, so the prefilter cannot lose data."""
+    from polars_gdal_spark.functions.bloom import bloom_might_contain
+
+    return stream.where(bloom_might_contain(key_col, bitmap, n_hashes))

@@ -614,3 +614,33 @@ def test_streaming_probe_dedup_index_matches_batch(spark, tmp_path):
     assert got == expected
     assert got[10] == (1, 1) and got[12] == (0, 0) and got[13] == (0, 0)
     assert got[11][1] == 1  # near dup of corpus doc 1
+
+
+def test_streaming_bloom_prefilter_equals_batch(spark, tmp_path):
+    """The streaming bloom prefilter (stateless codegen filter) keeps a
+    superset of the true members and, after the exact stage, agrees with
+    the batch semi join on the same key set."""
+    from polars_gdal_spark.functions.bloom import bloom_bitmap
+    from polars_gdal_spark.streaming import streaming_bloom_prefilter
+
+    events_dir = tmp_path / "evb"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    batch = load_tables(spark, SF_SMOKE)["events"]
+    dim = batch.select("user_id").distinct().where(F.col("user_id") % 7 == 0)
+    bitmap = bloom_bitmap(dim, "user_id", m_bits=4096, n_hashes=3)
+
+    pre = _drain_append(
+        streaming_bloom_prefilter(
+            _events_stream(spark, events_dir), bitmap, "user_id"
+        ),
+        "stream_bloom",
+    )
+    members = {r["user_id"] for r in dim.collect()}
+    got_users = {r["user_id"] for r in pre.select("user_id").distinct().collect()}
+    assert members <= got_users  # no member row dropped
+    # exact stage on survivors == batch semi join on the full input
+    exact = pre.join(dim, "user_id", "left_semi").count()
+    want = batch.join(dim, "user_id", "left_semi").count()
+    assert exact == want
