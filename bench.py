@@ -103,6 +103,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "pipeline_importance_resample",
     "multimodal_image_phash_dedup",
+    "text_bpe_pair_counts",
 ]
 
 

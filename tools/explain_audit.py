@@ -293,6 +293,10 @@ EXPECT = {
     "sim_lsh_multitable": ["!CartesianProduct"],
     # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # codegen generator chain (no interpreted HOFs); map-combined agg;
+    # top-30 collapses to TakeOrderedAndProject
+    "text_bpe_pair_counts": ["partial", "TakeOrderedAndProject",
+                             "!CartesianProduct"],
     # encode->decode->hash chain fuses (no exchange between the three
     # mapInPandas stages); the only shuffle is the hash groupBy
     "multimodal_image_phash_dedup": ["MapInPandas", "partial",
