@@ -104,6 +104,8 @@ HEADLINE = [
     "pipeline_importance_resample",
     "multimodal_image_phash_dedup",
     "text_bpe_pair_counts",
+    "join_fuzzy_entity_match",
+    "events_top_paths",
 ]
 
 

@@ -1198,3 +1198,119 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "join_fuzzy_entity_match",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, min(p_partkey) AS rep_key
+      FROM part GROUP BY p_name
+    ),
+    mut AS (
+      SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS m_name
+      FROM part
+    ),
+    cand AS (
+      SELECT m.m_name, n.p_name, n.rep_key,
+             levenshtein(m.m_name, n.p_name) AS dist
+      FROM mut m JOIN names n
+        ON substr(m.m_name, 1, 4) = substr(n.p_name, 1, 4)
+      WHERE levenshtein(m.m_name, n.p_name) <= 2
+    )
+    SELECT m_name, p_name AS matched_name,
+           rep_key AS matched_key, CAST(dist AS INT) AS dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY m_name ORDER BY dist, rep_key) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+)
+def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join — the record-linkage shape: noisy
+    names (each part name with its last character dropped) match back
+    to the clean catalog by edit distance ≤ 2, BLOCKED on a 4-char
+    prefix key so candidate pairs come from an equi-join, never
+    all-pairs; best match per noisy name by (distance, key) rank.
+
+    Scale design: both join sides first collapse to DISTINCT entity
+    names (a map-side-combined groupBy) — the linkage runs on entity
+    cardinality, not row count, so a 100 TB catalog with bounded name
+    vocabulary joins in milliseconds while the per-row work stays one
+    linear dedup pass. levenshtein evaluates only inside prefix blocks
+    (JVM codegen, no UDF)."""
+    part = load_tables(spark, sf_dir)["part"]
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("rep_key"))
+    mut = part.select(
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("m_name")
+    ).distinct()
+    cand = (
+        mut.withColumn("_blk", F.substring("m_name", 1, 4))
+        .join(
+            names.withColumn("_blk", F.substring("p_name", 1, 4)),
+            "_blk",
+        )
+        .withColumn("dist", F.levenshtein("m_name", "p_name"))
+        .where(F.col("dist") <= 2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("m_name").orderBy(
+        F.asc("dist"), F.asc("rep_key")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "m_name",
+            F.col("p_name").alias("matched_name"),
+            F.col("rep_key").alias("matched_key"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM s GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths — the product-analytics "what do users actually
+    do" query: each (user, day) session becomes an ordered
+    event-type string (deterministic (ts, event_id) order), and the 20
+    most common paths rank by frequency.
+
+    Scale shape: one groupBy builds sessions (collect_list is bounded
+    by session length, not corpus size), path assembly runs on the
+    per-session array (rows = sessions, so the interpreted-HOF cost the
+    hot paths avoid is per-session here), and the final count collapses
+    to TakeOrderedAndProject."""
+    ev = load_tables(spark, sf_dir)["events"]
+    sess = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    paths = sess.select(
+        F.expr(
+            "array_join(transform(seq, x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

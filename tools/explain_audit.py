@@ -293,6 +293,12 @@ EXPECT = {
     "sim_lsh_multitable": ["!CartesianProduct"],
     # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # linkage runs on DISTINCT entity names (map-combined groupBy both
+    # sides); candidates from the prefix-block equi-join, never all-pairs
+    "join_fuzzy_entity_match": ["partial", "!CartesianProduct"],
+    # sessions built in one partial-first groupBy; top-20 collapses
+    "events_top_paths": ["partial", "TakeOrderedAndProject",
+                         "!CartesianProduct"],
     # codegen generator chain (no interpreted HOFs); map-combined agg;
     # top-30 collapses to TakeOrderedAndProject
     "text_bpe_pair_counts": ["partial", "TakeOrderedAndProject",
