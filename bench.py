@@ -106,6 +106,8 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "join_fuzzy_entity_match",
     "events_top_paths",
+    "text_pmi_collocations",
+    "events_value_trend",
 ]
 
 

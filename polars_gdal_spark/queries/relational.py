@@ -1314,3 +1314,66 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "events_value_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_day
+    FROM s
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend — closed-form OLS slope (cents/day) from
+    exact integer sums: x = days since epoch, y = floor(value·100).
+    n·Σxy − Σx·Σy and n·Σx² − (Σx)² are exact BIGINTs (bounds checked:
+    |num| < 2^61 at sf3 event volumes), so the single IEEE division is
+    bit-identical across engines AND across partitionings — the classic
+    float-sum nondeterminism of distributed regression disappears when
+    the sums are integral. Users on a single day get NULL (zero
+    variance), not a division blowup.
+
+    Scale shape: one scan, one map-side-combined groupBy carrying five
+    integer accumulators per user — the same cost as a count. This is
+    the degenerate-but-exact end of per-group ML: closed-form fits stay
+    one aggregate at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_day"
+        ),
+    )

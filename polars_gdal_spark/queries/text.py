@@ -1326,3 +1326,90 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(30)
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH tk AS (
+      SELECT list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    uni AS (SELECT unnest(tk) AS tok FROM tk),
+    ua AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+    tot AS (SELECT count(*) AS N FROM uni),
+    pos AS (
+      SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      FROM tk WHERE len(tk) >= 2
+    ),
+    nb AS (
+      SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n_ab
+      FROM pos GROUP BY a, b
+    )
+    SELECT nb.a, nb.b, nb.n_ab,
+           CAST(nb.n_ab * tot.N AS DOUBLE)
+             / CAST(x.n * y.n AS DOUBLE) AS pmi_score
+    FROM nb JOIN ua x ON nb.a = x.tok
+    JOIN ua y ON nb.b = y.tok, tot
+    WHERE nb.n_ab >= 5
+    ORDER BY pmi_score DESC, nb.a, nb.b LIMIT 30
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — which word
+    pairs co-occur far more than chance (the corpus-linguistics tool
+    behind phrase vocabularies and tokenizer merges). Scored as the
+    PMI RATIO n_ab·N / (n_a·n_b) rather than its log: the ranking is
+    identical (log is monotone) and the value stays one exact-integer
+    product per side and a single IEEE division — bit-identical across
+    engines, no libm anywhere.
+
+    Scale shape: unigram and bigram counts are map-side-combined
+    aggregates over codegen'd explode chains (arrays_zip/slice, no
+    interpreted HOF lambdas); marginals join back on the token key
+    (AQE broadcasts the vocab side when it fits); the n_ab ≥ 5 support
+    filter runs before the joins, and top-30 collapses to
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    base = t["documents"].select(toks.alias("tk"))
+    uni = base.select(F.explode("tk").alias("tok"))
+    ua = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.count("*").alias("N"))
+    bg = (
+        base.where(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("a"),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("b"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+    )
+    nb = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    scored = (
+        nb.join(ua.select(F.col("tok").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(ua.select(F.col("tok").alias("b"), F.col("n").alias("n_b")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("N")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("pmi_score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_score"), F.asc("a"), F.asc("b")
+    ).limit(30)

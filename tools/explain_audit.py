@@ -293,6 +293,13 @@ EXPECT = {
     "sim_lsh_multitable": ["!CartesianProduct"],
     # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # support-filtered bigrams join vocab marginals; no cartesian; the
+    # corpus-total rides a 1-row broadcast
+    "text_pmi_collocations": ["partial", "TakeOrderedAndProject",
+                              "!CartesianProduct"],
+    # five integer accumulators in ONE map-combined groupBy — same cost
+    # shape as a count
+    "events_value_trend": ["partial", "!CartesianProduct", "!Window"],
     # linkage runs on DISTINCT entity names (map-combined groupBy both
     # sides); candidates from the prefix-block equi-join, never all-pairs
     "join_fuzzy_entity_match": ["partial", "!CartesianProduct"],
