@@ -108,6 +108,7 @@ HEADLINE = [
     "events_top_paths",
     "text_pmi_collocations",
     "events_value_trend",
+    "multimodal_audio_fingerprint_dedup",
 ]
 
 

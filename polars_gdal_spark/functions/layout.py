@@ -52,8 +52,11 @@ def morton_key(a: Column, b: Column) -> Column:
 
 def _spread16_sql(expr: str) -> str:
     """The SQL twin of :func:`spread16` — identical operator tree so
-    DuckDB computes bit-identical keys."""
-    x = f"(({expr}) & 65535)"
+    DuckDB computes bit-identical keys. The input is forced to BIGINT:
+    DuckDB evaluates `<<` in the operand's width, so an INTEGER-typed
+    expression would overflow at shift 8 (found by the hypothesis
+    property test in tests/test_property_kernels.py)."""
+    x = f"((CAST({expr} AS BIGINT)) & 65535)"
     for sh, mask in _SPREAD16:
         x = f"((({x}) | (({x}) << {sh})) & {mask})"
     return x

@@ -1413,3 +1413,112 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_score"), F.asc("a"), F.asc("b")
     ).limit(30)
+
+
+@query(
+    "multimodal_audio_fingerprint_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(200.0 / length(text)) AS INT)),
+                    1, 200) AS s
+      FROM documents WHERE doc_id < 400
+    ),
+    ch AS (
+      SELECT doc_id, (g.i - 1) // 25 AS frame,
+             ascii(substr(s, g.i, 1)) - 128 AS amp
+      FROM px, (SELECT unnest(generate_series(1, 200)) AS i) g
+    ),
+    fe AS (
+      SELECT doc_id, frame, sum(amp * amp) AS e
+      FROM ch GROUP BY doc_id, frame
+    ),
+    tot AS (SELECT doc_id, sum(e) AS te FROM fe GROUP BY doc_id),
+    fp AS (
+      SELECT fe.doc_id,
+             sum(CASE WHEN fe.e * 8 > t.te THEN 1 << fe.frame
+                      ELSE 0 END) AS fingerprint
+      FROM fe JOIN tot t USING (doc_id)
+      GROUP BY fe.doc_id
+    )
+    SELECT CAST(fingerprint AS BIGINT) AS fingerprint,
+           count(*) AS n_clips,
+           min(doc_id) AS rep_doc
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup detection by energy fingerprint, through the REAL
+    container path — the audio twin of the image perceptual hash: each
+    doc's text bytes become 200 8-bit PCM samples, WAV-encode →
+    ``decode_audio`` → 8 frames of 25 samples, bit_f = 1 iff frame
+    energy·8 > total energy (exact-integer "above mean", the aHash
+    trick applied to the time-energy envelope), bits pack into one
+    BIGINT fingerprint, groupBy = dedup clusters. The oracle replays
+    the frame-energy arithmetic from text, proving container round-trip
+    AND fingerprint kernel cell-exactly.
+
+    Scale shape: encode, decode, and fingerprint are chained
+    mapInPandas stages with no exchange; the fingerprint groupBy is the
+    only shuffle — dedup_exact's shape, applied to audio."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pcm = (
+        t["documents"]
+        .where(F.col("doc_id") < 400)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.expr(
+                "substring(repeat(text, cast(ceil(200.0 / length(text)) "
+                "as int)), 1, 200)"
+            ).alias("s"),
+        )
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "payload": [
+                        encode_wav(s.encode("utf-8")) for s in pdf["s"]
+                    ],
+                }
+            )
+
+    payloads = pcm.mapInPandas(enc, "doc bigint, payload binary")
+    decoded = decode_audio(payloads, id_col="doc")
+
+    def fingerprint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict = {"doc": [], "fingerprint": []}
+            for d, raw in zip(pdf["doc_id"], pdf["samples"]):
+                arr = (
+                    np.frombuffer(bytes(raw), np.uint8).astype(np.int64)
+                    - 128
+                )
+                e = (arr * arr).reshape(8, 25).sum(axis=1)
+                bits = (e * 8 > e.sum()).astype(np.int64)
+                out["doc"].append(d)
+                out["fingerprint"].append(
+                    int((bits << np.arange(8)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    fp = decoded.mapInPandas(fingerprint, "doc bigint, fingerprint bigint")
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_clips"),
+        F.min("doc").alias("rep_doc"),
+    )

@@ -1,0 +1,57 @@
+"""Property-based tests (hypothesis) for the cross-engine arithmetic
+kernels — no SparkSession needed: each property pins the DuckDB side of
+an oracle identity against an independent pure-python reference, so a
+drift in either engine's semantics (hex parsing, bit ops, bin()) fails
+here in milliseconds instead of as a mysterious oracle hash mismatch."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polars_gdal_spark.functions.layout import morton_sql
+
+u16 = st.integers(min_value=0, max_value=65535)
+posint = st.integers(min_value=1, max_value=2**52)
+
+
+def _interleave_ref(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=200, deadline=None)
+@given(u16, u16)
+def test_morton_sql_matches_bitwise_reference(a, b):
+    got = duckdb.sql(
+        f"SELECT {morton_sql(str(a), str(b))}"
+    ).fetchone()[0]
+    assert got == _interleave_ref(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(posint)
+def test_duckdb_bin_length_is_bit_length(n):
+    """The quantized-log2 identity every integer-exact 'log' in the
+    oracle suite rests on (DSIR, adaptive planes, BM25 idf)."""
+    got = duckdb.sql(f"SELECT length(bin(CAST({n} AS BIGINT)))").fetchone()[0]
+    assert got == n.bit_length()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=1, max_size=20))
+def test_duckdb_hex_prefix_parse_matches_python(s):
+    """md5-prefix bucketing parity: DuckDB's '0x'||hex cast and python's
+    int(hex, 16) must agree on every md5 prefix (the DSIR bucket key)."""
+    import hashlib
+
+    hx = hashlib.md5(s.encode("utf-8")).hexdigest()[:6]
+    got = duckdb.sql(
+        f"SELECT CAST(('0x' || substr(md5(?), 1, 6)) AS BIGINT)",
+        params=[s],
+    ).fetchone()[0]
+    assert got == int(hx, 16)

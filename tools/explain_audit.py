@@ -310,6 +310,10 @@ EXPECT = {
     # top-30 collapses to TakeOrderedAndProject
     "text_bpe_pair_counts": ["partial", "TakeOrderedAndProject",
                              "!CartesianProduct"],
+    # encode->decode->fingerprint chain fuses; groupBy is the only
+    # exchange (dedup_exact's shape on audio)
+    "multimodal_audio_fingerprint_dedup": ["MapInPandas", "partial",
+                                           "!CartesianProduct"],
     # encode->decode->hash chain fuses (no exchange between the three
     # mapInPandas stages); the only shuffle is the hash groupBy
     "multimodal_image_phash_dedup": ["MapInPandas", "partial",
