@@ -109,6 +109,7 @@ HEADLINE = [
     "text_pmi_collocations",
     "events_value_trend",
     "multimodal_audio_fingerprint_dedup",
+    "dedup_containment_pairs",
 ]
 
 

@@ -1062,3 +1062,97 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    tkc AS (
+      SELECT doc, list_filter(string_split(lower(text), ' '),
+                              x -> x <> '') AS tk
+      FROM aug
+    ),
+    shingc AS (
+      SELECT doc, unnest(list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(generate_series(1, len(tk) - 2),
+                         i -> array_to_string(array_slice(tk, i, i + 2), ' '))
+        ELSE []::VARCHAR[] END)) AS shingle
+      FROM tkc
+    ),
+    shc AS (
+      SELECT s.* FROM shingc s
+      JOIN (SELECT shingle FROM shingc
+            GROUP BY shingle HAVING count(*) <= 1024) k
+      USING (shingle)
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM shc GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS ix
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ix / sa.sz AS cont_a_in_b,
+           ix / sb.sz AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE ix / sa.sz >= 0.8 OR ix / sb.sz >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup — the ASYMMETRIC cousin of Jaccard that
+    symmetric similarity misses: a short excerpt quoted inside a much
+    longer document has |A∩B|/|A| ≈ 1 but tiny Jaccard (the union is
+    dominated by B). Flags pairs where either direction's containment
+    ≥ 0.8 — the quote/excerpt/boilerplate-wrapper case a training
+    pipeline must catch separately from near-dup pairs. The corpus's
+    planted 80%-prefix mutants are exactly this shape.
+
+    Scale notes: candidates come from the shared-shingle equi-join
+    with the standard hot-shingle DF cap (≤1024) bounding per-shingle
+    fan-out; there is deliberately NO length filter — short-in-long is
+    the signal here, unlike Jaccard where min ≥ t·max prunes
+    provably-dissimilar pairs. Containment is one exact int/int IEEE
+    division per direction — bit-identical across engines."""
+    aug = _augmented(spark, sf_dir)
+    sh = D.shingle_table(aug, "doc", "text", 3)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > 1024)
+        .select("shingle")
+    )
+    shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = shc.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ix"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ix") / F.col("sza")).alias("cont_a_in_b"),
+            (F.col("ix") / F.col("szb")).alias("cont_b_in_a"),
+        )
+    )
+    return out.where(
+        (F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8)
+    )

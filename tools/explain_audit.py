@@ -293,6 +293,9 @@ EXPECT = {
     "sim_lsh_multitable": ["!CartesianProduct"],
     # PQ/ADC: shuffle-free encode UDF, top-k collapses to a local sort
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # candidates from the shared-shingle equi-join (DF-capped), never
+    # corpus x corpus; the hot-set cap is a broadcast anti join
+    "dedup_containment_pairs": ["LeftAnti", "!CartesianProduct"],
     # support-filtered bigrams join vocab marginals; no cartesian; the
     # corpus-total rides a 1-row broadcast
     "text_pmi_collocations": ["partial", "TakeOrderedAndProject",
