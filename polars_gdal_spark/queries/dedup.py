@@ -1111,48 +1111,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline must catch separately from near-dup pairs. The corpus's
     planted 80%-prefix mutants are exactly this shape.
 
-    Scale notes: candidates come from the shared-shingle equi-join
-    with the standard hot-shingle DF cap (≤1024) bounding per-shingle
-    fan-out; there is deliberately NO length filter — short-in-long is
-    the signal here, unlike Jaccard where min ≥ t·max prunes
-    provably-dissimilar pairs. Containment is one exact int/int IEEE
-    division per direction — bit-identical across engines."""
+    Scale notes: candidates come from the PPJoin-adapted
+    PREFIX(probe) × FULL(index) equi-join with the standard hot-shingle
+    DF cap (≤1024); there is deliberately NO length filter —
+    short-in-long is the signal here, unlike Jaccard where min ≥ t·max
+    prunes provably-dissimilar pairs. Containment is one exact int/int
+    IEEE division per direction — bit-identical across engines. The
+    naive co-occurrence formulation measured 79.7 s at sf3 (the single
+    most expensive headline row); the prefix-filtered form replaced it
+    the same session."""
     aug = _augmented(spark, sf_dir)
-    sh = D.shingle_table(aug, "doc", "text", 3)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > 1024)
-        .select("shingle")
-    )
-    shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = shc.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = shc.alias("a")
-    b = shc.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
-        )
-        .agg(F.count("*").alias("ix"))
-    )
-    out = (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("ix") / F.col("sza")).alias("cont_a_in_b"),
-            (F.col("ix") / F.col("szb")).alias("cont_b_in_a"),
-        )
-    )
-    return out.where(
-        (F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8)
+    return D.ngram_containment_pairs(
+        aug, "doc", "text", n=3, threshold=0.8, max_shingle_df=1024
     )
