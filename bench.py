@@ -110,6 +110,10 @@ HEADLINE = [
     "events_value_trend",
     "multimodal_audio_fingerprint_dedup",
     "dedup_containment_pairs",
+    "text_phrase_search",
+    "events_cusum_drift",
+    "pipeline_data_profile",
+    "scd2_customer_history",
 ]
 
 

@@ -145,3 +145,45 @@ def ordered_cumsum(
         .withColumn("_cum", F.sum(weight_col).over(w) + F.col("_w_off"))
         .drop("_pid", "_rows_off", "_w_off")
     )
+
+
+def cusum_positive(
+    df: DataFrame,
+    group_col: str,
+    order_cols,
+    y_col: str,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """Per-group one-sided CUSUM statistic, integer-exact and
+    window-parallel.
+
+    The textbook recurrence ``s_i = max(0, s_{i-1} + y_i)`` is not
+    associative, but it has a closed form that IS expressible with two
+    running windows: with prefix sums ``P_i = y_1 + … + y_i``,
+
+        ``s_i = P_i - min(0, min_{j<=i} P_j)``
+
+    (the clamp at zero is equivalent to restarting the sum after the
+    lowest prefix seen so far).  Both the running sum and the running
+    min are ordinary cumulative window aggregates PARTITIONED by the
+    group — no unpartitioned window, map-parallel per group, and with
+    integral ``y_col`` every intermediate is an exact BIGINT, so the
+    result is identical across engines and partitionings.
+
+    Adds ``out_col`` to the input rows; callers aggregate peaks or
+    threshold crossings on top.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Two chained cumulative aggregates over the SAME window spec —
+    # Catalyst fuses them into one WindowExec (one sort, one pass).
+    return (
+        df.withColumn("_pre", F.sum(y_col).over(w))
+        .withColumn(
+            out_col, F.col("_pre") - F.least(F.lit(0), F.min("_pre").over(w))
+        )
+        .drop("_pre")
+    )

@@ -224,3 +224,49 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn(f"{text_col}_scrubbed", scrubbed)
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact phrase search through a positional posting list — the
+    inverted-index retrieval shape, not a regex scan over every byte.
+
+    ``posexplode`` emits (doc, position, term) postings; the immediate
+    ``isin(phrase)`` filter drops every non-query term IN THE SCAN STAGE,
+    so only the phrase terms' postings survive into the shuffle — on a
+    100 TB corpus that is the difference between shuffling the corpus
+    and shuffling three terms' posting lists. Each surviving posting is
+    normalized to its would-be ANCHOR position (``pos - offset_in_
+    phrase``); a true occurrence exists exactly where one anchor group
+    contains ALL k distinct phrase terms (terms are required distinct —
+    asserted — so per-anchor distinct-term count == k is a complete and
+    sound test). Two map-side-combinable aggregates, no self-join, no
+    per-row Python.
+
+    Returns one row per matching document: (id_col, n_matches).
+    """
+    if len(set(phrase)) != len(phrase):
+        raise ValueError("phrase terms must be distinct for anchor counting")
+    toks = tokens(F.lower(F.col(text_col)))
+    postings = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_term")
+    ).where(F.col("_term").isin(*phrase))
+    offset = F.create_map(
+        *[x for i, t in enumerate(phrase) for x in (F.lit(t), F.lit(i))]
+    )
+    anchors = postings.select(
+        id_col, (F.col("_pos") - offset[F.col("_term")]).alias("_anchor"),
+        "_term",
+    )
+    hits = (
+        anchors.groupBy(id_col, "_anchor")
+        .agg(F.count_distinct("_term").alias("_k"))
+        .where(F.col("_k") == len(phrase))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )

@@ -1081,3 +1081,77 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 2 == 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    k AS (
+      SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+                       ELSE sum(y) // count(*) END AS BIGINT) AS kk
+      FROM pts
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(y - kk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+      FROM pts, k
+    ),
+    c AS (
+      SELECT user_id,
+             pre - least(0, min(pre) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)) AS cus
+      FROM p
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(cus) AS BIGINT) AS peak_cusum,
+           max(cus) >= 40000 AS drifted
+    FROM c GROUP BY user_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detection — the change-point statistic a
+    pipeline monitors to catch distribution shift in an incoming event
+    stream (a user/source whose values drift above the corpus baseline).
+    y = floor(value·100) cents, drift allowance = the global integer
+    mean (one exact BIGINT division, broadcast), and the one-sided
+    CUSUM ``s_i = max(0, s_{i-1} + y_i - k)`` computed in closed form as
+    ``P_i - min(0, running-min P_j)`` (functions/stats.py:
+    cusum_positive) — the non-associative recurrence becomes two
+    cumulative windows PARTITIONED by user. Flags users whose peak
+    statistic crosses 400 value-points.
+
+    Scale shape: one scan + one 1-row broadcast (global mean) + one
+    partitioned WindowExec (both cumulatives share the sort) + one
+    map-side-combined groupBy. Every intermediate is an exact BIGINT —
+    no float-sum nondeterminism under any partitioning."""
+    from polars_gdal_spark.functions.stats import cusum_positive
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    k = pts.agg(
+        F.coalesce(
+            F.expr("sum(y) div count(*)"), F.lit(0).cast("long")
+        ).alias("kk")
+    )
+    centered = pts.crossJoin(F.broadcast(k)).withColumn(
+        "yk", F.col("y") - F.col("kk")
+    )
+    cus = cusum_positive(
+        centered, "user_id", ["ts", "event_id"], "yk", out_col="cus"
+    )
+    return cus.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("cus").alias("peak_cusum"),
+        (F.max("cus") >= 40000).alias("drifted"),
+    )

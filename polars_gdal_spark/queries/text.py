@@ -1522,3 +1522,43 @@ def multimodal_audio_fingerprint_dedup(
         F.count("*").alias("n_clips"),
         F.min("doc").alias("rep_doc"),
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] = 'big' AND tk[i+1] = 'order' AND tk[i+2] = 'scan'
+             )) AS n_matches
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+    FROM m WHERE n_matches > 0
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("big order scan") through a positional
+    posting list — the inverted-index retrieval shape (search over the
+    corpus is a first-class training-data-pipeline need: find every
+    document containing a exact contamination string, a quoted source,
+    a tracked boilerplate phrase).
+
+    Scale shape (functions/text.py:phrase_match_counts): postings for
+    non-query terms die in the scan stage, so the shuffle carries only
+    the three query terms' posting lists; occurrences are counted by
+    grouping postings on their normalized anchor position and requiring
+    all k distinct terms per anchor — two map-side-combinable
+    aggregates, no self-join, no regex scan, no Python. The DuckDB
+    oracle slides a window over the token array instead — structurally
+    different evaluation, same exact counts."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return T.phrase_match_counts(
+        docs, "doc_id", "text", ["big", "order", "scan"]
+    )

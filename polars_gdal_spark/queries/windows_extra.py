@@ -283,3 +283,75 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("third_price"),
         )
     )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             CASE WHEN lag(o_orderpriority) OVER w
+                       IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    v AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             CAST(sum(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM o
+    ),
+    runs AS (
+      SELECT o_custkey, version,
+             min(o_orderpriority) AS priority,
+             min(o_orderdate) AS vf
+      FROM v GROUP BY o_custkey, version
+    )
+    SELECT o_custkey, version, priority,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+                    '%Y-%m-%d') AS valid_to
+    FROM runs
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — collapse each
+    customer's order-priority timeline into effective-dated runs
+    (valid_from / valid_to, open-ended current row) — the warehouse
+    merge that turns an append-only fact stream into a versioned
+    dimension, and the shape every incremental ingestion pipeline needs
+    for "what was true at time t" joins.
+
+    Gaps-and-islands in three partitioned steps: lag() marks change
+    points, a running sum numbers the runs (version), one
+    map-side-combined groupBy collapses runs, and lead() closes each
+    interval with its successor's start. All windows are PARTITIONED by
+    customer — per-customer timelines are tiny and uniform, so this
+    parallelizes by key at any corpus size; dates are emitted as
+    strings per the no-raw-timestamps determinism contract."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = t["orders"].withColumn(
+        "chg",
+        F.expr(
+            "CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) IS DISTINCT FROM "
+            "o_orderpriority THEN 1 ELSE 0 END"
+        ),
+    )
+    v = o.withColumn("version", F.sum("chg").over(wc).cast("bigint"))
+    runs = v.groupBy("o_custkey", "version").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("vf"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("version")
+    return runs.select(
+        "o_custkey",
+        "version",
+        "priority",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("vf").over(wl), "yyyy-MM-dd").alias("valid_to"),
+    )

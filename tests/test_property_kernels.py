@@ -55,3 +55,43 @@ def test_duckdb_hex_prefix_parse_matches_python(s):
         params=[s],
     ).fetchone()[0]
     assert got == int(hx, 16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9), max_size=40))
+def test_cusum_closed_form_matches_recurrence(ys):
+    """The window-parallel CUSUM identity events_cusum_drift rests on:
+    ``max(0, s_prev + y)`` unrolled equals ``P_i - min(0, min_j P_j)``
+    (prefix sum minus clamped running min) at every position."""
+    s, out_rec = 0, []
+    for y in ys:
+        s = max(0, s + y)
+        out_rec.append(s)
+    p, mn, out_closed = 0, 0, []
+    for y in ys:
+        p += y
+        mn = min(mn, p)
+        out_closed.append(p - min(0, mn))
+    assert out_rec == out_closed
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6), max_size=30))
+def test_duckdb_running_min_window_matches_python(ys):
+    """The oracle's cumulative-min window must agree with the python
+    running min the closed form assumes (ordering + frame semantics)."""
+    if not ys:
+        return
+    rows = ", ".join(f"({i}, {y})" for i, y in enumerate(ys))
+    got = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT min(y) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) "
+            f"FROM (VALUES {rows}) t(i, y) ORDER BY i"
+        ).fetchall()
+    ]
+    ref, m = [], None
+    for y in ys:
+        m = y if m is None else min(m, y)
+        ref.append(m)
+    assert got == ref

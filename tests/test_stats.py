@@ -52,3 +52,44 @@ def test_ordered_cumsum_double_weights(spark):
     for g, (k, w, c) in zip(got, exp):
         assert g["k"] == k and g["w"] == w
         assert abs(g["_cum"] - c) < 1e-9
+
+
+def test_cusum_positive_matches_recurrence(spark):
+    from polars_gdal_spark.functions.stats import cusum_positive
+
+    rows = [
+        ("a", 1, 5), ("a", 2, -9), ("a", 3, 4), ("a", 4, 4), ("a", 5, -1),
+        ("b", 1, -3), ("b", 2, 10), ("b", 3, -2),
+    ]
+    df = spark.createDataFrame(rows, ["g", "i", "y"])
+    got = {
+        (r["g"], r["i"]): r["cusum"]
+        for r in cusum_positive(df, "g", ["i"], "y").collect()
+    }
+    for g in ("a", "b"):
+        s = 0
+        for gg, i, y in rows:
+            if gg != g:
+                continue
+            s = max(0, s + y)
+            assert got[(g, i)] == s, (g, i)
+
+
+def test_phrase_match_counts_overlaps_and_validation(spark):
+    import pytest as _pytest
+
+    from polars_gdal_spark.functions.text import phrase_match_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "b a b")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(df, "doc_id", "text", ["a", "b"]).collect()
+    }
+    # doc 1: anchors 0 and 2 ("a b" twice, overlapping runs allowed);
+    # doc 3: one at position 1; doc 2: absent entirely.
+    assert got == {1: 2, 3: 1}
+    with _pytest.raises(ValueError):
+        phrase_match_counts(df, "doc_id", "text", ["a", "a"])

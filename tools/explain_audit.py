@@ -344,6 +344,19 @@ EXPECT = {
     "graph_pagerank": ["ExistingRDD", "!CartesianProduct", "!Window"],
     # full-partition nth_value: one partitioned window, no cartesian
     "window_nth_value": ["Window", "!CartesianProduct"],
+    # inverted-index phrase search: non-query terms die in the scan
+    # stage; anchor counting is two map-combined aggs — no self-join
+    "text_phrase_search": ["partial", "!SortMergeJoin", "!CartesianProduct",
+                           "!Window"],
+    # CUSUM closed form: global mean rides a 1-row broadcast; both
+    # cumulatives share one PARTITIONED WindowExec; final agg combines
+    "events_cusum_drift": ["BroadcastNestedLoopJoin", "Window", "partial"],
+    # all five columns' stats in ONE aggregate over one scan (Expand
+    # plans the multi-count-distinct); stack unpivot is projection-only
+    "pipeline_data_profile": ["Expand", "partial", "!CartesianProduct"],
+    # gaps-and-islands: every window PARTITIONED by customer; the run
+    # collapse map-side combines
+    "scd2_customer_history": ["Window", "partial", "!CartesianProduct"],
 }
 
 
