@@ -288,30 +288,70 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (argmax exact-int cosine, smallest-centroid-id tiebreak). Centroids
-    broadcast; one scan, no shuffle beyond the rank window on id."""
-    from pyspark.sql import Window
+    (argmax exact-int cosine, smallest-centroid-id tiebreak).
 
-    c = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias(centroid_id),
-            quantize(F.col(vec_col)).alias("_cv"),
-        ).withColumn("_cn", F.sqrt(norm_sq_q(F.col("_cv")).cast("double")))
+    One Arrow-batched GEMM per input batch — the HOF-fold formulation
+    this replaced (``dot_q`` over a corpus × k crossJoin plus a
+    row_number window) paid the interpreted-lambda tax k times per
+    vector AND shuffled k·n rows for the rank; the kernel computes the
+    same quantities with NO shuffle at all. Bit-identical to the SQL
+    oracles: quantized dots are exact int64 (< 2^53, so the float64
+    conversion is exact), norms/products/division are single IEEE ops
+    in both engines, and NaN similarities (zero-norm degeneracy) are
+    mapped to +inf before argmax to mirror Spark's NaN-sorts-largest
+    ordering with the smallest-centroid-id tiebreak.
+
+    ``centroids.collect()`` is a k-row small-side contract (centroid
+    sets are broadcast-sized by definition)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            df.schema[vec_col],
+            StructField(centroid_id, LongType()),
+        ]
     )
-    v = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        quantize(F.col(vec_col)).alias("_v"),
-    ).withColumn("_n", F.sqrt(norm_sq_q(F.col("_v")).cast("double")))
-    scored = v.crossJoin(c).withColumn(
-        "_sim", dot_q(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    cent = sorted(
+        (r[0], list(r[1]))
+        for r in centroids.select(id_col, vec_col).collect()
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select(id_col, vec_col, centroid_id)
-    )
+    if not cent:
+        return (
+            df.select(id_col, vec_col)
+            .where(F.lit(False))
+            .withColumn(centroid_id, F.lit(0).cast("long"))
+        )
+    cids = np.array([c[0] for c in cent], dtype=np.int64)
+    cq = np.floor(
+        np.array([c[1] for c in cent], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            vq = np.floor(v * QUANT).astype(np.int64)
+            vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))
+            sims = (vq @ cq.T).astype(np.float64) / (
+                vn[:, None] * cn[None, :]
+            )
+            sims = np.where(np.isnan(sims), np.inf, sims)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    centroid_id: cids[np.argmax(sims, axis=1)],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def ivf_search(

@@ -199,9 +199,13 @@ EXPECT = {
     "limit_offset": ["TakeOrderedAndProject"],
     "word_frequencies": ["TakeOrderedAndProject", "partial"],
     "sim_knn_bruteforce": ["TakeOrderedAndProject", "!CartesianProduct"],
-    "sim_ivf_probe_search": ["WindowGroupLimit", "TakeOrderedAndProject"],
-    "sim_ivf_trained": ["WindowGroupLimit", "TakeOrderedAndProject"],
-    "sim_kmeans_centroids": ["WindowGroupLimit"],
+    "sim_ivf_probe_search": ["MapInPandas", "TakeOrderedAndProject"],
+    # assignment is the shuffle-free GEMM kernel; the probe's top-k
+    # still collapses to a TakeOrdered
+    "sim_ivf_trained": ["MapInPandas", "TakeOrderedAndProject"],
+    # Lloyd assignment scans are MapInPandas GEMMs (no per-vector rank
+    # window since the Arrow rewrite); the update is a partial agg
+    "sim_kmeans_centroids": ["MapInPandas", "partial", "!Window"],
     "sim_knn_join": ["WindowGroupLimit", "partial"],
     "argmax_latest_order": ["WindowGroupLimit"],
     "geo_nearest_center": ["WindowGroupLimit", "!CartesianProduct"],
