@@ -114,6 +114,7 @@ HEADLINE = [
     "events_cusum_drift",
     "pipeline_data_profile",
     "scd2_customer_history",
+    "graph_triangle_participation",
 ]
 
 

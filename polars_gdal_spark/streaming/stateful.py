@@ -127,3 +127,67 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming CUSUM drift — the live twin of queries.analytics.
+# events_cusum_drift. State per user carries the four integers the
+# closed form needs (prefix sum, running min, peak, count), so each
+# micro-batch folds in O(batch) and the statistic is identical to the
+# batch query when the stream is drained in event order.
+
+CUSUM_STATE_SCHEMA = "pre long, mn long, peak long, n long"
+CUSUM_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, peak_cusum bigint, drifted boolean"
+)
+
+
+def stateful_cusum_drift(
+    events: DataFrame, drift: int, threshold: int = 40000
+) -> DataFrame:
+    """events (streaming: ``ts``, ``event_id``, ``user_id``, ``value``)
+    → per-user running CUSUM peak and drift flag.
+
+    ``drift`` is the integer cents baseline to monitor against (the
+    batch query derives it as the corpus mean; a live monitor pins the
+    target it defends). Within a micro-batch rows fold in (ts,
+    event_id) order; the per-user state (prefix sum, running min, peak,
+    count) makes the fold associative across batches for an in-order
+    stream — same integers as the batch closed form."""
+    import pyspark.sql.functions as F
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pre, mn, peak, n = state.get if state.exists else (0, 0, 0, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        for yk in pdf["yk"]:
+            pre += int(yk)
+            mn = min(mn, pre)
+            cus = pre - min(0, mn)
+            peak = max(peak, cus)
+            n += 1
+        state.update((pre, mn, peak, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "peak_cusum": [peak],
+                "drifted": [peak >= threshold],
+            }
+        )
+
+    rows = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - drift).alias("yk"),
+    )
+    return rows.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -644,3 +644,41 @@ def test_streaming_bloom_prefilter_equals_batch(spark, tmp_path):
     exact = pre.join(dim, "user_id", "left_semi").count()
     want = batch.join(dim, "user_id", "left_semi").count()
     assert exact == want
+
+
+def test_stateful_cusum_drift_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.queries import QUERIES, load_tables
+    from polars_gdal_spark.streaming.stateful import stateful_cusum_drift
+
+    events_dir = tmp_path / "events_cusum"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    # The batch query derives the drift baseline as the corpus integer
+    # mean; hand the same constant to the live monitor.
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    drift = ev.select(
+        F.expr("sum(cast(floor(value * 100) as long)) div count(*)")
+    ).collect()[0][0]
+
+    stream = _events_stream(spark, events_dir)
+    q = (
+        stateful_cusum_drift(stream, int(drift))
+        .writeStream.format("memory")
+        .queryName("cusum_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["peak_cusum"], r["drifted"])
+        for r in spark.table("cusum_state").collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_events"], r["peak_cusum"], r["drifted"])
+        for r in QUERIES["events_cusum_drift"].func(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

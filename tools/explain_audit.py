@@ -361,6 +361,10 @@ EXPECT = {
     # gaps-and-islands: every window PARTITIONED by customer; the run
     # collapse map-side combines
     "scd2_customer_history": ["Window", "partial", "!CartesianProduct"],
+    # support-thresholded edges broadcast into wedge + closing joins;
+    # pair counting map-side combines; never an all-pairs scan
+    "graph_triangle_participation": ["BroadcastHashJoin", "partial",
+                                     "!CartesianProduct"],
 }
 
 
