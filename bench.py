@@ -115,6 +115,12 @@ HEADLINE = [
     "pipeline_data_profile",
     "scd2_customer_history",
     "graph_triangle_participation",
+    "pipeline_bucketed_layout",
+    "join_bucketed_colocated",
+    "pipeline_agg_snapshot_build",
+    "pipeline_incremental_agg",
+    "percentiles_weighted",
+    "profile_key_skew",
 ]
 
 

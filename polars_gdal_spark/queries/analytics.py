@@ -1227,3 +1227,113 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+@query(
+    "percentiles_weighted",
+    oracle="""
+    WITH hist AS (
+      SELECT l_suppkey, l_extendedprice AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_suppkey, v, w,
+             sum(w) OVER (PARTITION BY l_suppkey ORDER BY v) AS cw,
+             sum(w) OVER (PARTITION BY l_suppkey) AS tot
+      FROM hist
+    )
+    SELECT l_suppkey,
+           min(CASE WHEN 2 * cw >= tot THEN v END) AS w_median,
+           min(CASE WHEN 10 * cw >= 9 * tot THEN v END) AS w_p90,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM cum GROUP BY 1
+    """,
+)
+def percentiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles per supplier: the price below which
+    half (p50) / 90% (p90) of the supplier's shipped QUANTITY sits —
+    order statistics where each row counts `weight` times (the corpus
+    accounting shape: "median document length weighted by tokens").
+
+    Integer-exact by construction: weights are BIGINT sums, the rank
+    comparisons are the cross-multiplied forms ``2*cum >= total`` and
+    ``10*cum >= 9*total`` (no division anywhere), and the selected
+    value is an actual data value — both engines agree bit-for-bit.
+
+    Scale shape: same two-pass histogram trick as
+    ``percentiles_per_group`` — collapse to the (group, value) weighted
+    histogram in one map-side-combined shuffle, run the cumulative
+    window over the histogram partitioned BY GROUP (10k suppliers at
+    sf1; never a global window), pick by flag-min in the final
+    aggregate. A group's window input is its distinct values, not its
+    rows, so a billion-row supplier with bounded price cardinality
+    costs the same as a thousand-row one."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    hist = (
+        li.groupBy(
+            "l_suppkey", F.col("l_extendedprice").alias("v")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("v")
+    cum = hist.select(
+        "l_suppkey",
+        "v",
+        F.sum("w").over(w).alias("cw"),
+        F.sum("w")
+        .over(Window.partitionBy("l_suppkey"))
+        .alias("tot"),
+    )
+    return cum.groupBy("l_suppkey").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("v"))).alias(
+            "w_median"
+        ),
+        F.min(
+            F.when(10 * F.col("cw") >= 9 * F.col("tot"), F.col("v"))
+        ).alias("w_p90"),
+        F.min("tot").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(length(bin(c)) AS INT) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_group
+    FROM g GROUP BY 1
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the log2 histogram of
+    group sizes for a candidate key (l_partkey) — how many keys fall in
+    each power-of-two size band, how many rows they carry, and the
+    largest group per band. This is the measurement you run BEFORE
+    choosing a join strategy at 100 TB: a fat tail here is the signal
+    to salt (functions/skew.py) or let AQE split, and the max_group of
+    the top band bounds the worst single-task row count.
+
+    Integer-exact: the band is bit_length == length(bin(c)) (the
+    repo's established no-log2 idiom, cross-engine identical); counts
+    and sums are BIGINT.
+
+    Scale shape: one map-side-combined count per key, then a second
+    tiny aggregate over |keys| rows grouped into ≤64 bands — strictly
+    cheaper than any of the joins it de-risks; no windows, no collects."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    return (
+        g.groupBy(
+            F.length(F.bin(F.col("c"))).cast("int").alias("size_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_group"),
+        )
+    )

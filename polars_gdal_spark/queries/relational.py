@@ -1377,3 +1377,58 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 6
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join with ZERO exchanges: both sides come from the
+    bucketed layout (``pipeline_bucketed_layout`` — bucketBy(8,
+    orderkey) + sortBy), so the sort-merge join AND the per-orderkey
+    aggregation both reuse the on-disk hash distribution. The physical
+    plan is pinned to contain no Exchange at all — scan → join → agg →
+    TakeOrderedAndProject.
+
+    Scale shape: THE pattern for repeated big-big joins at 100 TB — the
+    layout shuffle is paid once (by the writer), after which every
+    orderkey-keyed join or rollup is shuffle-free regardless of how
+    many times the pipeline runs. The merge hint keeps AQE from
+    "helpfully" broadcasting the small test-scale side, so the plan
+    shape measured here is the one a 1000-executor cluster gets.
+    grouping on (o_orderkey, o_orderpriority) stays exchange-free
+    because HashPartitioning(o_orderkey) already clusters any key set
+    containing o_orderkey."""
+    from polars_gdal_spark.queries.pipeline import _bucketed_tables
+
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    one = F.lit(1).cast(DEC)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .where(F.col("n_items") >= 6)
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(100)
+    )

@@ -365,6 +365,21 @@ EXPECT = {
     # pair counting map-side combines; never an all-pairs scan
     "graph_triangle_participation": ["BroadcastHashJoin", "partial",
                                      "!CartesianProduct"],
+    # the whole point: bucketed scans feed SMJ + agg with ZERO exchanges
+    "join_bucketed_colocated": ["SortMergeJoin", "!Exchange",
+                                "TakeOrderedAndProject", "partial"],
+    # layout build: read-back counts; never a cartesian
+    "pipeline_bucketed_layout": ["partial", "!CartesianProduct"],
+    # snapshot read-back aggregate (history scan happens at build time)
+    "pipeline_agg_snapshot_build": ["partial", "!CartesianProduct"],
+    # the refresh scans ONLY the delta: cutoff filter reaches the scan
+    "pipeline_incremental_agg": ["PushedFilters", "partial",
+                                 "!CartesianProduct"],
+    # weighted order stats over the (group, value) histogram: window
+    # partitioned by supplier, both aggregates map-side combined
+    "percentiles_weighted": ["Window", "partial", "!CartesianProduct"],
+    # two map-side-combined aggregates, nothing else
+    "profile_key_skew": ["partial", "!CartesianProduct", "!Window"],
 }
 
 
