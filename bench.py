@@ -121,6 +121,7 @@ HEADLINE = [
     "pipeline_incremental_agg",
     "percentiles_weighted",
     "profile_key_skew",
+    "text_bpe_train_merges",
 ]
 
 

@@ -1562,3 +1562,142 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.phrase_match_counts(
         docs, "doc_id", "text", ["big", "order", "scan"]
     )
+
+
+# ----------------------------------------------------------------------
+# Iterative BPE merge training (Sennrich et al., ACL 2016) — the full
+# trainer, not just the first pair count (text_bpe_pair_counts). Words
+# are held as individually-wrapped token blocks '(h)(e)(l)(l)(o)' so a
+# merge is ONE plain string replace of '(a)(b)' with '(ab)': matches can
+# never share characters (each consumes both wrapped tokens), so every
+# occurrence merges in one pass with textbook BPE semantics and
+# engine-identical results — no regex lookarounds, no interpreted HOF
+# folds, no overlap ambiguity between Spark's and DuckDB's replace.
+
+_BPE_MERGE_ROUNDS = 6
+
+
+def _bpe_train_oracle(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    parts = [
+        r"""
+    WITH wf0 AS (
+      SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS w,
+             CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z]+'),
+                      x -> x <> '')) AS word
+        FROM documents
+      )
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            rf""",
+    p{r} AS (
+      SELECT t[i.i] || ' ' || t[i.i + 1] AS pr, sum(f) AS n
+      FROM (SELECT regexp_extract_all(w, '\(([a-z]+)\)', 1) AS t, f
+            FROM wf{r - 1}) x,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+      WHERE len(t) >= 2
+      GROUP BY 1
+    ),
+    m{r} AS (SELECT pr, n FROM p{r} ORDER BY n DESC, pr LIMIT 1),
+    wf{r} AS (
+      SELECT replace(w, '(' || replace(m.pr, ' ', ')(') || ')',
+                        '(' || replace(m.pr, ' ', '') || ')') AS w, f
+      FROM wf{r - 1}, m{r} m
+    )"""
+        )
+    sel = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS merge_round, pr AS pair,
+           replace(pr, ' ', '') AS merged, CAST(n AS BIGINT) AS cnt
+    FROM m{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@query("text_bpe_train_merges", oracle=_bpe_train_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 6 BPE merges over the corpus — the ITERATIVE
+    tokenizer-training loop (each round's pair statistics depend on the
+    previous round's merges), reported as the learned merge table
+    (round, pair, merged token, corpus count).
+
+    Scale shape: the corpus is scanned ONCE, collapsing to the
+    (distinct word, frequency) table — the classic BPE trainer state,
+    bounded by VOCABULARY (sub-linear in corpus size; Heaps' law), not
+    rows. Each round is then: codegen `arrays_zip(slice, slice)` pair
+    explode over the vocab (no interpreted HOF lambdas), one
+    map-side-combined count, a 1-row TakeOrdered for the argmax pair
+    (tie-break: count desc, pair asc), and one broadcast-1-row string
+    replace to apply the merge. Lineage is cut with an eager
+    localCheckpoint per round (graph_pagerank's iterative shape), so
+    the plan never snowballs across rounds. At 100 TB the vocab table
+    is a few million rows — every round is seconds regardless of corpus
+    size."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    wf = (
+        words.groupBy(
+            F.regexp_replace("word", r"(.)", r"($1)").alias("w")
+        )
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+        base = wf.select(
+            F.regexp_extract_all("w", F.lit(r"\(([a-z]+)\)"), 1).alias(
+                "t"
+            ),
+            "f",
+        ).where(F.size("t") >= 2)
+        pairs = base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("a"),
+                    F.slice("t", 2, F.size("t") - 1).alias("b"),
+                )
+            ).alias("z"),
+            "f",
+        ).select(F.concat_ws(" ", "z.a", "z.b").alias("pr"), "f")
+        m = (
+            pairs.groupBy("pr")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pr"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        row = m.select(
+            F.lit(r).cast("int").alias("merge_round"),
+            F.col("pr").alias("pair"),
+            F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("n").cast("bigint").alias("cnt"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if r < _BPE_MERGE_ROUNDS:
+            pat = F.concat(
+                F.lit("("),
+                F.replace(F.col("pr"), F.lit(" "), F.lit(")(")),
+                F.lit(")"),
+            )
+            rep = F.concat(
+                F.lit("("),
+                F.replace(F.col("pr"), F.lit(" "), F.lit("")),
+                F.lit(")"),
+            )
+            wf = (
+                wf.crossJoin(F.broadcast(m))
+                .select(F.replace(F.col("w"), pat, rep).alias("w"), "f")
+                .localCheckpoint(eager=True)
+            )
+    return out

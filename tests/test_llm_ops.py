@@ -849,3 +849,44 @@ def test_ivfpq_recall_vs_exact(spark):
     }
     overlap = len({r["vec_id"] for r in got} & exact)
     assert overlap >= 5, (sorted(r["vec_id"] for r in got), sorted(exact))
+
+
+def test_bpe_train_merges_textbook_corpus(spark, tmp_path):
+    """The Sennrich et al. running example (low/lower/newest/widest)
+    hand-traced under this trainer's tie-break (count desc, pair asc):
+    merges must come out es, est, lo, low, ew, ewest with counts
+    9, 9, 7, 7, 6, 6 — pinning merge semantics (ALL occurrences merge
+    each round, boundaries exact) at the value level."""
+    import os
+    import shutil
+
+    from polars_gdal_spark.queries import QUERIES, TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t == "documents":
+            continue
+        p = f"{src}/{t}.parquet"
+        if os.path.isdir(p):
+            shutil.copytree(p, tmp_path / f"{t}.parquet")
+        else:
+            shutil.copy(p, tmp_path / f"{t}.parquet")
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        QUERIES["text_bpe_train_merges"]
+        .func(spark, str(tmp_path))
+        .orderBy("merge_round")
+        .collect()
+    )
+    assert [(r["pair"], r["merged"], r["cnt"]) for r in got] == [
+        ("e s", "es", 9),
+        ("es t", "est", 9),
+        ("l o", "lo", 7),
+        ("lo w", "low", 7),
+        ("e w", "ew", 6),
+        ("ew est", "ewest", 6),
+    ]

@@ -380,6 +380,10 @@ EXPECT = {
     "percentiles_weighted": ["Window", "partial", "!CartesianProduct"],
     # two map-side-combined aggregates, nothing else
     "profile_key_skew": ["partial", "!CartesianProduct", "!Window"],
+    # iterative trainer ends on checkpointed 1-row merge scans
+    # (pagerank's lineage-cut shape); never a cartesian
+    "text_bpe_train_merges": ["ExistingRDD", "Union",
+                              "!CartesianProduct"],
 }
 
 
