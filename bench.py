@@ -122,6 +122,7 @@ HEADLINE = [
     "percentiles_weighted",
     "profile_key_skew",
     "text_bpe_train_merges",
+    "text_bpe_encode",
 ]
 
 

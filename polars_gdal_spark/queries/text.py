@@ -1577,7 +1577,8 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGE_ROUNDS = 6
 
 
-def _bpe_train_oracle(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+def _bpe_cte(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """The shared WITH-chain: wf0 and per-round p/m/wf CTEs."""
     parts = [
         r"""
     WITH wf0 AS (
@@ -1610,13 +1611,17 @@ def _bpe_train_oracle(rounds: int = _BPE_MERGE_ROUNDS) -> str:
       FROM wf{r - 1}, m{r} m
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int = _BPE_MERGE_ROUNDS) -> str:
     sel = "\n    UNION ALL\n".join(
         f"""    SELECT {r} AS merge_round, pr AS pair,
            replace(pr, ' ', '') AS merged, CAST(n AS BIGINT) AS cnt
     FROM m{r}"""
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_cte(rounds) + "\n" + sel
 
 
 @query("text_bpe_train_merges", oracle=_bpe_train_oracle())
@@ -1638,6 +1643,44 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan never snowballs across rounds. At 100 TB the vocab table
     is a few million rows — every round is seconds regardless of corpus
     size."""
+    ms = _bpe_merges(spark, sf_dir)
+    out = None
+    for r, m in enumerate(ms, 1):
+        row = m.select(
+            F.lit(r).cast("int").alias("merge_round"),
+            F.col("pr").alias("pair"),
+            F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("n").cast("bigint").alias("cnt"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _bpe_pair_pattern(pr):
+    """'(a)(b)' search string for a 'a b' pair column."""
+    return F.concat(
+        F.lit("("),
+        F.replace(pr, F.lit(" "), F.lit(")(")),
+        F.lit(")"),
+    )
+
+
+def _bpe_pair_replacement(pr):
+    """'(ab)' replacement string for a 'a b' pair column."""
+    return F.concat(
+        F.lit("("),
+        F.replace(pr, F.lit(" "), F.lit("")),
+        F.lit(")"),
+    )
+
+
+def _bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_MERGE_ROUNDS
+) -> list[DataFrame]:
+    """Run the BPE training loop; return one checkpointed 1-row
+    DataFrame (pr, n) per learned merge, in merge order. Shared by the
+    trainer query (reports the merge table) and the encoder query
+    (applies the merges corpus-wide)."""
     t = load_tables(spark, sf_dir)
     words = (
         t["documents"]
@@ -1653,8 +1696,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("f"))
         .localCheckpoint(eager=True)
     )
-    out = None
-    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+    ms: list[DataFrame] = []
+    for r in range(1, rounds + 1):
         base = wf.select(
             F.regexp_extract_all("w", F.lit(r"\(([a-z]+)\)"), 1).alias(
                 "t"
@@ -1677,27 +1720,99 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=True)
         )
-        row = m.select(
-            F.lit(r).cast("int").alias("merge_round"),
-            F.col("pr").alias("pair"),
-            F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
-            F.col("n").cast("bigint").alias("cnt"),
-        )
-        out = row if out is None else out.unionAll(row)
-        if r < _BPE_MERGE_ROUNDS:
-            pat = F.concat(
-                F.lit("("),
-                F.replace(F.col("pr"), F.lit(" "), F.lit(")(")),
-                F.lit(")"),
-            )
-            rep = F.concat(
-                F.lit("("),
-                F.replace(F.col("pr"), F.lit(" "), F.lit("")),
-                F.lit(")"),
-            )
+        ms.append(m)
+        if r < rounds:
             wf = (
                 wf.crossJoin(F.broadcast(m))
-                .select(F.replace(F.col("w"), pat, rep).alias("w"), "f")
+                .select(
+                    F.replace(
+                        F.col("w"),
+                        _bpe_pair_pattern(F.col("pr")),
+                        _bpe_pair_replacement(F.col("pr")),
+                    ).alias("w"),
+                    "f",
+                )
                 .localCheckpoint(eager=True)
             )
-    return out
+    return ms
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    parts = [_bpe_cte(rounds)]
+    parts.append(
+        r""",
+    d0 AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '([a-z])', '(\1)', 'g') AS w,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS BIGINT) AS n_chars
+      FROM documents
+    )"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+      SELECT doc_id,
+             replace(w, '(' || replace(m.pr, ' ', ')(') || ')',
+                        '(' || replace(m.pr, ' ', '') || ')') AS w,
+             n_chars
+      FROM d{r - 1}, m{r} m
+    )"""
+        )
+    parts.append(
+        rf"""
+    SELECT doc_id, n_chars,
+           CAST(len(regexp_extract_all(w, '\(([a-z]+)\)', 1)) AS BIGINT)
+             AS n_bpe_tokens
+    FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges corpus-wide — the encode half of the
+    tokenizer story (``text_bpe_train_merges`` is the train half): every
+    document's letter runs are segmented with the 6 merges learned from
+    this same corpus, and the per-document BPE token count is reported
+    next to the raw letter count (the compression the vocabulary buys).
+
+    Scale shape: training cost is vocab-bounded (see the trainer); the
+    encode pass is 6 sequential plain string replaces over the wrapped
+    form — each merge arrives as a broadcast 1-row join (never a
+    collect), the replaces are codegen string ops (no regex in the
+    per-document hot path beyond the initial wrap), and the whole
+    encode is embarrassingly parallel per document. At 100 TB this is
+    the shape of the production tokenizer-apply job: broadcast the
+    merge table, map the corpus once."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ms = _bpe_merges(spark, sf_dir)
+    enc = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"([a-z])", r"($1)").alias("w"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    for r, m in enumerate(ms, 1):
+        mr = m.select(F.col("pr").alias(f"_pr{r}"))
+        enc = (
+            enc.crossJoin(F.broadcast(mr))
+            .withColumn(
+                "w",
+                F.replace(
+                    F.col("w"),
+                    _bpe_pair_pattern(F.col(f"_pr{r}")),
+                    _bpe_pair_replacement(F.col(f"_pr{r}")),
+                ),
+            )
+            .drop(f"_pr{r}")
+        )
+    return enc.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.regexp_extract_all("w", F.lit(r"\(([a-z]+)\)"), 1))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )

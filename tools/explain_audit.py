@@ -384,6 +384,10 @@ EXPECT = {
     # (pagerank's lineage-cut shape); never a cartesian
     "text_bpe_train_merges": ["ExistingRDD", "Union",
                               "!CartesianProduct"],
+    # encode: merges arrive as broadcast 1-row joins over checkpointed
+    # scans; the corpus map is a single project — never a cartesian
+    "text_bpe_encode": ["BroadcastNestedLoopJoin", "ExistingRDD",
+                        "!CartesianProduct"],
 }
 
 
