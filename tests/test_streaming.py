@@ -682,3 +682,89 @@ def test_stateful_cusum_drift_matches_batch(spark, tmp_path):
         for r in QUERIES["events_cusum_drift"].func(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
+    """Multi-batch streamed snapshot == one-shot batch aggregate, and a
+    replayed batch (same id, same data) leaves the snapshot unchanged —
+    the exactly-once contract of the versioned merge."""
+    from polars_gdal_spark.queries import load_tables
+    from polars_gdal_spark.streaming import (
+        _user_partials,
+        read_agg_snapshot,
+        refresh_agg_snapshot,
+        streaming_incremental_agg,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    events_dir = tmp_path / "ev_split"
+    # several input files + maxFilesPerTrigger=1 => several micro-batches
+    ev.repartition(4).write.parquet(str(events_dir))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir))
+    )
+    snap = str(tmp_path / "snapshot")
+    streaming_incremental_agg(stream, snap, str(tmp_path / "ckpt"))
+
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["sum_cents"],
+            r["first_ts"],
+            r["last_ts"],
+        )
+        for r in read_agg_snapshot(spark, snap).collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["sum_cents"],
+            r["first_ts"],
+            r["last_ts"],
+        )
+        for r in _user_partials(ev).collect()
+    }
+    assert got == want
+
+    # restarting the drained stream against the same checkpoint replays
+    # nothing (offsets committed) and must leave the snapshot intact
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir))
+    )
+    streaming_incremental_agg(stream2, snap, str(tmp_path / "ckpt"))
+    after = {
+        r["user_id"]: (
+            r["n_events"],
+            r["sum_cents"],
+            r["first_ts"],
+            r["last_ts"],
+        )
+        for r in read_agg_snapshot(spark, snap).collect()
+    }
+    assert after == got
+
+
+def test_refresh_agg_snapshot_replay_idempotent(spark, tmp_path):
+    """Direct replay of refresh_agg_snapshot with the same (batch_id,
+    rows) after a simulated crash-after-write yields identical state."""
+    from polars_gdal_spark.queries import load_tables
+    from polars_gdal_spark.streaming import (
+        read_agg_snapshot,
+        refresh_agg_snapshot,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    b0 = ev.where("event_id % 2 = 0")
+    b1 = ev.where("event_id % 2 = 1")
+    snap = str(tmp_path / "snap")
+    refresh_agg_snapshot(spark, b0, 0, snap)
+    refresh_agg_snapshot(spark, b1, 1, snap)
+    want = {tuple(r) for r in read_agg_snapshot(spark, snap).collect()}
+    # crash between sink write and offset commit => batch 1 replays
+    refresh_agg_snapshot(spark, b1, 1, snap)
+    got = {tuple(r) for r in read_agg_snapshot(spark, snap).collect()}
+    assert got == want
