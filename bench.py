@@ -123,6 +123,7 @@ HEADLINE = [
     "profile_key_skew",
     "text_bpe_train_merges",
     "text_bpe_encode",
+    "sim_semantic_decontaminate",
 ]
 
 

@@ -1141,3 +1141,76 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the shingle-based ``text.decontaminate``: every corpus vector gets
+    its MAX cosine against the (bounded, broadcast) eval-set matrix and
+    a contamination flag, in one shuffle-free ``mapInPandas`` pass.
+
+    Near-paraphrases of eval items survive n-gram decontamination (no
+    shingle overlap) but not this: embedding cosine catches reworded
+    contamination, which is why production pipelines run BOTH gates.
+
+    Scale shape: identical to :func:`knn_join`'s broadcast-GEMM kernel
+    but reduced ROW-WISE (max + argmin-id over the eval axis), so the
+    output is one row per corpus vector and the plan has NO exchange at
+    all — scan → GEMM → project. The only collect is the eval set, a
+    bounded benchmark suite by contract (same contract as the
+    text-shingle decontaminator's broadcast probe). Ties on the max
+    break to the smallest eval id (cross-engine deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    erows = eval_set.select(id_col, vec_col).collect()
+    out_schema = (
+        f"{id_col} {dict(corpus.dtypes)[id_col]}, "
+        "max_eval_cosine double, nearest_eval bigint, contaminated boolean"
+    )
+    if not erows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    eids = np.array([r[0] for r in erows], dtype=np.int64)
+    E = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in erows])
+        * QUANT
+    ).astype(np.int64)
+    en = np.sqrt((E * E).sum(axis=1).astype(np.float64))
+    be = corpus.sparkSession.sparkContext.broadcast((eids, E, en))
+
+    def score(batches):
+        eids_b, E_b, en_b = be.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            M = np.floor(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                * QUANT
+            ).astype(np.int64)
+            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            cos = (M @ E_b.T).astype(np.float64) / np.outer(cn, en_b)
+            mx = cos.max(axis=1)
+            # smallest eval id among exact-max ties
+            nearest = np.array(
+                [eids_b[cos[i] == mx[i]].min() for i in range(len(mx))],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_eval_cosine": mx,
+                    "nearest_eval": nearest,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)

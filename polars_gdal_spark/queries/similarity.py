@@ -945,3 +945,47 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_adc_topk(
         corpus, cent, qrow[0][0], m=8, codebook_k=16, n_probe=2, k=10
     )
+
+
+@query(
+    "sim_semantic_decontaminate",
+    oracle=f"""
+    WITH {_Q_SQL},
+    ev AS (SELECT vec_id, v FROM q
+           WHERE vec_id % 50 = 0 AND vec_id < 10000),
+    tr AS (SELECT vec_id, v FROM q
+           WHERE NOT (vec_id % 50 = 0 AND vec_id < 10000)),
+    cos AS (
+      SELECT t.vec_id, e.vec_id AS eid,
+             list_dot_product(t.v, e.v)
+               / (sqrt(list_dot_product(t.v, t.v))
+                  * sqrt(list_dot_product(e.v, e.v))) AS c
+      FROM tr t, ev e
+    ),
+    mx AS (SELECT vec_id, max(c) AS mc FROM cos GROUP BY 1)
+    SELECT m.vec_id,
+           m.mc AS max_eval_cosine,
+           CAST(min(c.eid) AS BIGINT) AS nearest_eval,
+           (m.mc >= 0.3) AS contaminated
+    FROM mx m JOIN cos c ON c.vec_id = m.vec_id AND c.c = m.mc
+    GROUP BY 1, 2, 4
+    """,
+)
+def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training vectors
+    whose max cosine against the held-out eval set (vec_id % 50 = 0 —
+    the benchmark stand-in) clears 0.3 — catches the REWORDED
+    contamination that survives the n-gram gate (`text_decontaminate`);
+    production pipelines run both.
+
+    Scale shape: the eval set is bounded by contract (a benchmark
+    suite), broadcast once; the corpus is scanned once through a
+    row-wise-max GEMM kernel with NO exchange in the plan (one output
+    row per corpus vector — contrast the top-k kernels that need the
+    k×partitions resolve window). Max-tie resolution is min eval id,
+    deterministic on both engines over identical IEEE divisions."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    is_eval = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10000)
+    return S.semantic_decontaminate(
+        emb.where(~is_eval), emb.where(is_eval), threshold=0.3
+    )

@@ -95,3 +95,24 @@ def test_duckdb_running_min_window_matches_python(ys):
         m = y if m is None else min(m, y)
         ref.append(m)
     assert got == ref
+
+
+# BPE merge kernel: the trainer/encoder rely on replace() applying ALL
+# non-overlapping occurrences left-to-right identically in both engines.
+# With the wrapped-token representation matches can never share
+# characters, so any sane replace agrees — this property pins DuckDB's
+# semantics against Python's str.replace (Spark's StringReplace has the
+# same contract).
+_tok = st.text(alphabet="ab", min_size=1, max_size=3)
+_word = st.lists(_tok, min_size=1, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_word, _tok, _tok)
+def test_duckdb_replace_matches_python_on_wrapped_tokens(toks, a, b):
+    w = "".join(f"({t})" for t in toks)
+    pat, rep = f"({a})({b})", f"({a}{b})"
+    got = duckdb.sql(
+        "SELECT replace(?, ?, ?)", params=[w, pat, rep]
+    ).fetchone()[0]
+    assert got == w.replace(pat, rep)

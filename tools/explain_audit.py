@@ -388,6 +388,10 @@ EXPECT = {
     # scans; the corpus map is a single project — never a cartesian
     "text_bpe_encode": ["BroadcastNestedLoopJoin", "ExistingRDD",
                         "!CartesianProduct"],
+    # broadcast eval matrix + row-wise-max GEMM: scan → kernel →
+    # project, nothing else — one output row per corpus vector
+    "sim_semantic_decontaminate": ["MapInPandas", "!Exchange",
+                                   "!CartesianProduct"],
 }
 
 
