@@ -124,6 +124,7 @@ HEADLINE = [
     "text_bpe_train_merges",
     "text_bpe_encode",
     "sim_semantic_decontaminate",
+    "pipeline_dataset_diff",
 ]
 
 

@@ -392,6 +392,8 @@ EXPECT = {
     # project, nothing else — one output row per corpus vector
     "sim_semantic_decontaminate": ["MapInPandas", "!Exchange",
                                    "!CartesianProduct"],
+    # digests computed at the scan; ONE co-partitioned full-outer join
+    "pipeline_dataset_diff": ["FullOuter", "!CartesianProduct"],
 }
 
 
