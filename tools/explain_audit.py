@@ -96,7 +96,7 @@ EXPECT = {
     "pipeline_train_val_test": ["partial"],
     # probe set broadcasts into a nested-loop join (tiny side), never a
     # shuffled cartesian product
-    "sim_range_search": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
+    "sim_range_search": ["MapInPandas", "!Exchange", "!CartesianProduct"],
     # estimate joins run on the candidate-pair relation, never corpus²
     "dedup_minhash_estimate": ["!CartesianProduct"],
     # ---- scan-fused pure maps: zero shuffle anywhere --------------------
