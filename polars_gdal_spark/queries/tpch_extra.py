@@ -424,19 +424,34 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-100 by price. Catalyst turns orderBy+limit into
     TakeOrderedAndProject — no global sort materializes."""
     t = load_tables(spark, sf_dir)
-    return (
+    # Aggregate lineitem FIRST on the narrow orderkey (map-side
+    # combined; quantities are integral doubles so the sum is exact and
+    # order-independent), filter to the rare >300 orders, and broadcast
+    # that tiny set into the joins — neither orders nor customer ever
+    # shuffles, and the wide (name, date, price) columns never ride a
+    # shuffle at all. Grouping by orderkey alone is equivalent to the
+    # oracle's 5-key group because orderkey determines the other four.
+    big = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
+            "sum_qty",
         )
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .where(F.col("sum_qty") > 300)
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )

@@ -37,7 +37,10 @@ EXPECT = {
     "q8_market_share": ["BroadcastHashJoin"],
     "q9_product_profit": ["BroadcastHashJoin", "PushedFilters"],
     # HAVING + top-100: global sort must collapse to TakeOrdered
-    "q18_large_volume_customers": ["TakeOrderedAndProject"],
+    # narrow orderkey pre-agg + the rare >300 set broadcast into both
+    # joins: the wide columns never ride a shuffle
+    "q18_large_volume_customers": ["TakeOrderedAndProject", "partial",
+                                   "BroadcastHashJoin"],
     # double correlation: semi + anti joins, no cartesian anywhere
     "q21_waiting_suppliers": ["LeftSemi", "LeftAnti"],
     # corpus filtered before the digest shuffle: gates are in the same
