@@ -398,7 +398,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BENCH_SHINGLE_SQL = """
   bt AS (
     SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-    FROM documents WHERE doc_id % 23 = 0
+    FROM documents WHERE doc_id % 23 = 0 AND doc_id < 25000
   ),
   bs AS (
     SELECT DISTINCT unnest(list_distinct(
@@ -445,11 +445,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-appendix recipe, 5-grams here so
     the synthetic short docs shingle): flag augmented-corpus documents
     sharing word n-grams with the deterministic "eval set"
-    (doc_id % 23 == 0 of the raw corpus). The eval side is broadcast —
+    (doc_id % 23 == 0 below id 25000 — a benchmark is a FIXED set, so
+    the stand-in is bounded at any corpus scale; an unbounded eval
+    predicate would grow the broadcast with the corpus). The eval side
+    is broadcast —
     corpus shingles are probed map-side; the only corpus shuffle is the
     per-doc count groupBy."""
     docs = load_tables(spark, sf_dir)["documents"]
-    bench = docs.where(F.col("doc_id") % 23 == 0)
+    bench = docs.where(
+        (F.col("doc_id") % 23 == 0) & (F.col("doc_id") < 25000)
+    )
     aug = _augmented(spark, sf_dir)
     return D.benchmark_contamination(
         aug, bench, "doc", "text", "text", n=5
