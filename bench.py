@@ -125,6 +125,7 @@ HEADLINE = [
     "text_bpe_encode",
     "sim_semantic_decontaminate",
     "pipeline_dataset_diff",
+    "sketch_user_overlap",
 ]
 
 

@@ -1337,3 +1337,185 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("bigint").alias("max_group"),
         )
     )
+
+
+@query(
+    "sketch_user_overlap",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events WHERE value > 100
+    ),
+    hu AS (
+      SELECT event_type, user_id,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h
+      FROM du
+    ),
+    counts AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS rk
+        FROM hu
+      ) WHERE rk <= 64
+    ),
+    prs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b
+      FROM counts a JOIN counts b ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p.type_a, p.type_b, s.h,
+             max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+               AS in_a,
+             max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+               AS in_b
+      FROM prs p JOIN sk s
+        ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    mk AS (
+      SELECT type_a, type_b, h, in_a, in_b,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h)
+               AS rk
+      FROM m
+    ),
+    est AS (
+      SELECT type_a, type_b,
+             CAST(sum(in_a * in_b) AS BIGINT) AS shared,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM mk WHERE rk <= 64 GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(coalesce(i.n_both, 0) AS BIGINT) AS n_both,
+           coalesce(i.n_both, 0)
+             / CAST(p.n_a + p.n_b - coalesce(i.n_both, 0) AS DOUBLE)
+             AS jaccard_exact,
+           e.shared / CAST(e.k_eff AS DOUBLE) AS jaccard_est
+    FROM prs p
+    JOIN est e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    """,
+)
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-INTERSECTION sketches: per event
+    type, keep the 64 smallest md5 hashes of its distinct HIGH-VALUE
+    users (value > 100 — the segments genuinely differ, Jaccard ≈ 0.7); for
+    every type pair, the shared fraction of the merged bottom-64
+    estimates the Jaccard overlap — reported next to the exact value
+    (the accuracy contract, same pattern as the HLL row). KMV is the
+    mergeable sketch family for the question HLL cannot answer
+    (intersections / overlaps between segments).
+
+    Deterministic by construction: the "random" hash is md5 (identical
+    both engines), sketches are rank-≤-64 windows PARTITIONED by type,
+    and the two divisions (exact + estimated Jaccard) are single IEEE
+    ops over exact integers.
+
+    Scale shape: the corpus-sized work is ONE distinct (type, user)
+    aggregate — everything after operates on ≤64×|types| sketch rows
+    (the entire point of sketching at 100 TB: ship 64 hashes per
+    segment, not user sets; sketches of disjoint partitions merge by
+    min-union). The exact intersection join here is the verification
+    harness, not the production path."""
+    ev = load_tables(spark, sf_dir)["events"]
+    du = (
+        ev.where(F.col("value") > 100)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hu = du.select(
+        "event_type",
+        "user_id",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 16).alias(
+            "h"
+        ),
+    )
+    counts = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hu.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 64)
+        .select("event_type", "h")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    prs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    da, db = du.alias("da"), du.alias("db")
+    inter = (
+        da.join(db, "user_id")
+        .where(F.col("da.event_type") < F.col("db.event_type"))
+        .groupBy(
+            F.col("da.event_type").alias("type_a"),
+            F.col("db.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    s = sk.alias("s")
+    m = (
+        prs.alias("p")
+        .join(
+            F.broadcast(s),
+            (F.col("s.event_type") == F.col("p.type_a"))
+            | (F.col("s.event_type") == F.col("p.type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                (F.col("event_type") == F.col("type_a")).cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("event_type") == F.col("type_b")).cast("int")
+            ).alias("in_b"),
+        )
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("h")
+    est = (
+        m.withColumn("rk", F.row_number().over(wm))
+        .where(F.col("rk") <= 64)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("shared"),
+            F.count("*").cast("bigint").alias("k_eff"),
+        )
+    )
+    return (
+        prs.join(est, ["type_a", "type_b"])
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.coalesce(F.col("n_both"), F.lit(0))
+            .cast("bigint")
+            .alias("n_both"),
+            (
+                F.coalesce(F.col("n_both"), F.lit(0))
+                / (
+                    F.col("n_a") + F.col("n_b")
+                    - F.coalesce(F.col("n_both"), F.lit(0))
+                ).cast("double")
+            ).alias("jaccard_exact"),
+            (F.col("shared") / F.col("k_eff").cast("double")).alias(
+                "jaccard_est"
+            ),
+        )
+    )

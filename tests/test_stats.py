@@ -93,3 +93,19 @@ def test_phrase_match_counts_overlaps_and_validation(spark):
     assert got == {1: 2, 3: 1}
     with _pytest.raises(ValueError):
         phrase_match_counts(df, "doc_id", "text", ["a", "a"])
+
+
+def test_kmv_overlap_accuracy_contract(spark):
+    """KMV Jaccard estimates at k=64 must land within the ~2/sqrt(k)
+    theory band of the exact value on the fixture segments — the same
+    enforced-accuracy pattern as the HLL contract test."""
+    from polars_gdal_spark.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        rows = QUERIES["sketch_user_overlap"].func(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert abs(r["jaccard_exact"] - r["jaccard_est"]) <= 0.25, (
+                sf,
+                r,
+            )

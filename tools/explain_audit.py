@@ -397,6 +397,9 @@ EXPECT = {
                                    "!CartesianProduct"],
     # digests computed at the scan; ONE co-partitioned full-outer join
     "pipeline_dataset_diff": ["FullOuter", "!CartesianProduct"],
+    # one corpus-sized distinct agg; sketch windows PARTITIONED by
+    # type/pair; everything downstream is <=64*|types| rows broadcast
+    "sketch_user_overlap": ["partial", "Window", "!CartesianProduct"],
 }
 
 
