@@ -126,6 +126,7 @@ HEADLINE = [
     "sim_semantic_decontaminate",
     "pipeline_dataset_diff",
     "sketch_user_overlap",
+    "join_interval_binned",
 ]
 
 

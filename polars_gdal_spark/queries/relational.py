@@ -1432,3 +1432,73 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    WITH pur AS (
+      SELECT event_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'
+    ),
+    err AS (
+      SELECT epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_incidents
+    FROM pur p JOIN err e ON p.t >= e.lo AND p.t < e.hi
+    GROUP BY 1
+    """,
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG×BIG interval-overlap join made EQUI by bucketization — count,
+    per purchase event, the 30-minute error-incident windows containing
+    it. The naive plan for point-in-interval predicates is a
+    BroadcastNestedLoopJoin (fine for a 3-row bucket dim like
+    ``join_range_nonequi``; catastrophic when BOTH sides grow with the
+    corpus). The production recipe instead:
+
+    * bucket width = window width, so every interval covers ≤ 2 buckets
+      (bounded blow-up) and each point lands in exactly 1;
+    * explode intervals into their covered buckets (codegen
+      ``explode(sequence(...))``), equi-join on the bucket, exact range
+      filter after — a (point, interval) pair can match in at most one
+      bucket, so no dedup pass is needed;
+    * the join is now shuffle-partitioned on the bucket key: both sides
+      scale out instead of nesting loops.
+
+    All arithmetic is BIGINT epoch-microseconds on both engines. Note
+    the matched-pair count itself is semantics-driven (a purchase
+    inside k overlapping incident windows must count k) — the recipe's
+    contribution is that the pair generation is equi-partitioned and
+    map-side pre-aggregable across the cluster instead of nested-looped
+    on one executor."""
+    ev = load_tables(spark, sf_dir)["events"]
+    W = 1_800_000_000  # 30 min in micros = bucket width = window width
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        # integer div, not `/`: double division of epoch-micros loses
+        # exactness near bucket boundaries
+        F.expr(f"unix_micros(ts) div {W}").alias("bucket"),
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + W).alias("hi"),
+    )
+    err_b = err.select(
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {W}"),
+                F.expr(f"(hi - 1) div {W}"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        pur.join(err_b, "bucket")
+        .where((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .groupBy("event_id")
+        .agg(F.count("*").cast("bigint").alias("n_incidents"))
+    )

@@ -400,6 +400,10 @@ EXPECT = {
     # one corpus-sized distinct agg; sketch windows PARTITIONED by
     # type/pair; everything downstream is <=64*|types| rows broadcast
     "sketch_user_overlap": ["partial", "Window", "!CartesianProduct"],
+    # bucketized interval join: EQUI join on the bucket key — never a
+    # nested loop over two corpus-sized sides
+    "join_interval_binned": ["partial", "!CartesianProduct",
+                             "!BroadcastNestedLoopJoin"],
 }
 
 
