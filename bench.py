@@ -127,6 +127,7 @@ HEADLINE = [
     "pipeline_dataset_diff",
     "sketch_user_overlap",
     "join_interval_binned",
+    "sim_embedding_drift",
 ]
 
 

@@ -989,3 +989,99 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_decontaminate(
         emb.where(~is_eval), emb.where(is_eval), threshold=0.3
     )
+
+
+@query(
+    "sim_embedding_drift",
+    oracle=f"""
+    WITH {_Q_SQL},
+    x AS (
+      SELECT vec_id % 2 AS grp, i.i + 1 AS dim, v[i.i + 1] AS qv
+      FROM q, (SELECT unnest(generate_series(0, 63)) AS i) i
+    ),
+    sums AS (
+      SELECT grp, dim,
+             CAST(sum(qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.dim, a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+      FROM sums a JOIN sums b ON a.dim = b.dim
+      WHERE a.grp = 0 AND b.grp = 1
+    )
+    SELECT min(na) AS n_a, min(nb) AS n_b,
+           CAST(sum(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS DOUBLE)
+             / (sqrt(CAST(sum(CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT))
+                          AS DOUBLE))
+                * sqrt(CAST(sum(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT))
+                            AS DOUBLE))) AS mean_cosine,
+           max(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb))
+             AS max_mean_gap
+    FROM j
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor between two corpus slices
+    (vec_id parity as the yesterday/today stand-in): cosine between the
+    slices' mean vectors plus the worst per-dimension mean gap — the
+    cheap pre-training check that a new data drop hasn't shifted the
+    embedding space (a mean-cosine well below 1 or a fat dimension gap
+    means the retrieval index / dedup thresholds need requalifying).
+
+    Determinism: per-dim sums are exact BIGINT over the quantized
+    grid; cross products go through DECIMAL(38) (HUGEINT in the
+    oracle) so the dot/norms are exact integers before ONE double
+    conversion each; the mean gap is a difference of two single IEEE
+    divisions. Cosine of means needs no count normalization at all —
+    the counts cancel.
+
+    Scale shape: one posexplode + map-side-combined (slice, dim)
+    aggregate — 128 output rows regardless of corpus size — then a
+    64-row join and a 1-row aggregate. This is the fixed-width-state
+    monitoring shape: at 100 TB the only corpus-sized work is the one
+    scan."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from polars_gdal_spark.functions.similarity import quantize
+
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "qv"),
+    )
+    sums = x.groupBy("grp", "dim").agg(
+        F.sum("qv").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = sums.where(F.col("grp") == 0).select(
+        "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = sums.where(F.col("grp") == 1).select(
+        "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, "dim")
+    d38 = "decimal(38,0)"
+    return j.agg(
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        (
+            F.sum(F.col("sa").cast(d38) * F.col("sb").cast(d38))
+            .cast("double")
+            / (
+                F.sqrt(
+                    F.sum(
+                        F.col("sa").cast(d38) * F.col("sa").cast(d38)
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    F.sum(
+                        F.col("sb").cast(d38) * F.col("sb").cast(d38)
+                    ).cast("double")
+                )
+            )
+        ).alias("mean_cosine"),
+        F.max(
+            F.abs(
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            )
+        ).alias("max_mean_gap"),
+    )

@@ -404,6 +404,9 @@ EXPECT = {
     # nested loop over two corpus-sized sides
     "join_interval_binned": ["partial", "!CartesianProduct",
                              "!BroadcastNestedLoopJoin"],
+    # one corpus scan into a 128-row (slice, dim) aggregate; the rest
+    # is fixed-width — no window, never a cartesian
+    "sim_embedding_drift": ["partial", "!Window", "!CartesianProduct"],
 }
 
 
