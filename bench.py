@@ -128,6 +128,7 @@ HEADLINE = [
     "sketch_user_overlap",
     "join_interval_binned",
     "sim_embedding_drift",
+    "dedup_lsh_recall",
 ]
 
 

@@ -101,9 +101,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_groups(aug, "doc", "text")
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# MinHash-LSH candidate CTE chain (shared by the pair query and the
+# recall harness): 16 hashes, 4 bands x 4 rows, bucket cap 64.
+_MINHASH_CAND_SQL = f"""
     WITH {_AUG_SQL},
     {_SHINGLE_SQL},
     mh AS (
@@ -123,11 +123,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT band, band_sig FROM bands
             GROUP BY band, band_sig HAVING count(*) BETWEEN 2 AND 64) e
       USING (band, band_sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bkt a
+      JOIN bkt b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc < b.doc
     )
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bkt a
-    JOIN bkt b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_CAND_SQL + "\n    SELECT doc_a, doc_b FROM cand",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows) over
@@ -1128,4 +1136,69 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented(spark, sf_dir)
     return D.ngram_containment_pairs(
         aug, "doc", "text", n=3, threshold=0.8, max_shingle_df=1024
+    )
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=_MINHASH_CAND_SQL
+    + """,
+    truth AS (
+      SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b FROM toks
+    ),
+    hit AS (
+      SELECT count(*) AS n FROM truth t
+      JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+           (SELECT n FROM hit)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-RECALL harness for the MinHash-LSH dedup path — the
+    dedup twin of ``sim_ann_recall``: the augmented corpus plants one
+    known near-duplicate per base document (the 80%-prefix mutant,
+    id + 1e7), so the planted pairs are exact ground truth; this
+    measures what fraction the 16-hash/4-band candidate generator
+    recovers, next to the candidate count (the verification-cost side
+    of the recall/cost trade). Tuning bands/rows/shingle size at 100 TB
+    is exactly this measurement — an operator, not a notebook.
+
+    Scale shape: candidates come from the same bucket-capped equi-join
+    as ``dedup_minhash_lsh``; the truth set is id arithmetic on the
+    corpus scan; the hit check is one equi-join on the pair key; output
+    is one row (three counts + one division)."""
+    from polars_gdal_spark.queries import load_tables
+
+    aug = _augmented(spark, sf_dir)
+    cand = D.minhash_lsh_pairs(
+        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3, max_bucket=64
+    ).select("doc_a", "doc_b")
+    truth = (
+        load_tables(spark, sf_dir)["documents"]
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 10000000).alias("doc_b"),
+        )
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+        )
     )

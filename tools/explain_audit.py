@@ -407,6 +407,9 @@ EXPECT = {
     # one corpus scan into a 128-row (slice, dim) aggregate; the rest
     # is fixed-width — no window, never a cartesian
     "sim_embedding_drift": ["partial", "!Window", "!CartesianProduct"],
+    # same bucket-capped candidate equi-join as dedup_minhash_lsh; the
+    # truth check is one pair-key join; 1-row output
+    "dedup_lsh_recall": ["partial", "!CartesianProduct"],
 }
 
 
