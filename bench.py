@@ -129,6 +129,8 @@ HEADLINE = [
     "join_interval_binned",
     "sim_embedding_drift",
     "dedup_lsh_recall",
+    "events_seasonality_lift",
+    "events_conversion_wilson",
 ]
 
 

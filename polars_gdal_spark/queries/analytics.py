@@ -1519,3 +1519,142 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_seasonality_lift",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(hour(ts) AS INT) AS hr, event_type,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT hr, sum(c) AS rc FROM x GROUP BY 1),
+    cols_ AS (SELECT event_type, sum(c) AS cc FROM x GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM x)
+    SELECT x.hr, x.event_type,
+           CAST(x.c AS BIGINT) AS n,
+           CAST(x.c * tot.t AS DOUBLE)
+             / (rows_.rc * cols_.cc) AS lift,
+           (x.c * tot.t > rows_.rc * cols_.cc) AS over_expected
+    FROM x
+    JOIN rows_ USING (hr)
+    JOIN cols_ USING (event_type)
+    CROSS JOIN tot
+    """,
+)
+def events_seasonality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: for every (hour, event type)
+    cell, observed count and LIFT vs the independence expectation
+    (obs·total / (row·col)) — the contingency-table reading of "do
+    errors cluster at night". The over/under flag is the
+    cross-multiplied INTEGER comparison (obs·total vs row·col), so the
+    boolean can never disagree between engines even when the double
+    lift is within an ulp of 1.
+
+    Scale shape: one map-side-combined (hour, type) aggregate collapses
+    the corpus to ≤ 24×|types| cells; margins and total derive from the
+    CELLS, not the corpus, and broadcast back onto them. This is the
+    fixed-output-size profile shape: corpus-sized work is exactly one
+    scan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    x = ev.groupBy(
+        F.hour("ts").cast("int").alias("hr"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    rows_ = x.groupBy("hr").agg(F.sum("c").alias("rc"))
+    cols_ = x.groupBy("event_type").agg(F.sum("c").alias("cc"))
+    tot = x.agg(F.sum("c").alias("t"))
+    return (
+        x.join(F.broadcast(rows_), "hr")
+        .join(F.broadcast(cols_), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hr",
+            "event_type",
+            F.col("c").cast("bigint").alias("n"),
+            (
+                (F.col("c") * F.col("t")).cast("double")
+                / (F.col("rc") * F.col("cc"))
+            ).alias("lift"),
+            (F.col("c") * F.col("t") > F.col("rc") * F.col("cc")).alias(
+                "over_expected"
+            ),
+        )
+    )
+
+
+@query(
+    "events_conversion_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(length(bin(n)) AS INT) AS activity_band,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(k) AS BIGINT) AS n_purchases
+      FROM s GROUP BY 1
+    )
+    SELECT activity_band, n_users, n_events, n_purchases,
+           CAST(n_purchases AS DOUBLE) / n_events AS rate,
+           (CAST(n_purchases AS DOUBLE) / n_events + 2.0 / n_events
+            - 2.0 * sqrt(
+                (CAST(n_purchases AS DOUBLE) / n_events)
+                * (1.0 - CAST(n_purchases AS DOUBLE) / n_events) / n_events
+                + 1.0 / (n_events * CAST(n_events AS DOUBLE)))
+           ) / (1.0 + 4.0 / n_events) AS wilson_lo
+    FROM g
+    """,
+)
+def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-conversion rate per user-activity band (log2 bands of
+    per-user event counts — the bit_length idiom) with the Wilson
+    lower confidence bound at z=2 — the statistic that makes small
+    bands honestly comparable to big ones (a 3-event band's 0.33 rate
+    gets a lower bound near 0; a million-event band's doesn't).
+
+    Determinism: every input to the formula is an exact BIGINT
+    aggregate; the Wilson expression is written with the IDENTICAL
+    operation tree on both engines, and +, *, /, sqrt are all
+    correctly-rounded IEEE ops — same doubles out, bit for bit.
+
+    Scale shape: two map-side-combined aggregates (per-user, then
+    per-band); output is ≤64 bands regardless of corpus size."""
+    ev = load_tables(spark, sf_dir)["events"]
+    s = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    g = s.groupBy(
+        F.length(F.bin(F.col("n"))).cast("int").alias("activity_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("n_purchases"),
+    )
+    rate = F.col("n_purchases").cast("double") / F.col("n_events")
+    ne = F.col("n_events")
+    wilson_lo = (
+        rate
+        + F.lit(2.0) / ne
+        - F.lit(2.0)
+        * F.sqrt(
+            rate * (F.lit(1.0) - rate) / ne
+            + F.lit(1.0) / (ne * ne.cast("double"))
+        )
+    ) / (F.lit(1.0) + F.lit(4.0) / ne)
+    return g.select(
+        "activity_band",
+        "n_users",
+        "n_events",
+        "n_purchases",
+        rate.alias("rate"),
+        wilson_lo.alias("wilson_lo"),
+    )

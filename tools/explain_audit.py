@@ -410,6 +410,12 @@ EXPECT = {
     # same bucket-capped candidate equi-join as dedup_minhash_lsh; the
     # truth check is one pair-key join; 1-row output
     "dedup_lsh_recall": ["partial", "!CartesianProduct"],
+    # corpus collapses to <=24x|types| cells; margins broadcast back
+    "events_seasonality_lift": ["partial", "BroadcastHashJoin",
+                                "!Window", "!CartesianProduct"],
+    # two map-combined aggregates; <=64 band rows out
+    "events_conversion_wilson": ["partial", "!Window",
+                                 "!CartesianProduct"],
 }
 
 
