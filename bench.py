@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_lsh_recall",
     "events_seasonality_lift",
     "events_conversion_wilson",
+    "multimodal_scene_cuts",
 ]
 
 

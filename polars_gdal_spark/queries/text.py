@@ -1816,3 +1816,150 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(720.0 / length(text)) AS INT)),
+                    1, 720) AS s
+      FROM documents WHERE doc_id < 150
+    ),
+    fr AS (
+      SELECT doc_id, f.k AS frame_no, substr(s, f.k * 240 + 1, 240) AS fs
+      FROM px, (SELECT unnest([0, 1, 2]) AS k) f
+    ),
+    ch AS (
+      SELECT doc_id, frame_no,
+             CASE WHEN frame_no = 2
+                  THEN ((ascii(substr(fs, i, 1)) + 64) % 256) // 32
+                  ELSE ascii(substr(fs, i, 1)) // 32 END AS bin
+      FROM fr, (SELECT unnest(generate_series(1, 240)) AS i) g
+    ),
+    hist AS (
+      SELECT f.doc_id, f.frame_no, b.bin,
+             CAST(count(ch.bin) AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT doc_id, frame_no FROM fr) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) b
+      LEFT JOIN ch ON ch.doc_id = f.doc_id AND ch.frame_no = f.frame_no
+                  AND ch.bin = b.bin
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.doc_id AS doc, CAST(a.frame_no AS INT) AS frame_no,
+           CAST(sum(abs(a.cnt - p.cnt)) AS BIGINT) AS l1_delta,
+           (sum(abs(a.cnt - p.cnt)) >= 80) AS is_cut
+    FROM hist a
+    JOIN hist p ON p.doc_id = a.doc_id AND p.bin = a.bin
+               AND p.frame_no = a.frame_no - 1
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change (shot-cut) detection through the REAL media stack:
+    every document becomes a 3-frame AVI (same deterministic
+    text-to-pixels fixture as ``multimodal_video_pipeline``), the video
+    is demuxed and PNG-decoded distributedly, and consecutive frames
+    are compared by the L1 distance of their 8-bin luminance
+    histograms — the classic hard-cut detector video curation
+    pipelines run before frame sampling (sampling across a cut wastes
+    the clip). The DuckDB oracle recomputes the histogram deltas
+    arithmetically from the generating text, so a cell-exact match
+    proves container + codec + histogram + delta end to end.
+
+    Scale shape: demux/decode/histogram are narrow fused MapInPandas
+    stages (one pass over the payload bytes, all-8-bins fixed-width
+    output per frame); the only shuffle is the (doc, bin)-keyed
+    consecutive-frame join, whose input is 8 rows per frame — the
+    detector costs O(frames), never O(pixels), after the single decode
+    pass."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from polars_gdal_spark.functions.avi import encode_avi
+    from polars_gdal_spark.functions.multimodal import (
+        decode_image,
+        decode_video_frames,
+    )
+    from polars_gdal_spark.functions.png import encode_png
+
+    t = load_tables(spark, sf_dir)
+    src = (
+        t["documents"]
+        .where(F.col("doc_id") < 150)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.expr(
+                "substring(repeat(text, cast(ceil(720.0 / length(text)) "
+                "as int)), 1, 720)"
+            ).alias("s"),
+        )
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for s in pdf["s"]:
+                raw = s.encode("utf-8")
+                slices = [raw[k * 240 : (k + 1) * 240] for k in range(3)]
+                # frame 2 is a planted scene change: every byte shifted
+                # +64 (mod 256) — a genuinely different histogram
+                slices[2] = bytes((b + 64) % 256 for b in slices[2])
+                frames = [encode_png(8, 10, sl) for sl in slices]
+                payloads.append(encode_avi(frames, 8, 10))
+            yield pd.DataFrame({"doc": pdf["doc"], "payload": payloads})
+
+    videos = src.mapInPandas(enc, "doc bigint, payload binary")
+    sampled = decode_video_frames(videos, id_col="doc", every_n=1)
+    composite = sampled.select(
+        (F.col("doc_id") * 10 + F.col("frame_no")).alias("doc_id"),
+        F.col("frame").alias("payload"),
+    )
+    decoded = decode_image(composite, codec="png")
+
+    def hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict = {"doc": [], "frame_no": [], "bin": [], "cnt": []}
+            for cid, px in zip(pdf["doc_id"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), np.uint8)
+                counts = np.bincount(arr // 32, minlength=8)
+                for b in range(8):
+                    rows["doc"].append(cid // 10)
+                    rows["frame_no"].append(cid % 10)
+                    rows["bin"].append(b)
+                    rows["cnt"].append(int(counts[b]))
+            yield pd.DataFrame(rows)
+
+    h = decoded.mapInPandas(
+        hist, "doc bigint, frame_no int, bin int, cnt bigint"
+    )
+    prev = h.select(
+        F.col("doc").alias("p_doc"),
+        (F.col("frame_no") + 1).alias("p_next"),
+        F.col("bin").alias("p_bin"),
+        F.col("cnt").alias("p_cnt"),
+    )
+    return (
+        h.join(
+            prev,
+            (F.col("doc") == F.col("p_doc"))
+            & (F.col("frame_no") == F.col("p_next"))
+            & (F.col("bin") == F.col("p_bin")),
+        )
+        .groupBy("doc", "frame_no")
+        .agg(
+            F.sum(F.abs(F.col("cnt") - F.col("p_cnt")))
+            .cast("bigint")
+            .alias("l1_delta")
+        )
+        .select(
+            "doc",
+            F.col("frame_no").cast("int").alias("frame_no"),
+            "l1_delta",
+            (F.col("l1_delta") >= 80).alias("is_cut"),
+        )
+    )

@@ -416,6 +416,10 @@ EXPECT = {
     # two map-combined aggregates; <=64 band rows out
     "events_conversion_wilson": ["partial", "!Window",
                                  "!CartesianProduct"],
+    # narrow fused MapInPandas decode stages; only shuffle is the
+    # 8-rows-per-frame consecutive-frame join
+    "multimodal_scene_cuts": ["MapInPandas", "partial",
+                              "!CartesianProduct"],
 }
 
 
