@@ -647,3 +647,135 @@ def read_agg_snapshot(spark, snapshot_dir: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no snapshot versions in {snapshot_dir}")
     return spark.read.parquet(f"{snapshot_dir}/v={versions[-1]}")
+
+
+# ----------------------------------------------------------------------
+# Streaming ANN probe — query vectors arrive as a stream; each
+# micro-batch probes the PERSISTED IVF index (functions.similarity.
+# save_ivf_index) with per-query cell pruning and exact re-rank. The
+# retrieval twin of streaming_probe_dedup_index.
+
+
+def probe_ivf_batch(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe one (bounded) batch of query vectors against the index.
+
+    Per-query IVF semantics, fully batch-side: rank cells per query by
+    centroid cosine (centroids are driver-small by the IVF contract),
+    keep each query's own top ``n_probe`` cells, scan ONLY the probed
+    cell partitions (literal isin → PartitionFilters), and re-rank
+    candidates exactly — Window PARTITIONED by query id. Per query this
+    matches ``similarity.ivf_search_indexed`` (pinned by pytest)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from polars_gdal_spark.functions.similarity import (
+        dot_q,
+        load_ivf_index,
+        norm_sq_q,
+        quantize,
+    )
+
+    cells_df, centroids = load_ivf_index(spark, index_path)
+    q = F.broadcast(
+        batch_df.select(
+            F.col(id_col).alias("qid"),
+            quantize(F.col(vec_col)).alias("_qv"),
+        ).withColumn("_qn", F.sqrt(norm_sq_q(F.col("_qv")).cast("double")))
+    )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        quantize(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", F.sqrt(norm_sq_q(F.col("_cv")).cast("double")))
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    pairs = (
+        c.crossJoin(q)
+        .withColumn(
+            "_sim",
+            dot_q(F.col("_cv"), F.col("_qv"))
+            / (F.col("_cn") * F.col("_qn")),
+        )
+        .withColumn("_rk", F.row_number().over(wq))
+        .where(F.col("_rk") <= n_probe)
+        .select("qid", "centroid_id")
+    )
+    probe_ids = [r["centroid_id"] for r in pairs.select("centroid_id").distinct().collect()]
+    if not probe_ids:
+        return spark.createDataFrame(
+            [], f"qid bigint, {id_col} bigint, cosine double"
+        )
+    cand = (
+        cells_df.where(F.col("centroid_id").isin(probe_ids))
+        .join(F.broadcast(pairs), "centroid_id")
+        .join(
+            F.broadcast(q.select("qid", "_qv", "_qn")), "qid"
+        )
+        .select(
+            "qid",
+            id_col,
+            quantize(F.col(vec_col)).alias("_v"),
+            "_qv",
+            "_qn",
+        )
+        .withColumn("_n", F.sqrt(norm_sq_q(F.col("_v")).cast("double")))
+        .select(
+            "qid",
+            id_col,
+            (
+                dot_q(F.col("_v"), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn"))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def streaming_ann_probe(
+    stream_df: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Drive :func:`probe_ivf_batch` over a query-vector stream with
+    availableNow; results land as the idempotent batch-id-keyed parquet
+    layout (same exactly-once recipe as ``foreach_batch_idempotent_sink``
+    — a replayed batch rewrites identical bytes into its own directory).
+
+    At 100 TB: the index is the big, cold, partition-pruned side; each
+    micro-batch of queries is the bounded broadcast side — retrieval
+    latency tracks batch size, never corpus size."""
+    spark = stream_df.sparkSession
+
+    def _probe(df: DataFrame, batch_id: int) -> None:
+        out = probe_ivf_batch(
+            spark, df, index_path, k, n_probe, id_col, vec_col
+        )
+        out.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -768,3 +768,61 @@ def test_refresh_agg_snapshot_replay_idempotent(spark, tmp_path):
     refresh_agg_snapshot(spark, b1, 1, snap)
     got = {tuple(r) for r in read_agg_snapshot(spark, snap).collect()}
     assert got == want
+
+
+def test_streaming_ann_probe_matches_indexed_search(spark, tmp_path):
+    """Streamed query vectors probed per micro-batch against the
+    persisted IVF index return, per query, exactly what the batch
+    ``ivf_search_indexed`` returns for that query — and a checkpointed
+    re-drain replays nothing and leaves the results intact."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions.similarity import (
+        ivf_search_indexed,
+        save_ivf_index,
+    )
+    from polars_gdal_spark.queries import load_tables
+    from polars_gdal_spark.streaming import streaming_ann_probe
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(emb, centroids, idx)
+
+    queries = emb.where(F.col("vec_id").isin([100, 200, 300]))
+    qdir = tmp_path / "qstream"
+    queries.repartition(3).write.parquet(str(qdir))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir))
+    )
+    out = str(tmp_path / "hits")
+    streaming_ann_probe(
+        stream, idx, out, str(tmp_path / "ckpt"), k=5, n_probe=2
+    )
+    got = {
+        (r["qid"], r["vec_id"]): r["cosine"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {}
+    for qid in (100, 200, 300):
+        qv = emb.where(F.col("vec_id") == qid)
+        for r in ivf_search_indexed(spark, idx, qv, k=5, n_probe=2).collect():
+            want[(qid, r["vec_id"])] = r["cosine"]
+    assert got == want
+
+    # re-drain with the same checkpoint: nothing replays, results intact
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir))
+    )
+    streaming_ann_probe(
+        stream2, idx, out, str(tmp_path / "ckpt"), k=5, n_probe=2
+    )
+    again = {
+        (r["qid"], r["vec_id"]): r["cosine"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
