@@ -116,3 +116,23 @@ def test_duckdb_replace_matches_python_on_wrapped_tokens(toks, a, b):
         "SELECT replace(?, ?, ?)", params=[w, pat, rep]
     ).fetchone()[0]
     assert got == w.replace(pat, rep)
+
+
+# Interval-join bucketization (queries/relational.join_interval_binned):
+# completeness requires that whenever a point falls inside a window, the
+# point's bucket is one of the window's exploded buckets — for ANY
+# epoch-micros values and the fixed bucket width. Floor-div (not float
+# division) is what makes this hold at 2^50-scale integers.
+_W = 1_800_000_000
+_us = st.integers(min_value=0, max_value=2**50)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_us, _us)
+def test_interval_bucketization_is_complete(t, lo):
+    hi = lo + _W
+    if not (lo <= t < hi):
+        return
+    point_bucket = t // _W
+    window_buckets = range(lo // _W, (hi - 1) // _W + 1)
+    assert point_bucket in window_buckets
