@@ -1,0 +1,105 @@
+"""Same-scale bench drift gate: the round-over-round twin of
+tools/scale_audit.py.
+
+scale_audit compares two scale FACTORS of the same code and flags
+super-linear growth; this tool compares two rounds of the same scale
+factor and flags regressions — the "22 untouched queries drifted
++15-56%" finding the round-4 judge had to assemble by hand. Run it on
+the driver's per-round artifacts (e.g. BENCH_r04.json vs
+BENCH_r05.json) to separate real plan regressions from host noise
+before anyone chases ghosts.
+
+Usage:
+    python tools/drift_audit.py BENCH_old.json BENCH_new.json \
+        [--max-drift 1.30] [--min-sec 0.5]
+
+Rules:
+  * only queries present in BOTH artifacts are compared (the common
+    set); new queries have no baseline and are skipped with a note;
+  * queries faster than ``min_sec`` in BOTH rounds are skipped —
+    sub-second walls are scheduler floor, their ratios are noise;
+  * a query slower than ``max_drift`` x old AND slower by at least
+    0.5 s absolute FAILS (exit 1). The absolute guard keeps a
+    0.6 s -> 0.9 s blip from failing a build while still catching a
+    2 s -> 3 s real regression.
+
+Artifacts measured on different harness versions (e.g. before/after
+the bench clearCache fix) or different run modes (isolated vs full
+suite — see SCALE.md) are NOT comparable; this tool cannot detect
+that, so compare like with like.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--max-drift", type=float, default=1.30)
+    ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument("--min-abs", type=float, default=0.5)
+    args = ap.parse_args()
+
+    def load(path):
+        d = json.load(open(path))
+        # the round driver wraps bench.py's line under "parsed"
+        return d.get("parsed", d)
+
+    old = load(args.old)
+    new = load(args.new)
+    if old.get("sf") != new.get("sf"):
+        print(
+            f"refusing: artifacts are different scale factors "
+            f"({old.get('sf')} vs {new.get('sf')}) — use scale_audit.py"
+        )
+        return 2
+
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    bad = []
+    improved = 0
+    for name in common:
+        a, b = oq[name], nq[name]
+        if a < args.min_sec and b < args.min_sec:
+            print(f"  {name:42s} {a:7.3f}s -> {b:7.3f}s  skip (sub-floor)")
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        if b < a:
+            improved += 1
+        verdict = "OK"
+        if ratio > args.max_drift and (b - a) >= args.min_abs:
+            verdict = "REGRESSED"
+            bad.append((name, a, b, ratio))
+        print(
+            f"  {name:42s} {a:7.3f}s -> {b:7.3f}s "
+            f"{ratio:6.2f}x vs {args.max_drift:.2f}x  {verdict}"
+        )
+    tot_old = sum(oq[n] for n in common)
+    tot_new = sum(nq[n] for n in common)
+    print(
+        f"\ncommon set: {len(common)} queries, "
+        f"{tot_old:.1f}s -> {tot_new:.1f}s "
+        f"({tot_new / tot_old:.2f}x); {improved} improved"
+    )
+    if added:
+        print(f"new (no baseline, skipped): {', '.join(added)}")
+    if removed:
+        print(f"removed since old artifact: {', '.join(removed)}")
+    if bad:
+        print(f"\n{len(bad)} regressed queries:")
+        for name, a, b, r in bad:
+            print(f"  {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
+        return 1
+    print("\nno regressions beyond the drift gate")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
