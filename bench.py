@@ -132,6 +132,7 @@ HEADLINE = [
     "events_seasonality_lift",
     "events_conversion_wilson",
     "multimodal_scene_cuts",
+    "join_scd2_pointintime",
 ]
 
 

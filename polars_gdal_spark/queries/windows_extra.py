@@ -285,10 +285,10 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scd2_customer_history",
-    oracle="""
-    WITH o AS (
+# SCD2 CTE chain shared by the dimension build and the point-in-time
+# join: gaps-and-islands over the per-customer priority timeline.
+_SCD2_SQL = """
+    o AS (
       SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
              CASE WHEN lag(o_orderpriority) OVER w
                        IS DISTINCT FROM o_orderpriority
@@ -308,12 +308,23 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(o_orderpriority) AS priority,
              min(o_orderdate) AS vf
       FROM v GROUP BY o_custkey, version
+    ),
+    dim AS (
+      SELECT o_custkey, version, priority,
+             strftime(vf, '%Y-%m-%d') AS valid_from,
+             strftime(lead(vf) OVER (PARTITION BY o_custkey
+                                     ORDER BY version),
+                      '%Y-%m-%d') AS valid_to
+      FROM runs
     )
-    SELECT o_custkey, version, priority,
-           strftime(vf, '%Y-%m-%d') AS valid_from,
-           strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
-                    '%Y-%m-%d') AS valid_to
-    FROM runs
+"""
+
+
+@query(
+    "scd2_customer_history",
+    oracle=f"""
+    WITH {_SCD2_SQL}
+    SELECT o_custkey, version, priority, valid_from, valid_to FROM dim
     """,
 )
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +342,10 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer — per-customer timelines are tiny and uniform, so this
     parallelizes by key at any corpus size; dates are emitted as
     strings per the no-raw-timestamps determinism contract."""
+    return _scd2_dim(spark, sf_dir)
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -354,4 +369,81 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
         F.date_format(F.lead("vf").over(wl), "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle=f"""
+    WITH {_SCD2_SQL},
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+             strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey < 20000
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.ship_date,
+           d.priority AS priority_at_ship,
+           CAST(d.version AS BIGINT) AS dim_version
+    FROM f JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND f.ship_date >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ship_date < d.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) join against the SCD2 dimension —
+    the USE half of ``scd2_customer_history``'s BUILD: for every
+    lineitem, recover the customer's priority attribute as it was ON
+    THE SHIP DATE (ship dates lag order dates, so this genuinely reads
+    historical versions, not the row's own run). This is the canonical
+    warehouse pattern for joining facts to slowly-changing dimensions
+    without leaking future attribute values into the past — the
+    training-data analogue is labeling examples with the metadata that
+    was true at collection time.
+
+    Scale shape: the fact side equi-joins the dimension on the
+    CUSTOMER key (co-partitioned shuffle); the validity-window test
+    rides along as a join residual, and per-key interval lists are
+    bounded by that customer's change count — so the pair space is
+    |facts| × versions-per-customer, never a nested loop. Interval
+    endpoints compare as yyyy-MM-dd strings (lexicographic = temporal,
+    identical both engines); the open current row is the IS NULL arm."""
+    t = load_tables(spark, sf_dir)
+    dim = _scd2_dim(spark, sf_dir)
+    f = (
+        t["lineitem"]
+        .where(F.col("l_orderkey") < 20000)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+    d = dim.select(
+        F.col("o_custkey").alias("d_custkey"),
+        "version",
+        "priority",
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        f.join(
+            d,
+            (F.col("o_custkey") == F.col("d_custkey"))
+            & (F.col("ship_date") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("ship_date") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "ship_date",
+            F.col("priority").alias("priority_at_ship"),
+            F.col("version").cast("bigint").alias("dim_version"),
+        )
     )

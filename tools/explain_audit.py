@@ -420,6 +420,9 @@ EXPECT = {
     # 8-rows-per-frame consecutive-frame join
     "multimodal_scene_cuts": ["MapInPandas", "partial",
                               "!CartesianProduct"],
+    # facts equi-join the dimension on custkey; validity test is a join
+    # residual; windows building the dim are PARTITIONED by customer
+    "join_scd2_pointintime": ["Window", "!CartesianProduct"],
 }
 
 
