@@ -422,7 +422,8 @@ EXPECT = {
                               "!CartesianProduct"],
     # facts equi-join the dimension on custkey; validity test is a join
     # residual; windows building the dim are PARTITIONED by customer
-    "join_scd2_pointintime": ["Window", "!CartesianProduct"],
+    "join_scd2_pointintime": ["Window", "!CartesianProduct",
+                              "!BroadcastNestedLoopJoin"],
 }
 
 
