@@ -31,6 +31,23 @@ def quantize(col) -> Column:
     )
 
 
+def q_matrix(vecs):
+    """Quantized int64 matrix + float64 row norms — THE shared GEMM
+    preamble for every broadcast-retrieval kernel (knn_join,
+    hard_negatives, cosine_range, semantic_decontaminate). One
+    implementation so the determinism-critical floor-quantization and
+    norm arithmetic can never drift between kernels.
+
+    Import numpy lazily at call sites is unnecessary: this module
+    already imports numpy wherever kernels run."""
+    import numpy as np
+
+    M = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) * QUANT
+    ).astype(np.int64)
+    return M, np.sqrt((M * M).sum(axis=1).astype(np.float64))
+
+
 def dot_q(a, b) -> Column:
     """Exact integer dot product of two quantized vectors (left fold)."""
     return F.aggregate(
@@ -108,12 +125,10 @@ def cosine_range(
     )
     if not qrows:
         return df.sparkSession.createDataFrame([], out_schema)
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    Q = np.floor(
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-        * QUANT
-    ).astype(np.int64)
-    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    # no dtype coercion on ids: the sibling kernels (knn_join,
+    # hard_negatives) accept string/decimal id columns and so does this
+    qids = np.array([r[0] for r in qrows])
+    Q, qn = q_matrix([r[1] for r in qrows])
     bq = df.sparkSession.sparkContext.broadcast((qids, Q, qn))
 
     def score(batches):
@@ -122,13 +137,7 @@ def cosine_range(
             pdf = pdf.dropna(subset=[vec_col])
             if not len(pdf):
                 continue
-            M = np.floor(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                * QUANT
-            ).astype(np.int64)
-            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            M, cn = q_matrix(pdf[vec_col])
             cos = (M @ Q_b.T).astype(np.float64) / np.outer(cn, qn_b)
             ids = pdf[id_col].to_numpy()
             mask = (cos >= threshold) & (ids[:, None] != qids_b[None, :])
@@ -735,10 +744,7 @@ def knn_join(
     if not qrows:  # empty query set -> empty result, not np.stack crash
         return corpus.sparkSession.createDataFrame([], out_schema_empty)
     qids = np.array([r[0] for r in qrows])
-    Q = np.floor(
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]) * QUANT
-    ).astype(np.int64)
-    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    Q, qn = q_matrix([r[1] for r in qrows])
     bq = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn))
 
     out_schema = (
@@ -752,13 +758,7 @@ def knn_join(
             pdf = pdf.dropna(subset=[vec_col])
             if not len(pdf):
                 continue
-            M = np.floor(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                * QUANT
-            ).astype(np.int64)
-            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            M, cn = q_matrix(pdf[vec_col])
             cos = (M @ Q_b.T).astype(np.float64) / np.outer(cn, qn_b)
             ids = pdf[id_col].to_numpy()
             for j in range(len(qids_b)):
@@ -1006,10 +1006,7 @@ def hard_negatives(
         return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows])
     qlabels = np.array([r[2] for r in qrows])
-    Q = np.floor(
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]) * QUANT
-    ).astype(np.int64)
-    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    Q, qn = q_matrix([r[1] for r in qrows])
     bq = corpus.sparkSession.sparkContext.broadcast((qids, qlabels, Q, qn))
 
     def score(batches):
@@ -1018,13 +1015,7 @@ def hard_negatives(
             pdf = pdf.dropna(subset=[vec_col])
             if not len(pdf):
                 continue
-            M = np.floor(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                * QUANT
-            ).astype(np.int64)
-            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            M, cn = q_matrix(pdf[vec_col])
             cos = (M @ Q_b.T).astype(np.float64) / np.outer(cn, qn_b)
             ids = pdf[id_col].to_numpy()
             labs = pdf[label_col].to_numpy()
@@ -1204,16 +1195,14 @@ def semantic_decontaminate(
     erows = eval_set.select(id_col, vec_col).collect()
     out_schema = (
         f"{id_col} {dict(corpus.dtypes)[id_col]}, "
-        "max_eval_cosine double, nearest_eval bigint, contaminated boolean"
+        "max_eval_cosine double, "
+        f"nearest_eval {dict(eval_set.dtypes)[id_col]}, "
+        "contaminated boolean"
     )
     if not erows:
         return corpus.sparkSession.createDataFrame([], out_schema)
-    eids = np.array([r[0] for r in erows], dtype=np.int64)
-    E = np.floor(
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in erows])
-        * QUANT
-    ).astype(np.int64)
-    en = np.sqrt((E * E).sum(axis=1).astype(np.float64))
+    eids = np.array([r[0] for r in erows])
+    E, en = q_matrix([r[1] for r in erows])
     be = corpus.sparkSession.sparkContext.broadcast((eids, E, en))
 
     def score(batches):
@@ -1222,19 +1211,12 @@ def semantic_decontaminate(
             pdf = pdf.dropna(subset=[vec_col])
             if not len(pdf):
                 continue
-            M = np.floor(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                * QUANT
-            ).astype(np.int64)
-            cn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            M, cn = q_matrix(pdf[vec_col])
             cos = (M @ E_b.T).astype(np.float64) / np.outer(cn, en_b)
             mx = cos.max(axis=1)
             # smallest eval id among exact-max ties
             nearest = np.array(
-                [eids_b[cos[i] == mx[i]].min() for i in range(len(mx))],
-                dtype=np.int64,
+                [eids_b[cos[i] == mx[i]].min() for i in range(len(mx))]
             )
             yield pd.DataFrame(
                 {

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from polars_gdal_spark.queries import load_tables, query
 
 DEC = "decimal(18,2)"
+_D38 = "decimal(38,0)"
 
 
 def _dec(c):
@@ -1192,9 +1193,12 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     set proportional to genuinely-correlated pairs and per-vertex
     degree bounded, so the wedge join never goes quadratic. Pair
     generation groups the (order, part) self-join map-side (items per
-    order is bounded by basket size); the filtered edge set is tiny and
-    BROADCASTS into both the wedge and the closing join — triangle
-    enumeration never shuffles the big side. For graphs whose filtered
+    order is bounded by basket size); the filtered edge set is small
+    enough that AQE broadcasts it into the wedge and closing joins at
+    these scales — deliberately UNFORCED, since the edge set grows with
+    the corpus and a pinned broadcast hint would OOM a 100× corpus
+    (beyond the threshold the joins degrade gracefully to shuffled
+    equi-joins on bounded-degree keys). For graphs whose filtered
     degree still skews, swap the a<b orientation for degree-ordered
     orientation (out-degree ≤ √2m) — same output, bounded wedges."""
     t = load_tables(spark, sf_dir)
@@ -1211,15 +1215,19 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.where(F.col("c") >= 2).select("pa", "pb")
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # no forced broadcast: the support-filtered edge set grows with the
+    # corpus, so the hint is left to AQE — it broadcasts at these
+    # scales and falls back to a shuffled equi-join beyond the
+    # threshold (a forced hint would OOM a 100x corpus)
     wedges = e1.join(
-        F.broadcast(e2), F.col("e1.pb") == F.col("e2.pa")
+        e2, F.col("e1.pb") == F.col("e2.pa")
     ).select(
         F.col("e1.pa").alias("x"),
         F.col("e1.pb").alias("y"),
         F.col("e2.pb").alias("z"),
     )
     tri = wedges.join(
-        F.broadcast(e3),
+        e3,
         (F.col("e3.pa") == F.col("x")) & (F.col("e3.pb") == F.col("z")),
     ).select("x", "y", "z")
     return (
@@ -1534,9 +1542,11 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(c) AS t FROM x)
     SELECT x.hr, x.event_type,
            CAST(x.c AS BIGINT) AS n,
-           CAST(x.c * tot.t AS DOUBLE)
-             / (rows_.rc * cols_.cc) AS lift,
-           (x.c * tot.t > rows_.rc * cols_.cc) AS over_expected
+           CAST(CAST(x.c AS HUGEINT) * tot.t AS DOUBLE)
+             / CAST(CAST(rows_.rc AS HUGEINT) * cols_.cc AS DOUBLE)
+             AS lift,
+           (CAST(x.c AS HUGEINT) * tot.t
+              > CAST(rows_.rc AS HUGEINT) * cols_.cc) AS over_expected
     FROM x
     JOIN rows_ USING (hr)
     JOIN cols_ USING (event_type)
@@ -1572,13 +1582,17 @@ def events_seasonality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hr",
             "event_type",
             F.col("c").cast("bigint").alias("n"),
+            # products go through DECIMAL(38): raw BIGINT multiplies
+            # wrap silently past 2^63 at ~1e10-event corpora (the same
+            # idiom as sim_embedding_drift's cross products)
             (
-                (F.col("c") * F.col("t")).cast("double")
-                / (F.col("rc") * F.col("cc"))
+                (F.col("c").cast(_D38) * F.col("t")).cast("double")
+                / (F.col("rc").cast(_D38) * F.col("cc")).cast("double")
             ).alias("lift"),
-            (F.col("c") * F.col("t") > F.col("rc") * F.col("cc")).alias(
-                "over_expected"
-            ),
+            (
+                F.col("c").cast(_D38) * F.col("t")
+                > F.col("rc").cast(_D38) * F.col("cc")
+            ).alias("over_expected"),
         )
     )
 

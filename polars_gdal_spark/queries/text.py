@@ -1090,9 +1090,11 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(720.0 / length(text)) AS INT)),
+             substr(repeat(t, CAST(ceil(720.0 / length(t)) AS INT)),
                     1, 720) AS s
-      FROM documents WHERE doc_id < 150
+      FROM (SELECT doc_id,
+                   regexp_replace(text, '[^' || chr(1) || '-' || chr(127) || ']', '?', 'g') AS t
+            FROM documents WHERE doc_id < 150)
     ),
     fr AS (
       SELECT doc_id, f.k AS frame_no, substr(s, f.k * 240 + 1, 240) AS fs
@@ -1133,10 +1135,19 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         t["documents"]
         .where(F.col("doc_id") < 150)
+        # ASCII-sanitize first: the pixel slicing below is BYTE
+        # arithmetic while the oracle's is per-character — identical
+        # only when every char is one byte
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"[^\x01-\x7f]", "?"
+            ).alias("t"),
+        )
         .select(
             F.col("doc_id").alias("doc"),
             F.expr(
-                "substring(repeat(text, cast(ceil(720.0 / length(text)) "
+                "substring(repeat(t, cast(ceil(720.0 / length(t)) "
                 "as int)), 1, 720)"
             ).alias("s"),
         )
@@ -1750,14 +1761,20 @@ def _bpe_encode_oracle(rounds: int = _BPE_MERGE_ROUNDS) -> str:
     )"""
     )
     for r in range(1, rounds + 1):
+        # LEFT JOIN ON TRUE, not a cross join: if the vocabulary
+        # exhausts mergeable pairs before round r, m{r} is empty and a
+        # cross join would annihilate the corpus — documents must pass
+        # through unchanged instead
         parts.append(
             f""",
     d{r} AS (
       SELECT doc_id,
-             replace(w, '(' || replace(m.pr, ' ', ')(') || ')',
-                        '(' || replace(m.pr, ' ', '') || ')') AS w,
+             CASE WHEN m.pr IS NULL THEN w
+                  ELSE replace(w, '(' || replace(m.pr, ' ', ')(') || ')',
+                                  '(' || replace(m.pr, ' ', '') || ')')
+             END AS w,
              n_chars
-      FROM d{r - 1}, m{r} m
+      FROM d{r - 1} LEFT JOIN m{r} m ON TRUE
     )"""
         )
     parts.append(
@@ -1797,14 +1814,19 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for r, m in enumerate(ms, 1):
         mr = m.select(F.col("pr").alias(f"_pr{r}"))
+        # left join on TRUE (not crossJoin): an exhausted-vocabulary
+        # round has an EMPTY merge row, which must pass documents
+        # through unchanged rather than annihilate the corpus
         enc = (
-            enc.crossJoin(F.broadcast(mr))
+            enc.join(F.broadcast(mr), F.lit(True), "left")
             .withColumn(
                 "w",
-                F.replace(
-                    F.col("w"),
-                    _bpe_pair_pattern(F.col(f"_pr{r}")),
-                    _bpe_pair_replacement(F.col(f"_pr{r}")),
+                F.when(F.col(f"_pr{r}").isNull(), F.col("w")).otherwise(
+                    F.replace(
+                        F.col("w"),
+                        _bpe_pair_pattern(F.col(f"_pr{r}")),
+                        _bpe_pair_replacement(F.col(f"_pr{r}")),
+                    )
                 ),
             )
             .drop(f"_pr{r}")
@@ -1823,9 +1845,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
       SELECT doc_id,
-             substr(repeat(text, CAST(ceil(720.0 / length(text)) AS INT)),
+             substr(repeat(t, CAST(ceil(720.0 / length(t)) AS INT)),
                     1, 720) AS s
-      FROM documents WHERE doc_id < 150
+      FROM (SELECT doc_id,
+                   regexp_replace(text, '[^' || chr(1) || '-' || chr(127) || ']', '?', 'g') AS t
+            FROM documents WHERE doc_id < 150)
     ),
     fr AS (
       SELECT doc_id, f.k AS frame_no, substr(s, f.k * 240 + 1, 240) AS fs
@@ -1889,10 +1913,19 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         t["documents"]
         .where(F.col("doc_id") < 150)
+        # ASCII-sanitize first: the pixel slicing below is BYTE
+        # arithmetic while the oracle's is per-character — identical
+        # only when every char is one byte
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"[^\x01-\x7f]", "?"
+            ).alias("t"),
+        )
         .select(
             F.col("doc_id").alias("doc"),
             F.expr(
-                "substring(repeat(text, cast(ceil(720.0 / length(text)) "
+                "substring(repeat(t, cast(ceil(720.0 / length(t)) "
                 "as int)), 1, 720)"
             ).alias("s"),
         )

@@ -426,11 +426,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # Aggregate lineitem FIRST on the narrow orderkey (map-side
     # combined; quantities are integral doubles so the sum is exact and
-    # order-independent), filter to the rare >300 orders, and broadcast
-    # that tiny set into the joins — neither orders nor customer ever
-    # shuffles, and the wide (name, date, price) columns never ride a
-    # shuffle at all. Grouping by orderkey alone is equivalent to the
-    # oracle's 5-key group because orderkey determines the other four.
+    # order-independent) and filter to the rare >300 orders. AQE
+    # broadcasts that set into the joins at these scales (so neither
+    # orders nor customer shuffles, and the wide name/date/price
+    # columns never ride a shuffle); the hint is deliberately unforced
+    # because the >300 set grows with the corpus. Grouping by orderkey
+    # alone is equivalent to the oracle's 5-key group because orderkey
+    # determines the other four.
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
@@ -439,7 +441,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        # unforced: the >300 set is rare but grows with the corpus, so
+        # the broadcast decision belongs to AQE, not a pinned hint
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             F.broadcast(t["customer"]),
             F.col("o_custkey") == F.col("c_custkey"),

@@ -390,3 +390,50 @@ def test_audio_features_16bit(spark):
     assert feats[0]["energy"] == 400 * 1000 * 1000
     assert feats[0]["zero_crossings"] == 39
     assert feats[2]["n"] == 200 and feats[2]["energy"] == 200 * 1000 * 1000
+
+
+def test_scene_cuts_non_ascii_text_matches_oracle(spark, tmp_path):
+    """Non-ASCII document text must not desync the Spark byte slicing
+    from the oracle's per-character arithmetic: both sides sanitize to
+    '?' first, so multi-byte codepoints can't shift frame content."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from polars_gdal_spark.queries import QUERIES, TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t == "documents":
+            continue
+        p = f"{src}/{t}.parquet"
+        if os.path.isdir(p):
+            shutil.copytree(p, tmp_path / f"{t}.parquet")
+        else:
+            shutil.copy(p, tmp_path / f"{t}.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld " * 30),       # 2-byte codepoints
+            (2, "日本語のテキスト " * 20),   # 3-byte codepoints
+            (3, "plain ascii text " * 30),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = QUERIES["multimodal_scene_cuts"]
+    got = {
+        (r["doc"], r["frame_no"]): (r["l1_delta"], r["is_cut"])
+        for r in spec.func(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want and len(got) == 6

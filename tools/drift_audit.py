@@ -83,6 +83,14 @@ def main() -> int:
         )
     tot_old = sum(oq[n] for n in common)
     tot_new = sum(nq[n] for n in common)
+    if not common or tot_old <= 0:
+        print(
+            "\nno comparable baseline (empty common set) — "
+            "nothing to gate"
+        )
+        if added:
+            print(f"new (no baseline): {', '.join(added)}")
+        return 0
     print(
         f"\ncommon set: {len(common)} queries, "
         f"{tot_old:.1f}s -> {tot_new:.1f}s "
