@@ -61,3 +61,24 @@ def test_unbucketed_join_needs_exchanges(spark, no_broadcast):
     joined = events.join(users, "user_id")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_bucketed_tables_isolate_sf_dirs(spark):
+    """Two sf_dirs in ONE session must not share bucketed tables: the
+    round-5 review found the cache keyed by sf_dir while catalog names
+    were fixed, so the second build silently repointed the first's
+    tables. Names now carry an sf-dir digest — counts must match each
+    source even when queried after the other sf_dir's build."""
+    from polars_gdal_spark.queries import load_tables
+    from polars_gdal_spark.queries.pipeline import _bucketed_tables
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    ot_a, lt_a = _bucketed_tables(spark, sf_a)
+    ot_b, lt_b = _bucketed_tables(spark, sf_b)
+    assert {ot_a, lt_a}.isdisjoint({ot_b, lt_b})
+    # sf_a's cached names still read sf_a's data AFTER sf_b's build
+    n_a = spark.table(lt_a).count()
+    n_b = spark.table(lt_b).count()
+    assert n_a == load_tables(spark, sf_a)["lineitem"].count()
+    assert n_b == load_tables(spark, sf_b)["lineitem"].count()
+    assert n_a != n_b
