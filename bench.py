@@ -188,14 +188,38 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if sys.argv[1:]:
+        # ad-hoc subset run: the full line is small — print it whole so
+        # scale_audit/drift_audit can parse stdout directly
+        print(json.dumps(result))
+        return
+    # Full-suite run: the per-query map is ~100 entries and growing —
+    # round 5's single line overflowed the driver's stdout tail capture
+    # and was truncated mid-object (BENCH_r05.json parsed: null). Write
+    # the full map to a sibling file and emit a compact, always-parsable
+    # summary as the LAST stdout line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
+                "n_queries": len(timings),
+                "queries_file": "BENCH_detail.json",
             }
         )
     )

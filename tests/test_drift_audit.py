@@ -72,3 +72,18 @@ def test_driver_wrapped_artifacts_parse(tmp_path):
         {"sf": 0.1, "queries": {"q": 2.1}},
     )
     assert rc == 0
+
+
+def test_queries_file_indirection(tmp_path):
+    # compact driver artifacts point at a sibling per-query detail file
+    import json as _json
+
+    (tmp_path / "det.json").write_text(
+        _json.dumps({"sf": 1.0, "queries": {"q": 1.0}})
+    )
+    rc, out = _run(
+        tmp_path,
+        {"sf": 1.0, "queries_file": "det.json"},
+        {"sf": 1.0, "queries": {"q": 1.05}},
+    )
+    assert rc == 0

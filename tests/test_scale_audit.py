@@ -70,3 +70,18 @@ def test_every_allowlist_entry_has_justification():
 
     for name, why in ALLOWLIST.items():
         assert isinstance(why, str) and len(why) > 40, name
+
+
+def test_queries_file_indirection(tmp_path):
+    # full-suite bench runs print a compact summary line pointing at a
+    # sibling detail file (round-5 driver artifact overflowed on the
+    # inline map); the loader must follow the pointer
+    (tmp_path / "det_a.json").write_text(
+        json.dumps({"sf": 1.0, "queries": {"q": 1.0}})
+    )
+    rc, out = _run(
+        tmp_path,
+        {"sf": 1.0, "queries_file": "det_a.json"},
+        {"sf": 3.0, "queries": {"q": 3.2}},
+    )
+    assert rc == 0 and "OK" in out

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -48,7 +49,15 @@ def main() -> int:
     def load(path):
         d = json.load(open(path))
         # the round driver wraps bench.py's line under "parsed"
-        return d.get("parsed", d)
+        d = d.get("parsed") or d
+        if "queries" not in d and "queries_file" in d:
+            # full-suite bench runs print a compact summary line and
+            # write the per-query map to a sibling file (see bench.py)
+            sibling = os.path.join(
+                os.path.dirname(os.path.abspath(path)), d["queries_file"]
+            )
+            d = json.load(open(sibling))
+        return d
 
     old = load(args.old)
     new = load(args.new)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 # name -> justification for a quadratic (not linear) gate. Keep this
@@ -47,6 +48,15 @@ ALLOWLIST: dict[str, str] = {
 def load(path: str) -> tuple[float, dict[str, float]]:
     with open(path) as f:
         art = json.load(f)
+    art = art.get("parsed") or art  # round-driver wrapper
+    if "queries" not in art and "queries_file" in art:
+        # full-suite bench runs print a compact summary line and write
+        # the per-query map to a sibling file (see bench.py)
+        sibling = os.path.join(
+            os.path.dirname(os.path.abspath(path)), art["queries_file"]
+        )
+        with open(sibling) as f:
+            art = json.load(f)
     return float(art["sf"]), dict(art["queries"])
 
 
