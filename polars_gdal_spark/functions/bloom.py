@@ -30,6 +30,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _normalize_key_expr(key_col: str, key_type: str | None) -> str:
+    """xxhash64 is TYPE-SENSITIVE in Spark: the same value hashes
+    differently as INT and BIGINT. If build and probe sides carried
+    different integral widths, every probe would miss and true matches
+    would be silently dropped before the semi join — violating the
+    'never drops a true match' contract. All integral keys therefore
+    hash through a common BIGINT cast; other types hash as-is."""
+    if key_type in _INTEGRAL:
+        return f"CAST({key_col} AS BIGINT)"
+    return key_col
+
+
 def _positions_sql(key_expr: str, m_bits: int, n_hashes: int) -> list[str]:
     """SQL exprs for the ``n_hashes`` bit positions of a key (xxhash64
     seeded by hashing a distinct literal alongside the key)."""
@@ -50,9 +65,10 @@ def bloom_bitmap(
     the bitmap words (``m_bits/64`` rows max — 8 KiB of bits = 128
     rows), never the keys."""
     assert m_bits % 64 == 0
+    key_expr = _normalize_key_expr(key_col, dict(df.dtypes).get(key_col))
     pos = F.explode(
         F.array(
-            *[F.expr(p) for p in _positions_sql(key_col, m_bits, n_hashes)]
+            *[F.expr(p) for p in _positions_sql(key_expr, m_bits, n_hashes)]
         )
     ).alias("_pos")
     words = (
@@ -76,16 +92,24 @@ def bloom_might_contain(
     key_col: str,
     bitmap: list[int],
     n_hashes: int = 3,
+    key_type: str | None = None,
 ) -> Column:
     """Membership predicate Column over a fact-side key column: for each
     hash, test the addressed bit of the broadcast bitmap literal. Pure
-    integral expressions — stays inside whole-stage codegen."""
+    integral expressions — stays inside whole-stage codegen.
+
+    Pass ``key_type`` (the probe column's Spark dtype string, e.g.
+    ``dict(df.dtypes)[key_col]``) whenever the build side was integral:
+    integral keys hash through a BIGINT cast on both sides so an
+    int-typed probe matches a bigint-typed build (xxhash64 is
+    type-sensitive — see :func:`_normalize_key_expr`)."""
     m_bits = len(bitmap) * 64
+    key_expr = _normalize_key_expr(key_col, key_type)
     arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in bitmap) + ")"
     tests = [
         f"((shiftright(element_at({arr}, CAST(({p}) / 64 AS INT) + 1),"
         f" CAST(({p}) % 64 AS INT)) & 1) = 1)"
-        for p in _positions_sql(key_col, m_bits, n_hashes)
+        for p in _positions_sql(key_expr, m_bits, n_hashes)
     ]
     return F.expr(" AND ".join(tests))
 
@@ -108,8 +132,20 @@ def bloom_prefiltered_semi_join(
     m_bits = 64
     while m_bits < min(max_bits, max(1024, bits_per_key * max(n, 1))):
         m_bits <<= 1
+    fact_t = dict(fact.dtypes).get(fact_key)
+    dim_t = dict(dim_keys.dtypes).get(dim_key)
+    if (fact_t in _INTEGRAL) != (dim_t in _INTEGRAL) or (
+        fact_t not in _INTEGRAL and fact_t != dim_t
+    ):
+        raise ValueError(
+            f"bloom_prefiltered_semi_join: fact key {fact_key!r} ({fact_t})"
+            f" and dim key {dim_key!r} ({dim_t}) must hash in the same"
+            " type family (integral widths are unified to BIGINT)"
+        )
     bitmap = bloom_bitmap(dim_keys, dim_key, m_bits, n_hashes)
-    pre = fact.where(bloom_might_contain(fact_key, bitmap, n_hashes))
+    pre = fact.where(
+        bloom_might_contain(fact_key, bitmap, n_hashes, key_type=fact_t)
+    )
     return pre.join(
         dim_keys.withColumnRenamed(dim_key, fact_key),
         fact_key,

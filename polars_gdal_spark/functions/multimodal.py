@@ -468,6 +468,16 @@ def image_ahash(
                 a = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
                 gray = a.reshape(-1, 3).sum(axis=1) // 3
                 n = len(gray)
+                if n > 64:
+                    # two BIGINTs hold exactly 64 bits; beyond that the
+                    # %32 shifts wrap and distinct images silently
+                    # collide (false dedup merges). Fail loudly instead
+                    # (the audio_features sample-width idiom).
+                    raise ValueError(
+                        f"image_ahash: image has {n} pixels; the 64-bit "
+                        "hash requires <= 64 (resize to 8x8 with "
+                        "resize_image first)"
+                    )
                 bits = (gray * n > gray.sum()).astype(np.int64)
                 w = np.left_shift(bits, np.arange(n) % 32)
                 lo[r] = int(w[np.arange(n) < 32].sum())

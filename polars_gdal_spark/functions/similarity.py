@@ -23,6 +23,12 @@ from pyspark.sql import Column, DataFrame
 
 QUANT = 1_000_000
 
+# pairwise_cosine(group_col=None) plans a nested-loop self-join — the
+# explicit small-side contract above which it refuses to run (choose the
+# blocked/LSH path instead). 20k rows = 200M pair evaluations, the upper
+# end of what one job should ever spend on the naive form.
+_UNBLOCKED_PAIRWISE_MAX_ROWS = 20_000
+
 
 def quantize(col) -> Column:
     """array<float> → array<bigint>, q_i = floor(x_i * 1e6)."""
@@ -190,6 +196,20 @@ def pairwise_cosine(
     round-4 single-tile path.
     """
     if group_col is None:
+        # Non-equi self-join (a.id < b.id) — Spark plans a nested loop,
+        # which is O(n²) at ANY scale. Safe only under an explicit
+        # small-side contract; beyond it, refuse loudly and point at the
+        # paths that do scale (the count() here is the contract check,
+        # not a hidden corpus collect).
+        n = df.count()
+        if n > _UNBLOCKED_PAIRWISE_MAX_ROWS:
+            raise ValueError(
+                f"pairwise_cosine(group_col=None) is a nested-loop "
+                f"self-join — refusing {n} rows (max "
+                f"{_UNBLOCKED_PAIRWISE_MAX_ROWS}). Pass group_col (LSH "
+                "bucket / cluster label) for the blocked tiled-GEMM "
+                "path, or use lsh_bucketed_pairs / ivf_knn_join."
+            )
         base = df.select(
             F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
         ).withColumn("nrm", F.sqrt(norm_sq_q(F.col("v")).cast("double")))
@@ -903,9 +923,13 @@ def ivfpq_adc_topk(
         np.stack([np.asarray(r[1], dtype=np.float64) for r in srows]) * QUANT
     ).astype(np.int64)
     sn = np.sqrt((S0 * S0).sum(axis=1).astype(np.float64))
-    sassign = np.argmax(
-        (S0 @ C0.T).astype(np.float64) / np.outer(sn, cn), axis=1
-    )
+    ssims = (S0 @ C0.T).astype(np.float64) / np.outer(sn, cn)
+    # zero-norm rows divide to NaN; map to +inf so argmax matches
+    # ivf_assign's documented smallest-centroid-id tiebreak (and the SQL
+    # oracle's NaN-sorts-largest ordering) instead of landing on the
+    # first NaN column
+    ssims = np.where(np.isnan(ssims), np.inf, ssims)
+    sassign = np.argmax(ssims, axis=1)
     R = S0 - C0[sassign]
     CB = np.stack(
         [R[:, b * dsub : (b + 1) * dsub] for b in range(m)]
@@ -940,9 +964,9 @@ def ivfpq_adc_topk(
                 * QUANT
             ).astype(np.int64)
             xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
-            cell = np.argmax(
-                (X @ C0_b.T).astype(np.float64) / np.outer(xn, cn_b), axis=1
-            )
+            xsims = (X @ C0_b.T).astype(np.float64) / np.outer(xn, cn_b)
+            xsims = np.where(np.isnan(xsims), np.inf, xsims)  # ivf_assign idiom
+            cell = np.argmax(xsims, axis=1)
             cell_ids = cids_b[cell]
             keep = np.isin(cell_ids, list(tab_b.keys()))
             if not keep.any():

@@ -961,10 +961,17 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     written parquet — so the driver check covers the on-disk artifact,
     not a recomputation."""
     import os
+    import shutil
     import tempfile
 
     aug = _augmented(spark, sf_dir, with_copy=True)
     existing = aug.where(F.col("doc") < 10000000)
+    # reclaim the previous build before replacing it (the _BUCKETED_DIRS
+    # idiom) — bench warmup+runs would otherwise leak a full index copy
+    # per execution
+    old = _DEDUP_INDEX_CACHE.pop(sf_dir, None)
+    if old:
+        shutil.rmtree(os.path.dirname(old), ignore_errors=True)
     path = os.path.join(tempfile.mkdtemp(), "dedup_index")
     D.save_dedup_index(existing, path, id_col="doc", text_col="text")
     _DEDUP_INDEX_CACHE[sf_dir] = path

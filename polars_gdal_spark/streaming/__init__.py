@@ -539,7 +539,17 @@ def streaming_bloom_prefilter(
     dropped, so the prefilter cannot lose data."""
     from polars_gdal_spark.functions.bloom import bloom_might_contain
 
-    return stream.where(bloom_might_contain(key_col, bitmap, n_hashes))
+    # pass the stream-side dtype so integral keys hash through the same
+    # BIGINT cast the builder used (xxhash64 is type-sensitive; an
+    # int-vs-bigint mismatch would silently drop every true member)
+    return stream.where(
+        bloom_might_contain(
+            key_col,
+            bitmap,
+            n_hashes,
+            key_type=dict(stream.dtypes).get(key_col),
+        )
+    )
 
 
 # ----------------------------------------------------------------------
@@ -710,8 +720,14 @@ def probe_ivf_batch(
     )
     probe_ids = [r["centroid_id"] for r in pairs.select("centroid_id").distinct().collect()]
     if not probe_ids:
+        # derive the empty-result schema from the actual id dtypes (the
+        # cosine_range idiom) — a hardcoded bigint would give this path
+        # a different schema than the non-empty path for non-bigint id
+        # columns, desyncing micro-batches in the per-batch parquet sink
+        qid_t = dict(batch_df.dtypes)[id_col]
+        vid_t = dict(cells_df.dtypes)[id_col]
         return spark.createDataFrame(
-            [], f"qid bigint, {id_col} bigint, cosine double"
+            [], f"qid {qid_t}, {id_col} {vid_t}, cosine double"
         )
     cand = (
         cells_df.where(F.col("centroid_id").isin(probe_ids))

@@ -214,3 +214,63 @@ def test_image_ahash_identical_images_collide(spark):
     # half-bright image: exactly the 32 bright pixels are above mean
     hi, lo = hashed[2]
     assert bin(hi).count("1") + bin(lo).count("1") == 32
+
+
+def test_bloom_mixed_integral_widths(spark):
+    """xxhash64 is type-sensitive: an INT-typed probe against a
+    BIGINT-built bitmap must still keep every true member (both sides
+    hash through a common BIGINT cast). Regression for the silent
+    drop-everything failure mode."""
+    from polars_gdal_spark.functions.bloom import bloom_prefiltered_semi_join
+
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 300).cast("int").alias("fk")
+    )
+    dim = spark.range(0, 50).select((F.col("id") * 4).alias("dk"))  # bigint
+    got = bloom_prefiltered_semi_join(fact, dim, "fk", "dk")
+    exact = fact.join(
+        dim.selectExpr("CAST(dk AS INT) AS fk"), "fk", "left_semi"
+    )
+    assert got.count() == exact.count() > 0
+
+
+def test_bloom_cross_family_keys_rejected(spark):
+    import pytest
+
+    from polars_gdal_spark.functions.bloom import bloom_prefiltered_semi_join
+
+    fact = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS fk")
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="same.*type family"):
+        bloom_prefiltered_semi_join(fact, dim, "fk", "dk")
+
+
+def test_image_ahash_refuses_oversize_images(spark):
+    """>64 pixels cannot pack into two BIGINTs; the %32 shifts would
+    wrap and distinct images silently collide — must fail loudly."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    import pytest
+
+    from polars_gdal_spark.functions.multimodal import (
+        decode_image,
+        image_ahash,
+    )
+    from polars_gdal_spark.functions.png import encode_png
+
+    raw = bytes(range(243))  # 9x9x3
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_png(9, 9, raw) for _ in pdf["doc_id"]],
+                }
+            )
+
+    df = spark.createDataFrame([(0,)], "doc_id long")
+    payloads = df.mapInPandas(enc, "doc_id long, payload binary")
+    with pytest.raises(Exception, match="64"):
+        image_ahash(decode_image(payloads, codec="png")).collect()

@@ -890,3 +890,38 @@ def test_bpe_train_merges_textbook_corpus(spark, tmp_path):
         ("e w", "ew", 6),
         ("ew est", "ewest", 6),
     ]
+
+
+def test_pairwise_unblocked_guard(spark):
+    """group_col=None is a nested-loop self-join: beyond the explicit
+    small-side contract it must refuse loudly and point at the blocked
+    path, never silently run O(n^2) at corpus scale."""
+    import pytest
+
+    big = spark.range(0, 25_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="nested-loop"):
+        S.pairwise_cosine(big, threshold=0.99)
+
+
+def test_ivfpq_zero_norm_vector_survives(spark):
+    """A zero-norm corpus vector divides to NaN in the coarse
+    assignment; argmax must fall through the NaN-to-+inf mapping (the
+    ivf_assign tiebreak) instead of landing on the first NaN column —
+    and the query must still return a clean top-k."""
+    from polars_gdal_spark.functions.similarity import ivfpq_adc_topk
+
+    rows = _clustered_vecs(n_clusters=4, per=20, dim=16, seed=7)
+    rows = [
+        (vid, [0.0] * 16 if vid == 33 else vec) for vid, vec in rows
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cent = df.where("vec_id % 20 = 0 and vec_id != 0")
+    corpus = df.where("vec_id % 20 != 0")
+    got = ivfpq_adc_topk(
+        corpus, cent, rows[5][1], m=4, codebook_k=16, n_probe=4, k=5
+    ).collect()
+    assert len(got) == 5
+    assert all(r["adc_dist"] == r["adc_dist"] for r in got)  # no NaN
