@@ -94,7 +94,8 @@ HEADLINE = [
     "multimodal_video_pipeline",
     "sim_lsh_multitable",
     "graph_pagerank",
-    # round-5 additions
+    # round-5 additions (explicit: ordering constraints live here —
+    # build-before-probe, layout-before-colocated-join)
     "dedup_substring_windows",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
@@ -135,6 +136,15 @@ HEADLINE = [
     "join_scd2_pointintime",
 ]
 
+# Round 6: the scale gate can only protect what it measures — 92 of 187
+# registry queries had zero wall-time evidence at any sf (exactly how
+# round 3 shipped the quadratic quartet round 4 caught). Default runs
+# now cover the WHOLE registry: the curated HEADLINE order first (it
+# encodes build-before-probe dependencies), then every remaining
+# registry query in sorted order.
+def _full_suite() -> list[str]:
+    return HEADLINE + sorted(set(QUERIES) - set(HEADLINE))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,7 +152,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = sys.argv[1:] or HEADLINE  # optional per-query iteration
+    names = sys.argv[1:] or _full_suite()  # optional per-query iteration
     timings: dict[str, float] = {}
 
     def timed_run(spec) -> float:
