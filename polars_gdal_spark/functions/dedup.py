@@ -952,3 +952,102 @@ def append_dedup_index(
     )
     digests.write.mode("append").parquet(path + "/digests")
     bandsigs.write.mode("append").parquet(path + "/bands")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every token k-gram, slide a window
+    of ``w`` consecutive hashes, select each window's minimum; the
+    distinct selected hashes are the document's fingerprints. Guarantees
+    any shared substring of length >= w + k - 1 tokens contributes at
+    least one shared fingerprint, at ~2/(w+1) the density of the full
+    k-gram set — position-localized overlap detection that the
+    bag-of-shingles Jaccard measure can't provide, at a fraction of the
+    index size.
+
+    Hashes are the md5-prefix 60-bit BIGINTs of the minhash family
+    (order-preserving vs the oracle's 15-char hex strings, so min
+    selection is engine-identical). Documents with at least one k-gram
+    but fewer than ``w`` select the single global minimum (one covering
+    window). Pure per-row expressions — no shuffle; output is the
+    exploded (doc, fp) relation."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(tk, i + {j})" for j in range(k)
+    ) + ")"
+    # the size guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    # rather than returning empty, so a sub-k document would index past
+    # the token array
+    h_expr = (
+        f"""CASE WHEN size(tk) >= {k} THEN
+              transform(sequence(1, size(tk) - {k - 1}),
+                i -> cast(conv(substr(md5({gram}), 1, 15), 16, 10) as bigint))
+            ELSE array() END"""
+    )
+    fp_expr = F.expr(
+        f"""CASE WHEN size(tk) >= {k + w - 1} THEN
+              array_distinct(transform(
+                sequence(1, size(tk) - {k + w - 2}),
+                j -> array_min(slice(h, j, {w}))))
+            WHEN size(tk) >= {k} THEN array(array_min(h))
+            ELSE array() END"""
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), toks.alias("tk"))
+        .select("doc", F.expr(h_expr).alias("h"), "tk")
+        .select("doc", F.explode(fp_expr).alias("fp"))
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int = 1024,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS match report. Candidates come only from the fingerprint
+    equi-join (grouped-array pair generation, the ngram_jaccard_pairs
+    recipe: map-side (i < j) pairs per fingerprint group, no self-join
+    shuffle of the corpus); fingerprints whose document frequency
+    exceeds ``max_fp_df`` are boilerplate and are dropped via the
+    broadcast anti-join cap BEFORE any pair is generated, bounding the
+    per-fingerprint fan-out. Fingerprint sets are distinct per doc, so
+    the per-pair group count IS the shared-fingerprint count."""
+    sc_p = df.sparkSession.sparkContext.defaultParallelism
+    fpt = winnowing_fingerprints(df, id_col, text_col, k, w)
+    dfs = fpt.groupBy("fp").agg(F.count("*").alias("_df"))
+    hot = dfs.where(F.col("_df") > max_fp_df).select("fp")
+    kept = fpt.join(F.broadcast(hot), "fp", "left_anti").repartition(
+        sc_p, "fp"
+    )
+    grouped = kept.groupBy("fp").agg(
+        F.array_sort(F.collect_list("doc")).alias("ds")
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -1209,3 +1209,52 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    tk2 AS (
+      SELECT doc, list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS tk
+      FROM aug
+    ),
+    hs AS (
+      SELECT doc,
+             list_transform(generate_series(1, len(tk) - 2),
+               i -> substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                           1, 15)) AS h
+      FROM tk2
+    ),
+    fps AS (
+      SELECT doc, unnest(
+        CASE WHEN len(h) >= 4 THEN
+          list_distinct(list_transform(generate_series(1, len(h) - 3),
+            j -> list_aggregate(array_slice(h, j, j + 3), 'min')))
+        WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
+        ELSE []::VARCHAR[] END) AS fp
+      FROM hs
+    ),
+    kept AS (
+      SELECT f.* FROM fps f
+      JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1024) c
+      USING (fp)
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing match report over the augmented corpus: pairs
+    sharing >= 3 selected fingerprints (token 3-grams, window 4 — any
+    shared run of >= 6 tokens is guaranteed to contribute a shared
+    fingerprint). The substring-localized third member of the near-dup
+    family next to bag-of-shingles Jaccard and MinHash sketches; the
+    fingerprint index is ~2/(w+1) the size of the full shingle set."""
+    aug = _augmented(spark, sf_dir)
+    return D.winnowing_pairs(
+        aug, "doc", "text", k=3, w=4, min_shared=3, max_fp_df=1024
+    )

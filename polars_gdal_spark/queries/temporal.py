@@ -300,3 +300,49 @@ def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wait_us"
         ),
     )
+
+
+@query(
+    "events_rolling_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             user_id
+      FROM events
+    ),
+    fanout AS (
+      SELECT DISTINCT d + off AS day_num, user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS off) o
+    ),
+    actual AS (SELECT DISTINCT d AS day_num FROM du)
+    SELECT f.day_num, count(DISTINCT f.user_id) AS n_users
+    FROM fanout f JOIN actual a USING (day_num)
+    GROUP BY f.day_num
+    """,
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the standard WAU
+    curve. Exact sliding-window COUNT DISTINCT is not windowable (sets
+    don't subtract), so each (day, user) first-class row fans out to the
+    ≤7 report days it supports and one groupBy counts per day — the
+    scan-once/fan-out-small shape: the distinct (day, user) frontier is
+    users×days-sized (map-side combined), the ×7 fan-out multiplies the
+    FRONTIER, never the event stream, and days with no events are
+    dropped by the semi-join against observed days. Day keys are epoch
+    day numbers (exact integers in both engines)."""
+    events = load_tables(spark, sf_dir)["events"]
+    du = events.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        "user_id",
+    ).distinct()
+    fanout = du.select(
+        F.explode(F.expr("sequence(d, d + 6)")).alias("day_num"), "user_id"
+    ).distinct()
+    actual = du.select(F.col("d").alias("day_num")).distinct()
+    return (
+        fanout.join(actual, "day_num", "left_semi")
+        .groupBy("day_num")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("day_num").cast("bigint").alias("day_num"), "n_users")
+    )

@@ -1996,3 +1996,109 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l1_delta") >= 80).alias("is_cut"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH tkt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      FROM tkt WHERE len(tk) >= 2
+    ),
+    big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    c2t AS (
+      SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS c1 FROM c2
+    ),
+    v AS (
+      SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(tk) AS x FROM tkt)
+    ),
+    terms AS (
+      SELECT b.doc_id,
+             CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)), 9)
+                  AS DECIMAL(20,9)) AS term
+      FROM big b JOIN c2t USING (w1, w2), v
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(term) AS s
+      FROM terms GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           round(-CAST(s AS DOUBLE) / n_bigrams, 6) AS ce
+    FROM per ORDER BY ce DESC, doc_id LIMIT 100
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality scoring — the CCNet/fastText-era
+    perplexity filter (Wenzek et al. 2020 score documents against an LM
+    and drop the worst): train add-1-smoothed bigram statistics on the
+    corpus itself, score every document's mean negative log-likelihood,
+    return the 100 worst (highest cross-entropy) documents.
+
+    Engine-determinism: each bigram term is ln((c2+1)/(c1+V)) — one
+    exact double division and one ln, rounded to 9 dp and summed as
+    DECIMAL so the per-doc total is order-independent; the final ce is
+    a single double division rounded to 6 dp. Both engines execute the
+    identical op sequence, so values hash-match.
+
+    Scale shape: the count table attaches the history count c1 via a
+    window over the (small) bigram-TYPE table — sum(c2) partition by w1
+    — so the corpus-sized bigram stream joins ONCE, on (w1, w2) (far
+    less skewed than a w1-only join; AQE skew-split covers the Zipf
+    head). The vocabulary size is the one driver scalar (a documented
+    1-row collect, like the IVF centroid count)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    dt = docs.select("doc_id", tk.alias("tk"))
+    big = dt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, "
+                "element_at(tk, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    from pyspark.sql import Window
+
+    c2t = c2.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("w1"))
+    )
+    vocab = int(
+        dt.select(F.explode("tk").alias("x"))
+        .agg(F.count_distinct("x"))
+        .first()[0]
+    )
+    terms = big.join(c2t, ["w1", "w2"]).select(
+        "doc_id",
+        F.expr(
+            f"CAST(round(ln((c2 + 1) / CAST(c1 + {vocab} AS DOUBLE)), 9) "
+            "AS DECIMAL(20,9))"
+        ).alias("term"),
+    )
+    per = terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("term").alias("s")
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("ce"),
+        )
+        .orderBy(F.desc("ce"), F.asc("doc_id"))
+        .limit(100)
+    )

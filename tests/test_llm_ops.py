@@ -925,3 +925,75 @@ def test_ivfpq_zero_norm_vector_survives(spark):
     ).collect()
     assert len(got) == 5
     assert all(r["adc_dist"] == r["adc_dist"] for r in got)  # no NaN
+
+
+def test_winnowing_guarantee(spark):
+    """The SIGMOD 2003 contract: any shared token run of length
+    >= w + k - 1 (= 6 here) MUST contribute at least one shared
+    fingerprint; disjoint-vocabulary docs must share none."""
+    from polars_gdal_spark.functions.dedup import winnowing_fingerprints
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (0, f"one two three {shared_run} four five six"),
+        (1, f"{shared_run} seven eight nine ten eleven twelve"),
+        (2, "moon star cloud rain snow wind storm fog mist hail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {
+        d: {r["fp"] for r in g}
+        for d, g in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc"]),
+            key=lambda r: r["doc"],
+        )
+    }
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fp"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnowing_short_doc_single_fp(spark):
+    """A doc with >= 1 k-gram but fewer than w selects exactly the
+    global minimum (one covering window); sub-k docs select nothing."""
+    from polars_gdal_spark.functions.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "just four little words"), (1, "too short")],
+        "doc_id long, text string",
+    )
+    got = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    assert [r["doc"] for r in got] == [0]
+
+
+def test_bigram_lm_scores_repetitive_text_better(spark, tmp_path):
+    """A document of corpus-frequent bigrams must score LOWER
+    cross-entropy than one made of singleton bigrams."""
+    import os
+    import shutil
+
+    from polars_gdal_spark.queries import QUERIES, TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t == "documents":
+            continue
+        p = f"{src}/{t}.parquet"
+        if os.path.isdir(p):
+            shutil.copytree(p, tmp_path / f"{t}.parquet")
+        else:
+            shutil.copy(p, tmp_path / f"{t}.parquet")
+    common = " ".join(["the cat sat"] * 20)
+    rows = [(i, common) for i in range(9)]
+    rows.append((9, "zyx wvu tsr qpo nml kji"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r["ce"]
+        for r in QUERIES["text_bigram_lm_score"]
+        .func(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[9] == max(out.values())
+    assert all(out[9] > out[i] for i in range(9))

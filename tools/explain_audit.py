@@ -424,6 +424,20 @@ EXPECT = {
     # residual; windows building the dim are PARTITIONED by customer
     "join_scd2_pointintime": ["Window", "!CartesianProduct",
                               "!BroadcastNestedLoopJoin"],
+    # round 6: trailing-window distinct — both distincts partial-first,
+    # the observed-days filter is a broadcast semi, never a shuffle
+    "events_rolling_distinct": ["partial", "BroadcastHashJoin",
+                                "!CartesianProduct"],
+    # bigram LM: corpus joins the count table ONCE (on w1,w2); the c1
+    # attach is a window over the type table; worst-100 collapses to
+    # TakeOrdered, aggregates partial-first
+    "text_bigram_lm_score": ["TakeOrderedAndProject", "partial",
+                             "!CartesianProduct"],
+    # winnowing: fingerprint DF cap is the broadcast ANTI join (no
+    # second shuffle of the fingerprint table); candidates only from
+    # the fingerprint equi-join
+    "dedup_winnowing": ["BroadcastHashJoin", "LeftAnti",
+                        "!CartesianProduct"],
 }
 
 
