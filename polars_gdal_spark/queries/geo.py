@@ -464,9 +464,11 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial 3-NN self-join over the synthetic customer points via
     grid blocking: candidates come from a 3x3 cell equi-join (9x
     constant replication of the build side, never a cross join) and the
-    per-point top-3 is WindowGroupLimit-truncated. The brute-force
-    DuckDB oracle confirms exactness (cell=20 comfortably exceeds the
-    3rd-NN distance at every tested density)."""
+    per-point top-3 is WindowGroupLimit-truncated. The grid is
+    density-adaptive (~64 points/cell at any sf — a fixed cell over the
+    fixed [0,100]² domain measured 11.3 s at sf0.1 and is O(n²));
+    the brute-force DuckDB oracle confirms exactness at every tested
+    density."""
     from polars_gdal_spark.functions.geo import spatial_knn_join
     from polars_gdal_spark.queries import load_tables
 
@@ -476,7 +478,7 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 7 % 1000) / 10.0 + 0.05).alias("x"),
         ((F.col("c_custkey") * 13 % 1000) / 10.0 + 0.03).alias("y"),
     )
-    return spatial_knn_join(pts, "c_custkey", "x", "y", k=3, cell=20.0)
+    return spatial_knn_join(pts, "c_custkey", "x", "y", k=3)
 
 
 @query(

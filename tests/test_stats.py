@@ -109,3 +109,39 @@ def test_kmv_overlap_accuracy_contract(spark):
                 sf,
                 r,
             )
+
+
+def test_spatial_knn_adaptive_cell_exact(spark):
+    """The adaptive grid must return the TRUE k-NN (vs brute force) on
+    a dense fixture where the old fixed cell=20 would put every point
+    in a handful of cells; and an explicit cell override still works."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    pts = spark.range(0, 3000).select(
+        F.col("id"),
+        ((F.col("id") * 7 % 1000) / 10.0).alias("x"),
+        ((F.col("id") * 13 % 1000) / 10.0).alias("y"),
+    )
+    got = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in spatial_knn_join(pts, "id", "x", "y", k=2).collect()
+    }
+    rows = pts.collect()
+    import math
+
+    for probe in rows[::250]:
+        d = sorted(
+            (
+                math.hypot(probe["x"] - o["x"], probe["y"] - o["y"]),
+                o["id"],
+            )
+            for o in rows
+            if o["id"] != probe["id"]
+        )
+        assert got[(probe["id"], 1)] == d[0][1]
+        assert got[(probe["id"], 2)] == d[1][1]
+    # explicit override keeps the fixed-radius contract
+    fixed = spatial_knn_join(pts, "id", "x", "y", k=2, cell=30.0)
+    assert fixed.count() == len(got)
