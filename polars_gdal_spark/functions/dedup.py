@@ -139,6 +139,7 @@ def band_signatures(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (doc, band) with the band's LSH signature — the
     shared building block of pair generation (:func:`minhash_lsh_pairs`)
@@ -151,7 +152,8 @@ def band_signatures(
     ``band_sig`` hashes the identical string in both engines.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     return sigs.select(
         "doc",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -183,10 +185,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 64,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band signature are
     candidates.
+
+    ``sigs`` optionally supplies a precomputed
+    :func:`minhash_signatures` relation (columns ``doc``, ``sig``) so a
+    caller that also consumes the signatures directly (e.g. the
+    sketch-accuracy harness) computes the shingle→min lineage ONCE.
 
     Pair generation groups docs per (band, band_sig) bucket and explodes
     in-bucket combinations — one aggregation pass over the signatures,
@@ -206,7 +214,7 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     banded = band_signatures(
-        df, id_col, text_col, n_hashes, bands, shingle_n
+        df, id_col, text_col, n_hashes, bands, shingle_n, sigs=sigs
     )
     # Two consumers below (bucket-size count, membership collect): persist
     # so the signature lineage — a full shingle-table groupBy — runs ONCE.

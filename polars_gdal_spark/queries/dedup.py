@@ -678,11 +678,19 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures join per-pair (candidate-sized relation, never corpus²);
     the exact side reuses the capped Jaccard plan. All ratios are exact
     int/int divisions — bit-identical across engines."""
+    from pyspark import StorageLevel
+
     aug = _augmented(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3, max_bucket=64
+    # ONE signature lineage feeds both the LSH bucketing and the
+    # per-pair agreement count (round 6 — the harness previously
+    # computed the full shingle->min pass twice)
+    sigs = D.minhash_signatures(aug, "doc", "text", 16, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sigs = D.minhash_signatures(aug, "doc", "text", 16, 3)
+    pairs = D.minhash_lsh_pairs(
+        aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3,
+        max_bucket=64, sigs=sigs,
+    )
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_agree = F.size(
@@ -693,15 +701,55 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", n_agree.alias("n_agree")
     )
-    exact = D.ngram_jaccard_pairs(
-        aug, "doc", "text", n=3, threshold=0.0, max_shingle_df=1024
-    ).select("doc_a", "doc_b", "jaccard")
-    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+    # Exact Jaccard ONLY for the candidate pairs: intersect the two
+    # DF-capped per-doc shingle arrays per candidate. The previous form
+    # ran ngram_jaccard_pairs at threshold=0.0 — ALL shingle-sharing
+    # pairs verified (millions) to left-join back a few thousand
+    # candidates; work is now O(candidates), the quantity the harness
+    # actually reports.
+    docarr, _ = D._shingle_docarr(aug, "doc", "text", 3, 0.0, 1024)
+    verified = (
+        est.join(
+            docarr.select(
+                F.col("doc").alias("doc_a"),
+                F.col("sz").alias("sz_a"),
+                F.col("shs").alias("_sa"),
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            docarr.select(
+                F.col("doc").alias("doc_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("shs").alias("_sb"),
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "_inter",
+            F.when(
+                F.col("_sa").isNotNull() & F.col("_sb").isNotNull(),
+                F.size(F.array_intersect("_sa", "_sb")),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return verified.select(
         "doc_a",
         "doc_b",
         "n_agree",
         (F.col("n_agree") / F.lit(16)).alias("est_sig"),
-        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        # pairs with no shared retained shingle report 0.0 (the oracle's
+        # COALESCE over the absent inter row) — also covers docs whose
+        # shingles were all DF-capped away
+        F.when(
+            F.col("_inter") >= 1,
+            F.col("_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
     )
 
 
