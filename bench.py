@@ -210,13 +210,18 @@ def main() -> None:
         # scale_audit/drift_audit can parse stdout directly
         print(json.dumps(result))
         return
-    # Full-suite run: the per-query map is ~100 entries and growing —
+    # Full-suite run: the per-query map is ~200 entries and growing —
     # round 5's single line overflowed the driver's stdout tail capture
     # and was truncated mid-object (BENCH_r05.json parsed: null). Write
     # the full map to a sibling file and emit a compact, always-parsable
-    # summary as the LAST stdout line.
+    # summary as the LAST stdout line. The detail name is UNIQUE per run
+    # (sf + epoch): a fixed name would alias every saved compact
+    # artifact to whatever ran last, silently neutering the
+    # round-over-round drift gate (two artifacts would resolve to the
+    # same map and compare a run against itself).
+    detail_name = f"BENCH_detail_sf{sf}_{int(time.time())}.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
@@ -229,7 +234,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
-                "queries_file": "BENCH_detail.json",
+                "queries_file": detail_name,
             }
         )
     )

@@ -92,17 +92,19 @@ def bloom_might_contain(
     key_col: str,
     bitmap: list[int],
     n_hashes: int = 3,
-    key_type: str | None = None,
+    *,
+    key_type: str,
 ) -> Column:
     """Membership predicate Column over a fact-side key column: for each
     hash, test the addressed bit of the broadcast bitmap literal. Pure
     integral expressions — stays inside whole-stage codegen.
 
-    Pass ``key_type`` (the probe column's Spark dtype string, e.g.
-    ``dict(df.dtypes)[key_col]``) whenever the build side was integral:
-    integral keys hash through a BIGINT cast on both sides so an
-    int-typed probe matches a bigint-typed build (xxhash64 is
-    type-sensitive — see :func:`_normalize_key_expr`)."""
+    ``key_type`` (the probe column's Spark dtype string, e.g.
+    ``dict(df.dtypes)[key_col]``) is REQUIRED: :func:`bloom_bitmap`
+    hashes integral build keys through a BIGINT cast, so the probe must
+    apply the same normalization or every true member silently fails
+    the bit test (xxhash64 is type-sensitive — an optional default here
+    would reintroduce the build/probe asymmetry this exists to kill)."""
     m_bits = len(bitmap) * 64
     key_expr = _normalize_key_expr(key_col, key_type)
     arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in bitmap) + ")"

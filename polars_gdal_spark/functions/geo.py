@@ -624,18 +624,26 @@ def spatial_knn_join(
     )
     if cell is None:
         # one bounded driver scalar (n, extent) — the adaptive_planes
-        # idiom: grid resolution must track corpus density
+        # idiom: grid resolution must track corpus density. Occupancy is
+        # derived from the actual AREA (not a square of the max side):
+        # for a degenerate ~1-D point set (ex·ey ≈ 0) the area formula
+        # collapses, so the 1-D occupancy bound target·max_extent/n
+        # takes over — both uniform shapes keep ~target points per
+        # occupied cell; genuinely clustered data should pass an
+        # explicit ``cell`` (documented contract above).
         stats = base.agg(
             F.count("*").alias("n"),
             (F.max("_x") - F.min("_x")).alias("ex"),
             (F.max("_y") - F.min("_y")).alias("ey"),
         ).first()
-        n = stats["n"] or 0
-        extent = max(stats["ex"] or 0.0, stats["ey"] or 0.0, 1e-9)
-        cells_per_side = max(
-            1, math.ceil(math.sqrt(max(n, 1) / target_per_cell))
+        n = max(stats["n"] or 0, 1)
+        ex = max(stats["ex"] or 0.0, 0.0)
+        ey = max(stats["ey"] or 0.0, 0.0)
+        cell = max(
+            math.sqrt(ex * ey * target_per_cell / n),
+            max(ex, ey) * target_per_cell / n,
+            1e-9,
         )
-        cell = extent / cells_per_side
     cx = F.floor(F.col("_x") / cell).cast("bigint")
     cy = F.floor(F.col("_y") / cell).cast("bigint")
     left = base.select("_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy"))

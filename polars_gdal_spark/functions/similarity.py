@@ -199,16 +199,21 @@ def pairwise_cosine(
         # Non-equi self-join (a.id < b.id) — Spark plans a nested loop,
         # which is O(n²) at ANY scale. Safe only under an explicit
         # small-side contract; beyond it, refuse loudly and point at the
-        # paths that do scale (the count() here is the contract check,
-        # not a hidden corpus collect).
-        n = df.count()
-        if n > _UNBLOCKED_PAIRWISE_MAX_ROWS:
+        # paths that do scale. limit(max+1) short-circuits the contract
+        # check: it never materializes more than max+1 rows of the
+        # input lineage, where a bare count() would execute the full
+        # (possibly expensive-UDF) pipeline once just to refuse.
+        over = (
+            df.limit(_UNBLOCKED_PAIRWISE_MAX_ROWS + 1).count()
+            > _UNBLOCKED_PAIRWISE_MAX_ROWS
+        )
+        if over:
             raise ValueError(
                 f"pairwise_cosine(group_col=None) is a nested-loop "
-                f"self-join — refusing {n} rows (max "
-                f"{_UNBLOCKED_PAIRWISE_MAX_ROWS}). Pass group_col (LSH "
-                "bucket / cluster label) for the blocked tiled-GEMM "
-                "path, or use lsh_bucketed_pairs / ivf_knn_join."
+                f"self-join — refusing >{_UNBLOCKED_PAIRWISE_MAX_ROWS} "
+                "rows. Pass group_col (LSH bucket / cluster label) for "
+                "the blocked tiled-GEMM path, or use lsh_bucketed_pairs "
+                "/ ivf_knn_join."
             )
         base = df.select(
             F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")

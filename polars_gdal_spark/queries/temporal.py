@@ -336,9 +336,13 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
         "user_id",
     ).distinct()
+    # no .distinct() here: the fan-out of a distinct (d, user) frontier
+    # cannot duplicate (day_num, user) pairs' contribution to
+    # count_distinct, whose partial phase performs exactly that dedup —
+    # an explicit distinct would duplicate the widest exchange
     fanout = du.select(
         F.explode(F.expr("sequence(d, d + 6)")).alias("day_num"), "user_id"
-    ).distinct()
+    )
     actual = du.select(F.col("d").alias("day_num")).distinct()
     return (
         fanout.join(actual, "day_num", "left_semi")

@@ -91,7 +91,7 @@ def test_bloom_no_false_negatives_and_bounded_fpp(spark):
     keys = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
     bitmap = bloom_bitmap(keys, "k", m_bits=8192, n_hashes=3)
     probe = spark.range(0, 3000).select(F.col("id").alias("k"))
-    hit = probe.where(bloom_might_contain("k", bitmap, 3))
+    hit = probe.where(bloom_might_contain("k", bitmap, 3, key_type="bigint"))
     got = {r["k"] for r in hit.collect()}
     members = {i * 3 for i in range(500)}
     assert members <= got  # Bloom never drops a member
