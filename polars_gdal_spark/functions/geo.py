@@ -592,29 +592,48 @@ def spatial_knn_join(
     plain cell equi-join and the per-point top-k is a rank-limited
     window (WindowGroupLimit). No cross join at any scale.
 
-    **Adaptive cell size (round 6)**: with ``cell=None`` (default) the
-    grid tracks density — one bounded aggregate reads (n, extent) and
-    sizes the grid to ~``target_per_cell`` points per cell, so the 3x3
-    candidate set stays O(target) and the join stays O(n·target) at any
-    corpus size. A FIXED cell over a fixed domain is O(n²/cells): cell
-    population grows linearly with n — measured 11.3 s at sf0.1 and
-    headed for ~10⁹ candidate pairs at sf1 before this change (the
-    fixed-K SRP-LSH disease, same cure as ``adaptive_planes``).
+    **Site-collapsed candidates (round 6)**: real point sets repeat
+    coordinates (city centroids, snapped GPS, lattice fixtures) — a
+    point-level grid join pairs every co-located twin with every other,
+    which is O(n²/|sites|) no matter how the grid is sized (measured
+    43 s at sf1 on a 1000-site fixture, n·n/1000 pairs). Points
+    therefore collapse to coordinate SITES first:
 
-    EXACTNESS CONTRACT: the 3x3 neighbourhood contains every point
+    * per site, a rank-limited window keeps the ``k+1`` smallest ids —
+      the only members that can ever appear in ANY result (rank ties
+      break by ascending id, so at equal distance only a site's k+1
+      smallest ids are reachable); WindowGroupLimit truncates map-side;
+    * a DENSE site (count > k) answers its own points locally: the true
+      k-NN of a co-located point are k of its distance-0 twins, which
+      beat every cross-site candidate — no grid work at all;
+    * only points at SPARSE sites (count <= k) probe the grid, against
+      the 3x3 cell neighbourhood of the site table (each site
+      contributing its k+1-id candidate list).
+
+    Work is O(n) local + O(sparse_points · 9 · target_per_cell · (k+1));
+    with all-distinct coordinates every site is sparse with a 1-id list
+    and the operator degrades to the classic grid kNN join.
+
+    **Adaptive cell size**: with ``cell=None`` (default) the grid
+    tracks SITE density — one bounded aggregate over the site table
+    reads (n_sites, extent) and sizes cells to ~``target_per_cell``
+    sites each (area-derived, with a 1-D fallback bound for degenerate
+    extents). A fixed cell over a fixed domain is the round-4
+    fixed-K-LSH disease: occupancy grows with the corpus.
+
+    EXACTNESS CONTRACT: the 3x3 neighbourhood contains every site
     within Euclidean distance ``cell``, so results are the true k-NN
-    whenever each point's k-th neighbour lies within ``cell``. The
-    adaptive default keeps ~64 points per cell — mean k-th-NN distance
-    is ~sqrt(k/(pi*density)), a small fraction of the cell side at that
-    occupancy — and the driver's oracle hash-check (brute-force k-NN)
-    verifies the guarantee held on every tested corpus. For clustered
-    data where an isolated point's k-th neighbour may exceed the
-    adaptive cell, pass an explicit ``cell`` (the standard fixed-radius
-    kNN-join contract).
+    whenever each sparse point's k-th neighbour lies within ``cell``
+    (dense points resolve exactly at distance 0 regardless). The
+    driver's brute-force oracle hash-check verifies the guarantee held
+    on every tested corpus; for clustered data where an isolated
+    point's k-th neighbour may exceed the adaptive cell, pass an
+    explicit ``cell`` (the standard fixed-radius kNN-join contract).
     """
     import math
 
     import pyspark.sql.functions as F
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     base = pts.select(
@@ -622,46 +641,83 @@ def spatial_knn_join(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
+    wsite = Window.partitionBy("_x", "_y")
+    ranked = base.withColumn(
+        "_r", F.row_number().over(wsite.orderBy(F.asc("_id")))
+    ).withColumn("_c", F.count("*").over(wsite))
+    # one row per site: member count + the k+1 smallest ids (bounded
+    # array — a collect_list over the RAW site would be unbounded at a
+    # hot coordinate). Persisted: read by the local path, the sparse
+    # probe side, the grid build side, and the adaptive-cell aggregate.
+    site_top = (
+        ranked.where(F.col("_r") <= k + 1)
+        .groupBy("_x", "_y")
+        .agg(
+            F.first("_c").alias("_c"),
+            F.sort_array(F.collect_list("_id")).alias("_cand"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if cell is None:
-        # one bounded driver scalar (n, extent) — the adaptive_planes
-        # idiom: grid resolution must track corpus density. Occupancy is
-        # derived from the actual AREA (not a square of the max side):
-        # for a degenerate ~1-D point set (ex·ey ≈ 0) the area formula
-        # collapses, so the 1-D occupancy bound target·max_extent/n
-        # takes over — both uniform shapes keep ~target points per
-        # occupied cell; genuinely clustered data should pass an
-        # explicit ``cell`` (documented contract above).
-        stats = base.agg(
+        # bounded driver scalar over the SITE table (adaptive_planes
+        # idiom): area-derived occupancy with a 1-D fallback for
+        # degenerate extents
+        stats = site_top.agg(
             F.count("*").alias("n"),
             (F.max("_x") - F.min("_x")).alias("ex"),
             (F.max("_y") - F.min("_y")).alias("ey"),
         ).first()
-        n = max(stats["n"] or 0, 1)
+        n_sites = max(stats["n"] or 0, 1)
         ex = max(stats["ex"] or 0.0, 0.0)
         ey = max(stats["ey"] or 0.0, 0.0)
         cell = max(
-            math.sqrt(ex * ey * target_per_cell / n),
-            max(ex, ey) * target_per_cell / n,
+            math.sqrt(ex * ey * target_per_cell / n_sites),
+            max(ex, ey) * target_per_cell / n_sites,
             1e-9,
         )
+    # local candidates: every point vs its own site's k+1 smallest ids
+    local = base.join(site_top, ["_x", "_y"]).select(
+        "_id",
+        "_x",
+        "_y",
+        F.explode("_cand").alias("_nid"),
+        F.col("_x").alias("_nx"),
+        F.col("_y").alias("_ny"),
+    )
+    # cross-site candidates: only sparse-site points probe the grid
     cx = F.floor(F.col("_x") / cell).cast("bigint")
     cy = F.floor(F.col("_y") / cell).cast("bigint")
-    left = base.select("_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy"))
+    sparse = (
+        base.join(
+            site_top.where(F.col("_c") <= k).select("_x", "_y"),
+            ["_x", "_y"],
+            "left_semi",
+        )
+        .select("_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy"))
+    )
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
-    right = (
-        base.select(
-            F.col("_id").alias("_nid"),
+    nbr_sites = (
+        site_top.select(
             F.col("_x").alias("_nx"),
             F.col("_y").alias("_ny"),
+            "_cand",
             cx.alias("_bcx"),
             cy.alias("_bcy"),
         )
         .withColumn("_dx", off)
         .withColumn("_dy", off)
         .select(
-            "_nid", "_nx", "_ny",
+            "_nx", "_ny", "_cand",
             (F.col("_bcx") + F.col("_dx")).alias("_cx"),
             (F.col("_bcy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    cross = (
+        sparse.join(nbr_sites, ["_cx", "_cy"])
+        .where((F.col("_nx") != F.col("_x")) | (F.col("_ny") != F.col("_y")))
+        .select(
+            "_id", "_x", "_y",
+            F.explode("_cand").alias("_nid"), "_nx", "_ny",
         )
     )
     d = F.sqrt(
@@ -670,7 +726,7 @@ def spatial_knn_join(
     )
     w = Window.partitionBy("_id").orderBy(F.asc("_dist"), F.asc("_nid"))
     return (
-        left.join(right, ["_cx", "_cy"])
+        local.unionAll(cross)
         .where(F.col("_nid") != F.col("_id"))
         .withColumn("_dist", d)
         .where(F.col("_dist") <= F.lit(cell))

@@ -145,3 +145,37 @@ def test_spatial_knn_adaptive_cell_exact(spark):
     # explicit override keeps the fixed-radius contract
     fixed = spatial_knn_join(pts, "id", "x", "y", k=2, cell=30.0)
     assert fixed.count() == len(got)
+
+
+def test_spatial_knn_colocated_points_exact(spark):
+    """Duplicate coordinates (the real-data case: snapped GPS, city
+    centroids) must resolve through the site-local path — true k-NN of
+    a co-located point are its distance-0 twins with the smallest ids —
+    and sparse singleton sites must still reach across sites."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    # 5 sites x 40 twins + one isolated singleton
+    pts = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 5 * 10.0).alias("x"),
+        (F.col("id") % 5 * 10.0).alias("y"),
+    ).unionAll(
+        spark.sql("SELECT 999 AS id, 11.0 AS x, 11.0 AS y")
+    )
+    got = spatial_knn_join(pts, "id", "x", "y", k=3).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"], r["dist"]))
+    # co-located point id=7 (site 2): twins are ids 2, 12, 17, ... ;
+    # 3-NN = three smallest OTHER ids at dist 0
+    assert sorted(by_id[7]) == [(1, 2, 0.0), (2, 12, 0.0), (3, 17, 0.0)]
+    # the smallest id at a site excludes itself
+    assert sorted(by_id[0]) == [(1, 5, 0.0), (2, 10, 0.0), (3, 15, 0.0)]
+    # the singleton at (11,11) reaches the (10,10) site's smallest ids
+    d = (2.0) ** 0.5
+    assert [(rk, nid) for rk, nid, _ in sorted(by_id[999])] == [
+        (1, 1), (2, 6), (3, 11)
+    ]
+    assert all(abs(dd - d) < 1e-12 for _, _, dd in sorted(by_id[999]))
