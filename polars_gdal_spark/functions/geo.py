@@ -584,13 +584,12 @@ def spatial_knn_join(
     target_per_cell: int = 64,
 ):
     """Grid-blocked k-nearest-neighbour SELF-join over a point set too
-    large to broadcast.
-
-    Each point keys to one grid cell; the candidate side replicates to
-    its 3x3 cell neighbourhood (9x replication of (id, x, y) triples --
-    constant-factor, not data-squared), so candidates arrive through a
-    plain cell equi-join and the per-point top-k is a rank-limited
-    window (WindowGroupLimit). No cross join at any scale.
+    large to broadcast: points collapse to coordinate SITES, sites key
+    to grid cells, the candidate side replicates site rows (each
+    carrying a bounded k+1-id candidate list) to its 3x3 cell
+    neighbourhood — constant-factor replication of the SITE table,
+    never of the point set — and the per-point top-k is a rank-limited
+    window. No cross join at any scale.
 
     **Site-collapsed candidates (round 6)**: real point sets repeat
     coordinates (city centroids, snapped GPS, lattice fixtures) — a
@@ -641,19 +640,24 @@ def spatial_knn_join(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
-    wsite = Window.partitionBy("_x", "_y")
-    ranked = base.withColumn(
-        "_r", F.row_number().over(wsite.orderBy(F.asc("_id")))
-    ).withColumn("_c", F.count("*").over(wsite))
-    # one row per site: member count + the k+1 smallest ids (bounded
-    # array — a collect_list over the RAW site would be unbounded at a
-    # hot coordinate). Persisted: read by the local path, the sparse
-    # probe side, the grid build side, and the adaptive-cell aggregate.
+    wsite = Window.partitionBy("_x", "_y").orderBy(F.asc("_id"))
+    ranked = base.withColumn("_r", F.row_number().over(wsite))
+    # one row per site: truncated member count + the k+1 smallest ids
+    # (bounded array — a collect_list over the RAW site would be
+    # unbounded at a hot coordinate). _c is counted AFTER the rank
+    # filter, i.e. _c = min(count, k+1): stacking a count(*) window on
+    # the same partition key would defeat InferWindowGroupLimit (a
+    # Filter above a non-rank window doesn't qualify), shuffling every
+    # row of a hot coordinate into one untruncated window partition —
+    # and min(count, k+1) <= k is equivalent to count <= k, which is
+    # the only question the sparse/dense split asks. Persisted: read by
+    # the local path, the sparse probe side, the grid build side, and
+    # the adaptive-cell aggregate.
     site_top = (
         ranked.where(F.col("_r") <= k + 1)
         .groupBy("_x", "_y")
         .agg(
-            F.first("_c").alias("_c"),
+            F.count("*").alias("_c"),
             F.sort_array(F.collect_list("_id")).alias("_cand"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)

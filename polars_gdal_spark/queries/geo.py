@@ -462,12 +462,16 @@ _KNN_ORACLE = """
 @query("geo_knn_join", oracle=_KNN_ORACLE)
 def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial 3-NN self-join over the synthetic customer points via
-    grid blocking: candidates come from a 3x3 cell equi-join (9x
-    constant replication of the build side, never a cross join) and the
-    per-point top-3 is WindowGroupLimit-truncated. The grid is
-    density-adaptive (~64 points/cell at any sf — a fixed cell over the
-    fixed [0,100]² domain measured 11.3 s at sf0.1 and is O(n²));
-    the brute-force DuckDB oracle confirms exactness at every tested
+    SITE-collapsed grid blocking: points group by coordinate, each site
+    keeps its k+1 smallest ids (the only members reachable under the
+    (dist, id) tiebreak), dense sites answer their points locally at
+    distance 0, and only sparse-site points probe the 3x3 cell
+    equi-join over the density-adaptive site grid (~64 sites/cell at
+    any sf). Two O(n²) shapes died here in round 6: a FIXED cell over
+    the fixed domain (11.3 s at sf0.1) and point-level pairing of
+    co-located twins (43 s at sf1 — the fixture has exactly 1000
+    distinct sites). Now 1.38/1.47/2.04 s at sf1/sf3/sf10; the
+    brute-force DuckDB oracle confirms exactness at every tested
     density."""
     from polars_gdal_spark.functions.geo import spatial_knn_join
     from polars_gdal_spark.queries import load_tables

@@ -179,3 +179,32 @@ def test_spatial_knn_colocated_points_exact(spark):
         (1, 1), (2, 6), (3, 11)
     ]
     assert all(abs(dd - d) < 1e-12 for _, _, dd in sorted(by_id[999]))
+
+
+def test_spatial_knn_sparse_multimember_site(spark):
+    """The _c <= k boundary: a site with 2..k members must merge its
+    distance-0 twins (local path) with cross-site grid candidates —
+    and a site with exactly k+1 members must stay fully local."""
+    import pyspark.sql.functions as F
+
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    rows = (
+        [(i, 0.0, 0.0) for i in range(10, 12)]       # sparse pair (c=2)
+        + [(i, 3.0, 0.0) for i in range(20, 24)]      # boundary c=k+1=4
+        + [(99, 50.0, 50.0)]                           # far singleton
+    )
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {}
+    for r in spatial_knn_join(pts, "id", "x", "y", k=3, cell=10.0).collect():
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"], r["dist"]))
+    # sparse-pair point: twin at dist 0, then the two smallest ids of
+    # the (3,0) site at dist 3
+    assert sorted(got[10]) == [(1, 11, 0.0), (2, 20, 3.0), (3, 21, 3.0)]
+    assert sorted(got[11]) == [(1, 10, 0.0), (2, 20, 3.0), (3, 21, 3.0)]
+    # c = k+1 site resolves fully locally: three distance-0 twins beat
+    # the (0,0) pair at dist 3
+    assert sorted(got[20]) == [(1, 21, 0.0), (2, 22, 0.0), (3, 23, 0.0)]
+    assert sorted(got[23]) == [(1, 20, 0.0), (2, 21, 0.0), (3, 22, 0.0)]
+    # the far singleton is outside every 3x3 neighbourhood at cell=10
+    assert 99 not in got
