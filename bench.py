@@ -146,14 +146,82 @@ def _full_suite() -> list[str]:
     return HEADLINE + sorted(set(QUERIES) - set(HEADLINE))
 
 
+# Queries whose measured figure depends on an in-process artifact a
+# predecessor warms (index cache, bucketed tables, agg snapshot, BPE
+# merge table). Process-isolated groups must never split these pairs,
+# or the dependent row re-pays its one-time build and reads
+# super-linear (the round-4 dedup_index_probe lesson).
+DEP_PAIRS = {
+    "dedup_index_probe": "dedup_index_build",
+    "join_bucketed_colocated": "pipeline_bucketed_layout",
+    "pipeline_incremental_agg": "pipeline_agg_snapshot_build",
+    "text_bpe_encode": "text_bpe_train_merges",
+}
+
+
+def _chunk(names: list[str], n_groups: int) -> list[list[str]]:
+    n = len(names)
+    bounds = [round(i * n / n_groups) for i in range(n_groups + 1)]
+    for j in range(1, n_groups):
+        b = bounds[j]
+        while 0 < b < n and DEP_PAIRS.get(names[b]) == names[b - 1]:
+            b -= 1
+        bounds[j] = b
+    bounds = sorted(set(bounds))
+    return [names[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+def _run_isolated(names: list[str], n_groups: int) -> dict[str, float]:
+    """Round-7 verdict item 5: a single JVM running all ~190 queries
+    sequentially reads ~25% hotter than isolated runs (shared-heap GC
+    pressure) — it produced two spurious drift flags in round 6.
+    Full-suite runs therefore split the registry into a few
+    SEQUENTIAL subprocesses (fresh JVM each, same per-query timing
+    loop) so the driver's headline converges on the isolated truth;
+    JVM startup happens outside the timed regions. Groups are
+    contiguous slices of the suite order with DEP_PAIRS kept
+    co-resident. Set SPARK_GRAFT_BENCH_GROUPS=1 for the old
+    single-JVM behavior (the suite-pressure twin artifacts)."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for chunk in _chunk(names, n_groups):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *chunk],
+            capture_output=True,
+            text=True,
+        )
+        parsed = None
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(ln.strip())
+                break
+            except (json.JSONDecodeError, ValueError):
+                continue
+        if parsed is None:
+            raise RuntimeError(
+                f"bench group {chunk[0]}..{chunk[-1]} produced no JSON "
+                f"(rc={proc.returncode}); stderr tail: "
+                f"{proc.stderr[-2000:]}"
+            )
+        timings.update(parsed["queries"])
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     names = sys.argv[1:] or _full_suite()  # optional per-query iteration
-    timings: dict[str, float] = {}
+    n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "8"))
+    if not sys.argv[1:] and n_groups > 1:
+        timings = _run_isolated(names, n_groups)
+        _emit_full(timings, sf, n_groups)
+        return
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = {}
 
     def timed_run(spec) -> float:
         t0 = time.time()
@@ -197,6 +265,38 @@ def main() -> None:
                 runs.append(timed_run(spec))
         timings[name] = round(statistics.median(runs), 3)
 
+    if sys.argv[1:]:
+        # ad-hoc subset run: the full line is small — print it whole
+        # so scale_audit/drift_audit can parse stdout directly
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf),
+                }
+            )
+        )
+    else:
+        # SPARK_GRAFT_BENCH_GROUPS=1: single-JVM full suite (the
+        # suite-pressure twin artifacts)
+        _emit_full(timings, sf, 1)
+
+
+def _emit_full(timings: dict[str, float], sf: str, n_groups: int) -> None:
+    """Full-suite artifact: the per-query map is ~200 entries and
+    growing — round 5's single line overflowed the driver's stdout
+    tail capture and was truncated mid-object (BENCH_r05.json parsed:
+    null). Write the full map to a detail file and emit a compact,
+    always-parsable summary as the LAST stdout line. The detail name
+    is UNIQUE per run (sf + epoch): a fixed name would alias every
+    saved compact artifact to whatever ran last, silently neutering
+    the round-over-round drift gate. Details live in the gitignored
+    bench_artifacts/ dir (round-6 ADVICE: epoch-named files in the
+    repo root grew without bound); promote a detail file with
+    `git add -f` when its compact artifact is committed as canonical."""
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -205,25 +305,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
-    if sys.argv[1:]:
-        # ad-hoc subset run: the full line is small — print it whole so
-        # scale_audit/drift_audit can parse stdout directly
-        print(json.dumps(result))
-        return
-    # Full-suite run: the per-query map is ~200 entries and growing —
-    # round 5's single line overflowed the driver's stdout tail capture
-    # and was truncated mid-object (BENCH_r05.json parsed: null). Write
-    # the full map to a sibling file and emit a compact, always-parsable
-    # summary as the LAST stdout line. The detail name is UNIQUE per run
-    # (sf + epoch): a fixed name would alias every saved compact
-    # artifact to whatever ran last, silently neutering the
-    # round-over-round drift gate (two artifacts would resolve to the
-    # same map and compare a run against itself).
-    detail_name = f"BENCH_detail_sf{sf}_{int(time.time())}.json"
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), detail_name
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(repo_dir, "bench_artifacts"), exist_ok=True)
+    detail_name = os.path.join(
+        "bench_artifacts", f"BENCH_detail_sf{sf}_{int(time.time())}.json"
     )
-    with open(detail_path, "w") as f:
+    with open(os.path.join(repo_dir, detail_name), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
@@ -234,6 +321,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "isolated_groups": n_groups,
                 "queries_file": detail_name,
             }
         )

@@ -136,6 +136,18 @@ def bloom_prefiltered_semi_join(
         m_bits <<= 1
     fact_t = dict(fact.dtypes).get(fact_key)
     dim_t = dict(dim_keys.dtypes).get(dim_key)
+    # a missing/misspelled key must fail as a column error, not as a
+    # misleading "type family (None)" mismatch (round-6 ADVICE)
+    if fact_t is None:
+        raise ValueError(
+            f"bloom_prefiltered_semi_join: fact key {fact_key!r} not found;"
+            f" fact columns: {', '.join(fact.columns)}"
+        )
+    if dim_t is None:
+        raise ValueError(
+            f"bloom_prefiltered_semi_join: dim key {dim_key!r} not found;"
+            f" dim columns: {', '.join(dim_keys.columns)}"
+        )
     if (fact_t in _INTEGRAL) != (dim_t in _INTEGRAL) or (
         fact_t not in _INTEGRAL and fact_t != dim_t
     ):

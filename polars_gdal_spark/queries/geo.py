@@ -470,9 +470,15 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     any sf). Two O(n²) shapes died here in round 6: a FIXED cell over
     the fixed domain (11.3 s at sf0.1) and point-level pairing of
     co-located twins (43 s at sf1 — the fixture has exactly 1000
-    distinct sites). Now 1.38/1.47/2.04 s at sf1/sf3/sf10; the
-    brute-force DuckDB oracle confirms exactness at every tested
-    density."""
+    distinct sites). Round 7 makes the adaptive path UNCONDITIONALLY
+    exact: every sparse point rides an infinite-distance sentinel
+    through the rank window, and sentinel survivors (points whose
+    k-th true neighbour exceeded the adaptive cell — the isolated-
+    outlier tail, empty here) are re-answered by a bounded
+    broadcast-NLJ probe of the site table, so clustered corpora can
+    no longer silently truncate. 1.47/1.73/2.36 s at sf0.1/sf1/sf10
+    (sub-linear; exactness premium ~25% at sf1); the brute-force
+    DuckDB oracle confirms exactness at every tested density."""
     from polars_gdal_spark.functions.geo import spatial_knn_join
     from polars_gdal_spark.queries import load_tables
 

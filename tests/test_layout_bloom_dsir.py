@@ -245,6 +245,22 @@ def test_bloom_cross_family_keys_rejected(spark):
         bloom_prefiltered_semi_join(fact, dim, "fk", "dk")
 
 
+def test_bloom_missing_key_column_named(spark):
+    """A misspelled key must raise a dedicated column-not-found error
+    naming the available columns, not the misleading 'type family
+    (None)' mismatch (round-6 ADVICE)."""
+    import pytest
+
+    from polars_gdal_spark.functions.bloom import bloom_prefiltered_semi_join
+
+    fact = spark.range(0, 10).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="'fkey' not found.*fk"):
+        bloom_prefiltered_semi_join(fact, dim, "fkey", "dk")
+    with pytest.raises(ValueError, match="'dkey' not found.*dk"):
+        bloom_prefiltered_semi_join(fact, dim, "fk", "dkey")
+
+
 def test_image_ahash_refuses_oversize_images(spark):
     """>64 pixels cannot pack into two BIGINTs; the %32 shifts would
     wrap and distinct images silently collide — must fail loudly."""

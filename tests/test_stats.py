@@ -208,3 +208,100 @@ def test_spatial_knn_sparse_multimember_site(spark):
     assert sorted(got[23]) == [(1, 20, 0.0), (2, 21, 0.0), (3, 22, 0.0)]
     # the far singleton is outside every 3x3 neighbourhood at cell=10
     assert 99 not in got
+
+
+def _knn_outlier_fixture(spark):
+    """A 20x20 unit-spaced cluster plus an isolated outlier PAIR at
+    ~(50, 50): n_sites = 402 over a ~50x50 extent gives an adaptive
+    cell of sqrt(50*50*64/402) ~= 20, so the outliers' 3x3 grid
+    neighbourhood ([20, 80) on each axis) provably cannot reach the
+    cluster in [0, 19] — the round-6 silent-truncation case."""
+    rows = [(i, float(i % 20), float(i // 20)) for i in range(400)]
+    rows += [(900, 50.0, 50.0), (901, 50.0, 50.5)]
+    return spark.createDataFrame(rows, "id long, x double, y double"), rows
+
+
+def _brute_knn(rows, pid, k):
+    import math
+
+    px, py = next((x, y) for i, x, y in rows if i == pid)
+    d = sorted(
+        (math.hypot(px - x, py - y), i) for i, x, y in rows if i != pid
+    )
+    return [(rk + 1, nid, dd) for rk, (dd, nid) in enumerate(d[:k])]
+
+
+def test_spatial_knn_underfill_ignore_documents_truncation(spark):
+    """on_underfill='ignore' is the fixed-radius contract: the outlier
+    pair only sees each other (dist 0.5 <= cell), so each returns ONE
+    row instead of k=3 — the exact silent-wrong mode the escalate
+    default repairs."""
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    pts, _ = _knn_outlier_fixture(spark)
+    out = spatial_knn_join(pts, "id", "x", "y", k=3, on_underfill="ignore")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(r["neighbor_id"])
+    assert got[900] == [901] and got[901] == [900]
+    assert len(got[0]) == 3
+    out.unpersist_sources()
+
+
+def test_spatial_knn_underfill_flag(spark):
+    """on_underfill='flag' marks every under-filled point's rows
+    complete=false (and would emit a NULL-neighbour marker row for a
+    zero-neighbour point) while leaving satisfied points untouched."""
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    pts, _ = _knn_outlier_fixture(spark)
+    out = spatial_knn_join(pts, "id", "x", "y", k=3, on_underfill="flag")
+    rows = out.collect()
+    assert "complete" in out.columns
+    flags = {}
+    for r in rows:
+        flags.setdefault(r["id"], set()).add(r["complete"])
+    assert flags[900] == {False} and flags[901] == {False}
+    assert flags[0] == {True} and flags[399] == {True}
+    # a fully isolated singleton gets the NULL-neighbour marker row
+    lone = pts.unionAll(
+        spark.sql("SELECT 777 AS id, -500.0 AS x, -500.0 AS y")
+    )
+    out2 = spatial_knn_join(lone, "id", "x", "y", k=3, on_underfill="flag")
+    marker = [r for r in out2.collect() if r["id"] == 777]
+    assert len(marker) == 1
+    assert marker[0]["neighbor_id"] is None and marker[0]["complete"] is False
+    out.unpersist_sources()
+    out2.unpersist_sources()
+
+
+def test_spatial_knn_escalate_repairs_outliers_exactly(spark):
+    """The adaptive default (on_underfill='escalate') must return the
+    TRUE k-NN for the outlier pair — twin at 0.5 then the two nearest
+    cluster corners — and leave every cluster point's result identical
+    to brute force. This is the isolated-outlier fixture the round-6
+    verdict asked for: the adaptive cell provably misses the true
+    k-th neighbour and the bounded second probe repairs it."""
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    pts, rows = _knn_outlier_fixture(spark)
+    out = spatial_knn_join(pts, "id", "x", "y", k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dist"])
+        )
+    for pid in (900, 901, 0, 19, 399, 210):
+        exp = _brute_knn(rows, pid, 3)
+        g = sorted(got[pid])
+        assert [(rk, nid) for rk, nid, _ in g] == [
+            (rk, nid) for rk, nid, _ in exp
+        ], pid
+        assert all(
+            abs(a[2] - b[2]) < 1e-9 for a, b in zip(g, exp)
+        ), pid
+    # every point present with exactly k rows
+    assert len(got) == len(rows)
+    assert all(len(v) == 3 for v in got.values())
+    # the unpersist hook releases the cached site table
+    out.unpersist_sources()

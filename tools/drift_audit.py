@@ -56,6 +56,16 @@ def main() -> int:
             sibling = os.path.join(
                 os.path.dirname(os.path.abspath(path)), d["queries_file"]
             )
+            if not os.path.exists(sibling):
+                raise SystemExit(
+                    f"{path} is a compact bench summary whose per-query "
+                    f"detail file is missing: expected {sibling}. Detail "
+                    "files live next to the compact artifact (bench.py "
+                    "writes them under bench_artifacts/, which is "
+                    "gitignored — `git add -f` the detail when "
+                    "committing a canonical artifact, or copy both "
+                    "files together)."
+                )
             d = json.load(open(sibling))
         return d
 

@@ -58,7 +58,14 @@ EXPECT = {
     # band equi-join candidates — never an all-pairs scan
     "dedup_simhash_pairs": ["!CartesianProduct"],
     # grid-cell equi-join + rank-limited window — never a cross join
-    "geo_knn_join": ["!CartesianProduct", "WindowGroupLimit"],
+    # escalate default: the under-filled probe must be a broadcast
+    # NLJ over the site table (never a CartesianProduct), and the
+    # site/rank windows must keep their map-side group limits
+    "geo_knn_join": [
+        "!CartesianProduct",
+        "WindowGroupLimit",
+        "BroadcastNestedLoopJoin",
+    ],
     # candidate set broadcast into the exact counting pass
     "text_heavy_hitters": ["BroadcastHashJoin"],
     # union-sort-carry: a single window pass, no range join anywhere

@@ -55,6 +55,15 @@ def load(path: str) -> tuple[float, dict[str, float]]:
         sibling = os.path.join(
             os.path.dirname(os.path.abspath(path)), art["queries_file"]
         )
+        if not os.path.exists(sibling):
+            raise SystemExit(
+                f"{path} is a compact bench summary whose per-query "
+                f"detail file is missing: expected {sibling}. Detail "
+                "files live next to the compact artifact (bench.py "
+                "writes them under bench_artifacts/, which is "
+                "gitignored — `git add -f` the detail when committing "
+                "a canonical artifact, or copy both files together)."
+            )
         with open(sibling) as f:
             art = json.load(f)
     return float(art["sf"]), dict(art["queries"])
