@@ -1033,18 +1033,32 @@ def winnowing_pairs(
     exceeds ``max_fp_df`` are boilerplate and are dropped via the
     broadcast anti-join cap BEFORE any pair is generated, bounding the
     per-fingerprint fan-out. Fingerprint sets are distinct per doc, so
-    the per-pair group count IS the shared-fingerprint count."""
+    the per-pair group count IS the shared-fingerprint count.
+
+    ONE fingerprint shuffle (round 7): the exploded (doc, fp) relation
+    is repartitioned by fp once and persisted; the document-frequency
+    count, the hot-fp cut (broadcast anti-join) and the per-fp group
+    arrays all reuse that partitioning with zero further Exchange —
+    the previous shape recomputed the fingerprint HOF pipeline twice
+    and shuffled it twice (measured ~30% of sf1 wall). The returned
+    DataFrame exposes ``unpersist_sources()`` to release the cached
+    relation after materialization."""
+    from pyspark import StorageLevel
+
     sc_p = df.sparkSession.sparkContext.defaultParallelism
-    fpt = winnowing_fingerprints(df, id_col, text_col, k, w)
+    fpt = (
+        winnowing_fingerprints(df, id_col, text_col, k, w)
+        .repartition(sc_p, "fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # groupBy(fp) on the fp-repartitioned cache: no Exchange
     dfs = fpt.groupBy("fp").agg(F.count("*").alias("_df"))
     hot = dfs.where(F.col("_df") > max_fp_df).select("fp")
-    kept = fpt.join(F.broadcast(hot), "fp", "left_anti").repartition(
-        sc_p, "fp"
-    )
+    kept = fpt.join(F.broadcast(hot), "fp", "left_anti")
     grouped = kept.groupBy("fp").agg(
         F.array_sort(F.collect_list("doc")).alias("ds")
     )
-    return (
+    out = (
         grouped.select(
             F.explode(
                 F.expr(
@@ -1059,3 +1073,5 @@ def winnowing_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+    out.unpersist_sources = lambda: fpt.unpersist()
+    return out

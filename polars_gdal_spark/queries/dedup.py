@@ -1277,9 +1277,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fps AS (
       SELECT doc, unnest(
-        CASE WHEN len(h) >= 4 THEN
-          list_distinct(list_transform(generate_series(1, len(h) - 3),
-            j -> list_aggregate(array_slice(h, j, j + 3), 'min')))
+        CASE WHEN len(h) >= 8 THEN
+          list_distinct(list_transform(generate_series(1, len(h) - 7),
+            j -> list_aggregate(array_slice(h, j, j + 7), 'min')))
         WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
         ELSE []::VARCHAR[] END) AS fp
       FROM hs
@@ -1297,12 +1297,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing match report over the augmented corpus: pairs
-    sharing >= 3 selected fingerprints (token 3-grams, window 4 — any
-    shared run of >= 6 tokens is guaranteed to contribute a shared
+    sharing >= 3 selected fingerprints (token 3-grams, window 8 — any
+    shared run of >= 10 tokens is guaranteed to contribute a shared
     fingerprint). The substring-localized third member of the near-dup
     family next to bag-of-shingles Jaccard and MinHash sketches; the
-    fingerprint index is ~2/(w+1) the size of the full shingle set."""
+    fingerprint index is ~2/(w+1) the size of the full shingle set.
+    Round 7 retuned w 4 -> 8 (the verdict's sanctioned knob for the
+    heaviest absolute registry row): density 0.4 -> 0.22 of the gram
+    set, halving the fp equi-join's pair volume for a guarantee trade
+    (6 -> 10 token runs) that is still far below the ~50-token
+    thresholds substring dedup uses in practice, and winnowing_pairs
+    now shuffles fingerprints ONCE (repartition+persist reused by the
+    df-count, the hot cut and the group arrays)."""
     aug = _augmented(spark, sf_dir)
     return D.winnowing_pairs(
-        aug, "doc", "text", k=3, w=4, min_shared=3, max_fp_df=1024
+        aug, "doc", "text", k=3, w=8, min_shared=3, max_fp_df=1024
     )

@@ -442,9 +442,11 @@ EXPECT = {
                              "!CartesianProduct"],
     # winnowing: fingerprint DF cap is the broadcast ANTI join (no
     # second shuffle of the fingerprint table); candidates only from
-    # the fingerprint equi-join
+    # the fingerprint equi-join; the fp relation is repartitioned and
+    # persisted ONCE (round 7) — df-count, hot cut and group arrays
+    # all read the cache with no further Exchange
     "dedup_winnowing": ["BroadcastHashJoin", "LeftAnti",
-                        "!CartesianProduct"],
+                        "!CartesianProduct", "InMemoryTableScan"],
 }
 
 
