@@ -54,17 +54,31 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+# Queries whose implementation or parameters changed in the CURRENT
+# round: their old green rows no longer attest the current code, so
+# the rotation re-verifies them immediately regardless of recency.
+# Reset when a round's CORRECTNESS file lands green rows for them.
+CHANGED_THIS_ROUND = {"dedup_winnowing", "geo_knn_join"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered oldest-verification-first: never-verified queries (round 0)
     lead, then ascending round of last green driver check, ties broken by
-    registration order. A 50-query sweep therefore always refreshes the 50
-    stalest rows.
+    registration order — except ``CHANGED_THIS_ROUND`` members, which
+    sort as never-verified. A 50-query sweep therefore always refreshes
+    the 50 stalest rows plus anything whose code changed.
     """
     last = _last_verified_round()
     order = {name: i for i, name in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (last.get(n, 0), order[n]))
+    names = sorted(
+        QUERIES,
+        key=lambda n: (
+            0 if n in CHANGED_THIS_ROUND else last.get(n, 0),
+            order[n],
+        ),
+    )
     return {name: QUERIES[name].func for name in names}
 
 

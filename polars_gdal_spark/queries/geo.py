@@ -491,6 +491,63 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_knn_join(pts, "c_custkey", "x", "y", k=3)
 
 
+_KNN_FLAG_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7 % 1000) / 10.0 + 0.05 AS x,
+             (c_custkey * 13 % 1000) / 10.0 + 0.03 AS y
+      FROM customer
+    ),
+    d AS (
+      SELECT a.c_custkey AS id, b.c_custkey AS nid,
+             sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+               AS dist
+      FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+    ),
+    rad AS (SELECT * FROM d WHERE dist <= 1.5),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY id ORDER BY dist, nid) AS rn,
+             count(*) OVER (PARTITION BY id) AS cnt
+      FROM rad
+    )
+    SELECT id AS c_custkey, nid AS neighbor_id, CAST(rn AS INT) AS rank,
+           dist, cnt >= 3 AS complete
+    FROM r WHERE rn <= 3
+    UNION ALL
+    SELECT p.c_custkey, CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS DOUBLE), false
+    FROM pts p
+    WHERE NOT EXISTS (SELECT 1 FROM rad WHERE rad.id = p.c_custkey)
+"""
+
+
+@query("geo_knn_join_flagged", oracle=_KNN_FLAG_ORACLE)
+def geo_knn_join_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-radius kNN join's observable-completeness contract
+    (round 7): ``on_underfill='flag'`` adds a ``complete`` column
+    (false when a point found < k in-radius neighbours) and emits one
+    NULL-neighbour marker row per zero-neighbour point, so the
+    silent-truncation mode the round-6 verdict flagged is visible
+    in-band. cell=1.5 on the synthetic customer grid leaves real
+    isolated points at the driver's gate scales, exercising BOTH the
+    flagged-short and marker arms against a brute-force radius
+    oracle; same sentinel-through-the-rank-window plan as the
+    escalating default, so the flag costs no extra shuffle."""
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+    from polars_gdal_spark.queries import load_tables
+
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7 % 1000) / 10.0 + 0.05).alias("x"),
+        ((F.col("c_custkey") * 13 % 1000) / 10.0 + 0.03).alias("y"),
+    )
+    return spatial_knn_join(
+        pts, "c_custkey", "x", "y", k=3, cell=1.5, on_underfill="flag"
+    )
+
+
 @query(
     "gdal_geoparquet_roundtrip",
     oracle=f"""

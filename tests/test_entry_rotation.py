@@ -27,15 +27,22 @@ def test_queries_covers_registry_and_rotates_oldest_first():
     assert set(names) == set(QUERIES), "every registry query must be exposed"
 
     last = e._last_verified_round()
-    rounds = [last.get(n, 0) for n in names]
+    # implementation-changed queries sort as never-verified (their old
+    # green rows no longer attest the current code)
+    eff = {
+        n: (0 if n in e.CHANGED_THIS_ROUND else last.get(n, 0))
+        for n in names
+    }
+    rounds = [eff[n] for n in names]
     assert rounds == sorted(rounds), (
         "queries() must be ordered by ascending last-verified round "
-        "(never-verified first) so a bounded sweep refreshes the stalest"
+        "(never-verified and changed-this-round first) so a bounded "
+        "sweep refreshes the stalest"
     )
     # ties break by registration order, keeping the rotation deterministic
     reg = {n: i for i, n in enumerate(QUERIES)}
     for a, b in zip(names, names[1:]):
-        if last.get(a, 0) == last.get(b, 0):
+        if eff[a] == eff[b]:
             assert reg[a] < reg[b]
 
 

@@ -66,6 +66,13 @@ EXPECT = {
         "WindowGroupLimit",
         "BroadcastNestedLoopJoin",
     ],
+    # flag mode: same grid + sentinel plan, no escalation probe —
+    # completeness rides the existing rank-window partitioning
+    "geo_knn_join_flagged": [
+        "!CartesianProduct",
+        "WindowGroupLimit",
+        "!BroadcastNestedLoopJoin",
+    ],
     # candidate set broadcast into the exact counting pass
     "text_heavy_hitters": ["BroadcastHashJoin"],
     # union-sort-carry: a single window pass, no range join anywhere
