@@ -70,6 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sort as never-verified. A 50-query sweep therefore always refreshes
     the 50 stalest rows plus anything whose code changed.
     """
+    unknown = CHANGED_THIS_ROUND - set(QUERIES)
+    if unknown:
+        # a typo'd or renamed entry would silently skip the forced
+        # re-verification this set exists to guarantee
+        raise ValueError(
+            f"CHANGED_THIS_ROUND names unknown queries: {sorted(unknown)}"
+        )
     last = _last_verified_round()
     order = {name: i for i, name in enumerate(QUERIES)}
     names = sorted(

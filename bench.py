@@ -160,12 +160,35 @@ DEP_PAIRS = {
 
 
 def _chunk(names: list[str], n_groups: int) -> list[list[str]]:
+    """Contiguous slices with every DEP_PAIRS span intact: a boundary
+    that falls anywhere inside a builder..dependent span (they need
+    not be adjacent) moves back to the builder's index, pushing the
+    whole span into the later chunk; repeated until stable. Raises if
+    the suite order ever places a dependent BEFORE its builder —
+    silent acceptance would re-pay one-time builds in a fresh JVM and
+    read as a super-linear regression (the round-4 index-probe
+    artifact this table exists to prevent)."""
+    pos = {nm: i for i, nm in enumerate(names)}
+    spans = []
+    for dep, builder in DEP_PAIRS.items():
+        if dep in pos and builder in pos:
+            if pos[builder] > pos[dep]:
+                raise RuntimeError(
+                    f"bench suite order violates DEP_PAIRS: {builder!r} "
+                    f"must run before {dep!r}"
+                )
+            spans.append((pos[builder], pos[dep]))
     n = len(names)
     bounds = [round(i * n / n_groups) for i in range(n_groups + 1)]
     for j in range(1, n_groups):
         b = bounds[j]
-        while 0 < b < n and DEP_PAIRS.get(names[b]) == names[b - 1]:
-            b -= 1
+        moved = True
+        while moved:
+            moved = False
+            for lo, hi in spans:
+                if lo < b <= hi:
+                    b = lo
+                    moved = True
         bounds[j] = b
     bounds = sorted(set(bounds))
     return [names[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
@@ -191,18 +214,26 @@ def _run_isolated(names: list[str], n_groups: int) -> dict[str, float]:
             capture_output=True,
             text=True,
         )
+        # only a dict carrying "queries" counts as the result line —
+        # a stray JSON-ish stdout line (a query's own print, a bare
+        # number, "null") must not shadow the diagnostic error
         parsed = None
         for ln in reversed(proc.stdout.strip().splitlines()):
             try:
-                parsed = json.loads(ln.strip())
-                break
+                cand = json.loads(ln.strip())
             except (json.JSONDecodeError, ValueError):
                 continue
-        if parsed is None:
+            if isinstance(cand, dict) and isinstance(
+                cand.get("queries"), dict
+            ):
+                parsed = cand
+                break
+        if parsed is None or proc.returncode != 0:
             raise RuntimeError(
-                f"bench group {chunk[0]}..{chunk[-1]} produced no JSON "
-                f"(rc={proc.returncode}); stderr tail: "
-                f"{proc.stderr[-2000:]}"
+                f"bench group {chunk[0]}..{chunk[-1]} failed "
+                f"(rc={proc.returncode}, "
+                f"result line {'found' if parsed else 'missing'}); "
+                f"stderr tail: {proc.stderr[-2000:]}"
             )
         timings.update(parsed["queries"])
     return timings
@@ -268,21 +299,24 @@ def main() -> None:
     if sys.argv[1:]:
         # ad-hoc subset run: the full line is small — print it whole
         # so scale_audit/drift_audit can parse stdout directly
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total",
-                    "value": round(sum(timings.values()), 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf),
-                }
-            )
-        )
+        print(json.dumps(_result(timings, sf)))
     else:
         # SPARK_GRAFT_BENCH_GROUPS=1: single-JVM full suite (the
         # suite-pressure twin artifacts)
         _emit_full(timings, sf, 1)
+
+
+def _result(timings: dict[str, float], sf: str) -> dict:
+    """The one artifact shape every consumer parses (driver, audits,
+    subset stdout, detail files) — built in exactly one place so the
+    paths cannot drift."""
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
 
 
 def _emit_full(timings: dict[str, float], sf: str, n_groups: int) -> None:
@@ -297,14 +331,8 @@ def _emit_full(timings: dict[str, float], sf: str, n_groups: int) -> None:
     bench_artifacts/ dir (round-6 ADVICE: epoch-named files in the
     repo root grew without bound); promote a detail file with
     `git add -f` when its compact artifact is committed as canonical."""
-    total = round(sum(timings.values()), 3)
-    result = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-    }
+    result = _result(timings, sf)
+    total = result["value"]
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(repo_dir, "bench_artifacts"), exist_ok=True)
     detail_name = os.path.join(

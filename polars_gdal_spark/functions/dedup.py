@@ -1033,7 +1033,10 @@ def winnowing_pairs(
     exceeds ``max_fp_df`` are boilerplate and are dropped via the
     broadcast anti-join cap BEFORE any pair is generated, bounding the
     per-fingerprint fan-out. Fingerprint sets are distinct per doc, so
-    the per-pair group count IS the shared-fingerprint count.
+    the per-pair group count IS the shared-fingerprint count; pairs
+    ride the counting shuffle as single packed BIGINTs (doc_a << 31 |
+    doc_b, id range asserted in-plan) since mostly-unique pair keys
+    defeat partial aggregation and every key byte is shuffle volume.
 
     ONE fingerprint shuffle (round 7): the exploded (doc, fp) relation
     is repartitioned by fp once and persisted; the document-frequency
@@ -1058,20 +1061,43 @@ def winnowing_pairs(
     grouped = kept.groupBy("fp").agg(
         F.array_sort(F.collect_list("doc")).alias("ds")
     )
+    # The pair stream (~7.4x the kept fp rows at sf10) dominates the
+    # operator: its rows are mostly-unique keys, so partial aggregation
+    # cannot shrink the shuffle and every byte of the pair key rides
+    # the wire. Each (doc_a < doc_b) pair therefore packs into ONE
+    # BIGINT (doc_a << 31 | doc_b) — ~40% less shuffle volume and a
+    # single-word agg key versus a two-field struct row. Validity
+    # (0 <= id < 2^31) is asserted IN-PLAN on each sorted group's
+    # bounds, so out-of-range ids fail loudly instead of colliding.
+    guard = F.expr(
+        "assert_true(size(ds) < 2 OR "
+        "(element_at(ds, 1) >= 0 AND element_at(ds, -1) < 2147483648), "
+        "'winnowing_pairs: packed pair keys require doc ids in "
+        "[0, 2^31)')"
+    )
+    # assert_true returns NULL on success (row kept) and throws on
+    # violation; `.isNull()` — never OR'd with a literal, which
+    # BooleanSimplification would fold away, deleting the guard
     out = (
-        grouped.select(
+        grouped.where(guard.isNull())
+        .select(
             F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "y -> shiftleft(x, 31) + y)))"
                 )
-            ).alias("p")
+            ).alias("pk")
         )
-        .select("p.*")
-        .groupBy("doc_a", "doc_b")
+        .groupBy("pk")
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
+        .select(
+            F.shiftright("pk", 31).alias("doc_a"),
+            (F.col("pk") % F.lit(2147483648)).alias("doc_b"),
+            "shared",
+        )
     )
-    out.unpersist_sources = lambda: fpt.unpersist()
-    return out
+    from polars_gdal_spark.functions import attach_unpersist
+
+    return attach_unpersist(out, fpt)

@@ -583,6 +583,7 @@ def spatial_knn_join(
     cell: float | None = None,
     target_per_cell: int = 64,
     on_underfill: str | None = None,
+    escalate_cap: int = 1_000_000,
 ):
     """Grid-blocked k-nearest-neighbour SELF-join over a point set too
     large to broadcast: points collapse to coordinate SITES, sites key
@@ -638,7 +639,12 @@ def spatial_knn_join(
       a bounded second probe: broadcast(under) nested-loop against
       the persisted SITE table (each site again contributing only its
       k+1-id reachable list), never a rescan of the point set. The
-      output is the true k-NN for every point, unconditionally.
+      output is the true k-NN for every point, unconditionally. The
+      probe's cost contract is ENFORCED: the plan asserts
+      |under| <= ``escalate_cap`` (default 1M) and fails loudly when
+      a corpus violates the density assumption badly enough to make
+      the broadcast nested loop expensive — switch to an explicit
+      ``cell`` or ``"flag"`` there.
     * ``"flag"``: pass-1 rows gain a ``complete`` boolean column
       (false when the point found < k); a point with ZERO in-radius
       neighbours emits one ``(id, NULL neighbor, NULL rank, NULL
@@ -775,11 +781,12 @@ def spatial_knn_join(
         F.col("_dist").alias("dist"),
     ]
 
+    from polars_gdal_spark.functions import attach_unpersist
+
     _persisted = [site_top]
 
     def _attach_unpersist(df):
-        df.unpersist_sources = lambda: [p.unpersist() for p in _persisted]
-        return df
+        return attach_unpersist(df, *_persisted)
 
     cand = (
         local.unionAll(cross)
@@ -851,6 +858,39 @@ def spatial_knn_join(
     keep = flagged.where((F.col("_short") == 0) & (F.col("_sent") == 0))
     under = flagged.where(F.col("_sent") == 1).select(
         "_id", F.col("_x").alias("_px"), F.col("_y").alias("_py")
+    )
+    # ENFORCED bound on the escalation (review round 7): the probe is
+    # broadcast(under) x sites, which is only cheap while under-fill
+    # is the isolated-outlier tail. A corpus that violates the density
+    # assumption (a dense core plus a diffuse tail wider than the
+    # adaptive cell) could push |under| toward |points| and turn the
+    # nested loop near-quadratic — so the plan itself asserts
+    # |under| <= escalate_cap (lazy, no extra action: a broadcast
+    # 1-row count joined back with assert_true) and fails LOUDLY with
+    # instructions to pass an explicit cell or use flag mode, instead
+    # of grinding or blowing the broadcast limit.
+    n_under = under.agg(F.count("*").alias("_n_under"))
+    under = (
+        under.crossJoin(F.broadcast(n_under))
+        .where(
+            F.assert_true(
+                F.col("_n_under") <= F.lit(int(escalate_cap)),
+                F.concat(
+                    F.lit(
+                        "spatial_knn_join: escalation would probe "
+                    ),
+                    F.col("_n_under").cast("string"),
+                    F.lit(
+                        " under-filled points (> escalate_cap="
+                        f"{int(escalate_cap)}); the corpus violates the "
+                        "adaptive-density assumption — pass an explicit "
+                        "cell (fixed-radius contract) or "
+                        "on_underfill='flag', or raise escalate_cap"
+                    ),
+                ),
+            ).isNull()
+        )
+        .select("_id", "_px", "_py")
     )
     brute = (
         site_top.select(

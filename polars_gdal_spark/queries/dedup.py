@@ -1308,7 +1308,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6 -> 10 token runs) that is still far below the ~50-token
     thresholds substring dedup uses in practice, and winnowing_pairs
     now shuffles fingerprints ONCE (repartition+persist reused by the
-    df-count, the hot cut and the group arrays)."""
+    df-count, the hot cut and the group arrays) and ships each
+    candidate pair as ONE packed BIGINT through the dominant shuffle
+    (in-plan id-range assert; 1.44/5.38/35.9 s at sf0.1/1/10 vs 76 s
+    at sf10 in round 6)."""
     aug = _augmented(spark, sf_dir)
     return D.winnowing_pairs(
         aug, "doc", "text", k=3, w=8, min_shared=3, max_fp_df=1024

@@ -475,10 +475,13 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the rank window, and sentinel survivors (points whose
     k-th true neighbour exceeded the adaptive cell — the isolated-
     outlier tail, empty here) are re-answered by a bounded
-    broadcast-NLJ probe of the site table, so clustered corpora can
-    no longer silently truncate. 1.47/1.73/2.36 s at sf0.1/sf1/sf10
-    (sub-linear; exactness premium ~25% at sf1); the brute-force
-    DuckDB oracle confirms exactness at every tested density."""
+    broadcast-NLJ probe of the site table whose cost contract is
+    ENFORCED in-plan (|under| <= escalate_cap or loud failure), so
+    clustered corpora can no longer silently truncate OR silently
+    grind. 1.60/1.97/3.05 s at sf0.1/sf1/sf10 (committed
+    BENCH_iso_sf*_r07_spot.json; 1.55x wall for 10x data); the
+    brute-force DuckDB oracle confirms exactness at every tested
+    density."""
     from polars_gdal_spark.functions.geo import spatial_knn_join
     from polars_gdal_spark.queries import load_tables
 

@@ -966,6 +966,34 @@ def test_winnowing_short_doc_single_fp(spark):
     assert [r["doc"] for r in got] == [0]
 
 
+def test_winnowing_pairs_packed_and_guarded(spark):
+    """Round 7 packs each (doc_a < doc_b) pair into one BIGINT for the
+    dominant shuffle. Two contracts: near-dup pairs still come out
+    exactly (unpacked doc_a/doc_b, shared count), and ids outside
+    [0, 2^31) must fail the IN-PLAN assert loudly instead of silently
+    colliding pair keys."""
+    import pytest
+
+    from polars_gdal_spark.functions.dedup import winnowing_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(7, text), (11, text), (23, "totally different words here "
+                                        "nothing shared with the others")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_pairs(df, "doc_id", "text", k=3, w=4, min_shared=3)
+    got = [(r["doc_a"], r["doc_b"], r["shared"]) for r in out.collect()]
+    assert len(got) == 1 and got[0][:2] == (7, 11) and got[0][2] >= 3
+    out.unpersist_sources()
+    # id >= 2^31 in a shared group trips the pack guard
+    big = spark.createDataFrame(
+        [(2**31, text), (1, text)], "doc_id long, text string"
+    )
+    bad = winnowing_pairs(big, "doc_id", "text", k=3, w=4, min_shared=1)
+    with pytest.raises(Exception, match="2\\^31|packed pair"):
+        bad.count()
+    bad.unpersist_sources()
+
+
 def test_bigram_lm_scores_repetitive_text_better(spark, tmp_path):
     """A document of corpus-frequent bigrams must score LOWER
     cross-entropy than one made of singleton bigrams."""

@@ -305,3 +305,20 @@ def test_spatial_knn_escalate_repairs_outliers_exactly(spark):
     assert all(len(v) == 3 for v in got.values())
     # the unpersist hook releases the cached site table
     out.unpersist_sources()
+
+
+def test_spatial_knn_escalate_cap_fails_loudly(spark):
+    """The escalation probe's cost contract is ENFORCED: when more
+    points under-fill than escalate_cap allows (here cap=1 against 2
+    outliers), the plan must raise a loud, actionable error instead of
+    grinding through a near-quadratic broadcast nested loop — the
+    silent-O(n^2) regression class rounds 4/6 fought."""
+    import pytest
+
+    from polars_gdal_spark.functions.geo import spatial_knn_join
+
+    pts, _ = _knn_outlier_fixture(spark)
+    out = spatial_knn_join(pts, "id", "x", "y", k=3, escalate_cap=1)
+    with pytest.raises(Exception, match="escalate_cap|under-filled"):
+        out.count()
+    out.unpersist_sources()
