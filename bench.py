@@ -195,16 +195,18 @@ def _chunk(names: list[str], n_groups: int) -> list[list[str]]:
 
 
 def _run_isolated(names: list[str], n_groups: int) -> dict[str, float]:
-    """Round-7 verdict item 5: a single JVM running all ~190 queries
-    sequentially reads ~25% hotter than isolated runs (shared-heap GC
-    pressure) — it produced two spurious drift flags in round 6.
-    Full-suite runs therefore split the registry into a few
-    SEQUENTIAL subprocesses (fresh JVM each, same per-query timing
-    loop) so the driver's headline converges on the isolated truth;
-    JVM startup happens outside the timed regions. Groups are
-    contiguous slices of the suite order with DEP_PAIRS kept
-    co-resident. Set SPARK_GRAFT_BENCH_GROUPS=1 for the old
-    single-JVM behavior (the suite-pressure twin artifacts)."""
+    """Round-7 verdict item 5 (opt-in: SPARK_GRAFT_BENCH_GROUPS>1):
+    split the full suite into a few SEQUENTIAL subprocesses (fresh
+    JVM each, same per-query timing loop; JVM startup outside the
+    timed regions), groups being contiguous slices of the suite
+    order with DEP_PAIRS kept co-resident. Built to converge the
+    driver headline on isolated truth — then MEASURED: at sf0.1 the
+    8-group run reads 1.19x the single-JVM twin (median per-query
+    1.23x) because fresh-JVM C2-JIT cost dominates sub-second
+    queries, while the round-6 "suite premium" mechanism (storage/GC
+    pressure) is already contained by per-run clearCache. Isolation
+    is therefore the diagnostic tool (use it when chasing suite-
+    pressure artifacts at sf1+), not the default measurement basis."""
     import subprocess
 
     timings: dict[str, float] = {}
@@ -243,8 +245,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # SPARK_GRAFT_BENCH_GROUPS > 1 opts into process isolation (fresh
+    # JVM per group). Default stays single-JVM: measured at sf0.1
+    # (BENCH_sf01_r07_groups8.json vs the single-JVM twin), 8 groups
+    # read 1.19x TOTAL (median per-query 1.23x) because sub-second
+    # queries re-pay C2 JIT in every fresh JVM — the round-6 "~25%
+    # suite premium" is an sf1+ storage/GC effect that per-run
+    # clearCache already contains, not an sf0.1 one. Single-JVM also
+    # keeps the driver headline comparable round-over-round.
     names = sys.argv[1:] or _full_suite()  # optional per-query iteration
-    n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "8"))
+    n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "1"))
     if not sys.argv[1:] and n_groups > 1:
         timings = _run_isolated(names, n_groups)
         _emit_full(timings, sf, n_groups)
