@@ -54,11 +54,21 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
-# Queries whose implementation or parameters changed in the CURRENT
-# round: their old green rows no longer attest the current code, so
-# the rotation re-verifies them immediately regardless of recency.
-# Reset when a round's CORRECTNESS file lands green rows for them.
-CHANGED_THIS_ROUND = {"dedup_winnowing", "geo_knn_join"}
+# Queries whose implementation or parameters changed, mapped to the
+# round the change landed in: a green driver row from an EARLIER round
+# no longer attests the current code, so such entries sort as
+# never-verified until a green row at round >= the change round lands
+# — after which they expire automatically (round-7 ADVICE: the old
+# hand-maintained set kept pinning already-re-verified queries at the
+# head of every sweep, displacing genuinely-stale rows).
+CHANGED_IN_ROUND = {
+    "dedup_winnowing": 8,  # r8: bigint cast in packed pair keys
+    "dedup_components": 8,  # r8: contraction-based components rewrite
+    "dedup_near_resolve": 8,  # r8: inherits the components rewrite
+    "geo_knn_join": 8,  # r8: count-based underfill detection
+    "geo_knn_join_flagged": 8,  # r8: shares the kNN restructure
+    "text_bigram_lm_score": 8,  # r8: per-doc bigram-type pre-agg
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -66,26 +76,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered oldest-verification-first: never-verified queries (round 0)
     lead, then ascending round of last green driver check, ties broken by
-    registration order — except ``CHANGED_THIS_ROUND`` members, which
-    sort as never-verified. A 50-query sweep therefore always refreshes
-    the 50 stalest rows plus anything whose code changed.
+    registration order — except ``CHANGED_IN_ROUND`` members whose last
+    green row predates their change round, which sort as never-verified.
+    A 50-query sweep therefore always refreshes the 50 stalest rows plus
+    anything whose code changed since its last green row.
     """
-    unknown = CHANGED_THIS_ROUND - set(QUERIES)
+    unknown = set(CHANGED_IN_ROUND) - set(QUERIES)
     if unknown:
         # a typo'd or renamed entry would silently skip the forced
-        # re-verification this set exists to guarantee
+        # re-verification this map exists to guarantee
         raise ValueError(
-            f"CHANGED_THIS_ROUND names unknown queries: {sorted(unknown)}"
+            f"CHANGED_IN_ROUND names unknown queries: {sorted(unknown)}"
         )
     last = _last_verified_round()
     order = {name: i for i, name in enumerate(QUERIES)}
-    names = sorted(
-        QUERIES,
-        key=lambda n: (
-            0 if n in CHANGED_THIS_ROUND else last.get(n, 0),
-            order[n],
-        ),
-    )
+
+    def _key(n: str):
+        forced = last.get(n, 0) < CHANGED_IN_ROUND.get(n, 0)
+        return (0 if forced else last.get(n, 0), order[n])
+
+    names = sorted(QUERIES, key=_key)
     return {name: QUERIES[name].func for name in names}
 
 

@@ -266,8 +266,15 @@ def main() -> None:
 
     def timed_run(spec) -> float:
         t0 = time.time()
-        spec.func(spark, sf_dir).count()
+        df = spec.func(spark, sf_dir)
+        df.count()
         t = time.time() - t0
+        # Exercise the library's own cache-release contract on the
+        # main path (round-7 ADVICE): operators that persist internal
+        # relations expose unpersist_sources() — call it exactly the
+        # way a looping library consumer would, so the hook is tested
+        # by every bench run rather than only by unit tests.
+        getattr(df, "unpersist_sources", lambda: None)()
         # Drop whatever the execution persisted, OUTSIDE the timed
         # region: every spec.func() call builds fresh DataFrames, so
         # internal persists (LSH bucket streams, shingle arrays) pile

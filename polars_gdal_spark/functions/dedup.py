@@ -1069,6 +1069,11 @@ def winnowing_pairs(
     # single-word agg key versus a two-field struct row. Validity
     # (0 <= id < 2^31) is asserted IN-PLAN on each sorted group's
     # bounds, so out-of-range ids fail loudly instead of colliding.
+    # The pack casts to BIGINT FIRST (round-7 ADVICE): Spark's
+    # shiftleft is width-of-operand, so shiftleft(int32, 31) wraps to
+    # -2^31 for every positive id — the value-range guard would pass
+    # while every packed pair key is garbage. Casting makes the shift
+    # 64-bit for any integral id column.
     guard = F.expr(
         "assert_true(size(ds) < 2 OR "
         "(element_at(ds, 1) >= 0 AND element_at(ds, -1) < 2147483648), "
@@ -1085,7 +1090,8 @@ def winnowing_pairs(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> shiftleft(x, 31) + y)))"
+                    "y -> shiftleft(cast(x as bigint), 31) "
+                    "+ cast(y as bigint))))"
                 )
             ).alias("pk")
         )

@@ -27,10 +27,15 @@ def test_queries_covers_registry_and_rotates_oldest_first():
     assert set(names) == set(QUERIES), "every registry query must be exposed"
 
     last = e._last_verified_round()
-    # implementation-changed queries sort as never-verified (their old
-    # green rows no longer attest the current code)
+    # implementation-changed queries sort as never-verified until a
+    # green row at >= the change round lands (then the entry expires
+    # automatically — round-7 ADVICE)
     eff = {
-        n: (0 if n in e.CHANGED_THIS_ROUND else last.get(n, 0))
+        n: (
+            0
+            if last.get(n, 0) < e.CHANGED_IN_ROUND.get(n, 0)
+            else last.get(n, 0)
+        )
         for n in names
     }
     rounds = [eff[n] for n in names]
@@ -44,6 +49,19 @@ def test_queries_covers_registry_and_rotates_oldest_first():
     for a, b in zip(names, names[1:]):
         if eff[a] == eff[b]:
             assert reg[a] < reg[b]
+
+
+def test_changed_entry_expires_once_reverified(monkeypatch):
+    """A CHANGED_IN_ROUND member with a green row at >= its change round
+    is no longer forced to the sweep head (round-7 ADVICE: stale entries
+    must not displace genuinely-stale rows forever)."""
+    e = _entry()
+    name = next(iter(e.CHANGED_IN_ROUND))
+    rnd = e.CHANGED_IN_ROUND[name]
+    monkeypatch.setattr(e, "_last_verified_round", lambda: {name: rnd})
+    names = list(e.queries())
+    # everything else is never-verified (round 0) and must sort ahead
+    assert names[-1] == name
 
 
 def test_oracle_sql_subset_of_queries():

@@ -994,6 +994,23 @@ def test_winnowing_pairs_packed_and_guarded(spark):
     bad.unpersist_sources()
 
 
+def test_winnowing_pairs_int32_id_column(spark):
+    """Round-7 ADVICE (medium): for an IntegerType id column Spark's
+    shiftleft is 32-bit and wraps (shiftleft(1, 31) = -2^31), corrupting
+    every packed pair key while the value-range guard passes. The pack
+    must cast to BIGINT first, so int32 ids produce the same exact pairs
+    as int64 ids."""
+    from polars_gdal_spark.functions.dedup import winnowing_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(7, text), (11, text)]
+    df32 = spark.createDataFrame(rows, "doc_id int, text string")
+    out = winnowing_pairs(df32, "doc_id", "text", k=3, w=4, min_shared=3)
+    got = [(r["doc_a"], r["doc_b"]) for r in out.collect()]
+    assert got == [(7, 11)]
+    out.unpersist_sources()
+
+
 def test_bigram_lm_scores_repetitive_text_better(spark, tmp_path):
     """A document of corpus-frequent bigrams must score LOWER
     cross-entropy than one made of singleton bigrams."""

@@ -53,7 +53,14 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = spec.func(spark, sf_dir).toPandas()
+            df = spec.func(spark, sf_dir)
+            sdf = df.toPandas()
+            # release operator-internal persists the way a looping
+            # library consumer would (round-7 ADVICE: the hook must be
+            # exercised on the main sweep path, not only in tests) —
+            # a 191-query single-session sweep would otherwise
+            # accumulate every operator's cached relations
+            getattr(df, "unpersist_sources", lambda: None)()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
