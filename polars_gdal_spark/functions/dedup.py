@@ -70,6 +70,32 @@ def word_shingles(col, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Fixed pseudorandom 56-bit MinHash seed constants (python:
+# random.seed(0x5eed); getrandbits(56) ×16), shared verbatim by the
+# Spark side (bitwiseXOR), the streaming per-row twin, and the DuckDB
+# oracle fragments (queries/dedup.py interpolates them into a VALUES
+# list) — the two engines must XOR the identical constants or every
+# signature diverges.
+MINHASH_XOR_CONSTS = [
+    61620540649648908,
+    29374383483003867,
+    42114560361087690,
+    59085761434809420,
+    46164968885894621,
+    22365717841552286,
+    56488808382706310,
+    58206001367736487,
+    15930271405568968,
+    52763672706474767,
+    41786700642489633,
+    45891371794529076,
+    70088452899773101,
+    28543675751347374,
+    64770685752751656,
+    68451890056042756,
+]
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -89,10 +115,10 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for seed s, min over shingles of
-    the first 15 hex chars of md5(s || ':' || shingle), parsed to a
-    60-bit BIGINT (hex is order-preserving, so the numeric min equals
-    the lexicographic min of the prefix).
+    """MinHash signature per document: ONE md5 per shingle parsed to a
+    56-bit base hash (hex chars 1-14), expanded to ``n_hashes`` hash
+    functions by XOR with fixed pseudorandom 56-bit constants —
+    ``h_s = base ⊕ C_s`` — and min-aggregated per seed.
 
     Output: one row per doc with ``sig`` array<bigint> of length
     ``n_hashes``. All ``n_hashes`` minima are computed as parallel agg
@@ -100,31 +126,47 @@ def minhash_signatures(
     the shingle table n_hashes×), and the min-agg is map-side combinable
     so the shuffle carries n_hashes values per doc, not the shingle set.
 
+    Why ONE md5 and XOR expansion (round 8): the previous scheme hashed
+    md5(s || ':' || shingle) per seed — 16 md5 evaluations per shingle
+    row, measured as the single largest term of LSH pair generation at
+    sf10 (~21 s of the 36 s signature materialization; column pruning
+    had hidden it from count()-based profiles). One md5 plus 16 XORs
+    computes the same-shaped signature at ~1/16 the hash CPU. XOR with
+    independent random constants is the standard cheap MinHash seed
+    family; a Kirsch–Mitzenmacher LINEAR expansion (h1 + s·h2) was
+    tried first and REJECTED by measurement — its per-seed orders are
+    correlated (a shingle small in both halves wins most seeds), which
+    ballooned LSH candidates 42.7k → 503k at sf1; the XOR family
+    reproduces the seeded-md5 family's selectivity (44.5k pairs on the
+    same corpus).
+
     Why BIGINT and not the hex string: ``min(string)`` has a var-length
     aggregation buffer, which forces Spark into SortAggregate — the
     whole shingle table gets sorted by doc on BOTH sides of the shuffle.
     Fixed-width longs keep the 16-way min in HashAggregate (no sort)
-    and shrink the per-doc shuffle payload 16×33 B → 16×8 B. Measured
-    ~1.4× on the signature aggregation at sf0.1 (0.83 s → 0.60 s,
-    with much tighter run-to-run spread once the sort is gone); the
-    sort elimination matters more at scale, where SortAggregate's
-    spill-sort over the full shingle table grows superlinearly.
+    and shrink the per-doc shuffle payload. The oracle mirrors the
+    scheme exactly via ``xor(CAST('0x' || substr(md5(shingle), 1, 14)
+    AS BIGINT), C_s)`` — 14 hex chars parse exactly in both engines.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    m = F.md5(F.col("shingle"))
+    base = sh.select(
+        "doc",
+        F.conv(F.substring(m, 1, 14), 16, 10).cast("bigint").alias("_h1"),
+    )
+    if n_hashes > len(MINHASH_XOR_CONSTS):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MINHASH_XOR_CONSTS)} "
+            "fixed MinHash seed constants"
+        )
     aggs = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias(f"_mh{s}")
+        F.min(F.col("_h1").bitwiseXOR(F.lit(MINHASH_XOR_CONSTS[s]))).alias(
+            f"_mh{s}"
+        )
         for s in range(n_hashes)
     ]
     return (
-        sh.groupBy("doc")
+        base.groupBy("doc")
         .agg(*aggs)
         .select(
             "doc", F.array(*[f"_mh{s}" for s in range(n_hashes)]).alias("sig")
@@ -145,11 +187,19 @@ def band_signatures(
     shared building block of pair generation (:func:`minhash_lsh_pairs`)
     and incremental new-vs-existing probing.
 
-    Output columns: ``doc``, ``band`` (0..bands-1), ``band_sig`` (md5 of
-    the band's joined minima). The sig values are 60-bit longs (see
-    :func:`minhash_signatures`); they are formatted back to the 15-char
-    lowercase hex the oracle's ``substr(md5(...), 1, 15)`` produces so
-    ``band_sig`` hashes the identical string in both engines.
+    Output columns: ``doc``, ``band`` (0..bands-1), ``band_sig`` — the
+    band's minima joined as ``'|'``-separated DECIMAL strings. The
+    representation is injective, so bucket membership (and therefore
+    every pair-, component- and count-distinct-derived result) is
+    identical to any hash of the same tuple — and ``band_sig`` never
+    appears in a query output, only as a within-engine join/count key,
+    so no oracle mirrors it. Round 8 dropped the previous
+    ``md5(hex-join)`` formatting: the per-(doc, band) interpreted HOF
+    (``transform`` + ``lpad(lower(hex))``) plus an md5 was the single
+    most expensive step of LSH pair generation (3.2 s of the 5.65 s
+    banded materialization at sf1 — more than the 16-way MinHash
+    aggregation itself); ``concat_ws`` over ``element_at`` is pure
+    whole-stage codegen.
     """
     rows_per_band = n_hashes // bands
     if sigs is None:
@@ -161,18 +211,14 @@ def band_signatures(
     ).select(
         "doc",
         "band",
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(
-                        F.col("sig"),
-                        F.col("band") * rows_per_band + 1,
-                        rows_per_band,
-                    ),
-                    lambda v: F.lpad(F.lower(F.hex(v)), 15, "0"),
-                ),
-                "|",
-            )
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at(
+                    F.col("sig"), F.col("band") * rows_per_band + i + 1
+                )
+                for i in range(rows_per_band)
+            ],
         ).alias("band_sig"),
     )
 
@@ -312,12 +358,26 @@ def connected_components(
     smallest label among itself and its neighbors; converges in
     O(component diameter) rounds (near-dup clusters are shallow).
     Deterministic, so the driver can oracle-check it against a recursive
-    CTE."""
+    CTE.
+
+    Two shuffles per round, down from four (round 8): neighbor labels
+    and each node's own previous label ride ONE union into a single
+    ``groupBy(a)`` — min(component) is the new label, and the self row
+    carries the old label so "did anything change" is a column
+    (``_chg``) of the checkpointed result rather than a second
+    corpus-sized join (the old shape paid a labels⋈nmin join AND a
+    full-relation inequality join per round). Every node appears as
+    ``a`` (edges are symmetrized), so the groupBy covers all nodes.
+    Deliberately NO explicit repartition of edges/labels: an A/B at
+    sf0.1 and sf10 measured fixed-width repartition(32, key) slower at
+    both scales (2.24 vs 1.24 s / 8.40 vs 6.86 s) — AQE's coalesced
+    shuffle sizing beats a hand-pinned layout on node-count-sized
+    relations."""
     import pyspark.sql.functions as F
 
     # Materialize edges once and truncate lineage every round — without
     # this, iteration k re-executes the entire upstream (LSH) plan k
-    # times and the convergence check doubles it.
+    # times.
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(
@@ -333,32 +393,32 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        neighbor_min = (
+        msgs = (
             edges.join(labels, edges.b == labels.doc)
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
+            .select("a", "component", F.lit(None).cast("bigint").alias("_old"))
+            .unionAll(
+                labels.select(
+                    F.col("doc").alias("a"),
+                    "component",
+                    F.col("component").alias("_old"),
+                )
+            )
         )
         new_labels = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.a, "left")
+            msgs.groupBy("a")
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_prev"),
+            )
             .select(
-                "doc",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+                F.col("a").alias("doc"),
+                "component",
+                (F.col("component") < F.col("_prev")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(
-                labels.alias("o"),
-                (F.col("n.doc") == F.col("o.doc"))
-                & (F.col("n.component") != F.col("o.component")),
-            )
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("doc", "component")
         if changed == 0:
             break
     return labels

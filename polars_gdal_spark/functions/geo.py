@@ -630,21 +630,30 @@ def spatial_knn_join(
     adaptive cell — ``on_underfill`` makes that margin observable
     instead of silently truncating (round-7 verdict/ADVICE item):
 
-    * ``"escalate"`` (default when ``cell is None``): every sparse
-      point carries an infinite-distance sentinel row through the
-      rank window; a surviving sentinel proves the point found < k
-      in-radius neighbours. Those under-filled points — by
-      construction the isolated-outlier tail, empty on any corpus
-      where the density assumption holds — are re-answered EXACTLY by
-      a bounded second probe: broadcast(under) nested-loop against
-      the persisted SITE table (each site again contributing only its
+    * ``"escalate"`` (default when ``cell is None``): under-fill is
+      detected by COUNT, not by sentinel rows (round 8 — the round-7
+      sentinel shape taxed every corpus 2× even with zero under-filled
+      points, paying the sentinel union, an extra persist consumer and
+      a lazy broadcast-count assert unconditionally): a point is
+      complete iff it has a rank-``k`` row, so
+      ``|under| = |points| − count(rank == k rows)`` — two cheap
+      driver-side counts over the point set and the persisted
+      rank-limited result (this makes the builder EAGER in escalate
+      mode, like the adaptive-cell aggregate already was). When
+      ``|under| == 0`` — every corpus where the density assumption
+      holds — the pass-1 result is returned as-is: the exactness
+      premium is two counts, nothing else. Otherwise the under-filled
+      points (the isolated-outlier tail) are re-answered EXACTLY by a
+      bounded second probe: broadcast(under) nested-loop against the
+      persisted SITE table (each site again contributing only its
       k+1-id reachable list), never a rescan of the point set. The
       output is the true k-NN for every point, unconditionally. The
-      probe's cost contract is ENFORCED: the plan asserts
-      |under| <= ``escalate_cap`` (default 1M) and fails loudly when
-      a corpus violates the density assumption badly enough to make
-      the broadcast nested loop expensive — switch to an explicit
-      ``cell`` or ``"flag"`` there.
+      probe's cost contract is ENFORCED: the builder raises
+      ``ValueError`` when |under| > ``escalate_cap`` (default 1M) —
+      a corpus that violates the density assumption badly enough to
+      make the broadcast nested loop expensive fails loudly BEFORE
+      the probe runs; switch to an explicit ``cell`` or ``"flag"``
+      there.
     * ``"flag"``: pass-1 rows gain a ``complete`` boolean column
       (false when the point found < k); a point with ZERO in-radius
       neighbours emits one ``(id, NULL neighbor, NULL rank, NULL
@@ -801,7 +810,71 @@ def spatial_knn_join(
             .select(*final_cols)
         )
 
-    # flag/escalate: every SPARSE point (dense points always return
+    if on_underfill == "escalate":
+        # Count-based under-fill detection (round 8): row_number is
+        # dense from 1, so a point is complete iff a rank-k row
+        # exists — dense-site points always are (k+1 candidate ids
+        # minus self >= k distance-0 rows within any radius), and a
+        # zero-candidate point is visible as |points| - count(_rk==k)
+        # without any sentinel row. out1 is persisted because the
+        # completeness count and the returned rows both read it (it
+        # is rank-limited, i.e. output-sized <= n*k rows).
+        out1 = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _persisted.append(out1)
+        n_points = base.count()
+        n_complete = out1.where(F.col("_rk") == k).count()
+        n_under = n_points - n_complete
+        if n_under == 0:
+            return _attach_unpersist(out1.select(*final_cols))
+        if n_under > int(escalate_cap):
+            for r in _persisted:
+                r.unpersist()
+            raise ValueError(
+                f"spatial_knn_join: escalation would probe {n_under} "
+                f"under-filled points (> escalate_cap="
+                f"{int(escalate_cap)}); the corpus violates the "
+                "adaptive-density assumption — pass an explicit cell "
+                "(fixed-radius contract) or on_underfill='flag', or "
+                "raise escalate_cap"
+            )
+        # under-filled points (the isolated-outlier tail) are
+        # re-answered exactly by one bounded probe: broadcast(under)
+        # x the persisted SITE table (k+1-id reachable lists — the
+        # same argument as the grid path: at equal distance only a
+        # site's k+1 smallest ids can rank), NOT a rescan of the
+        # point set.
+        complete_ids = out1.where(F.col("_rk") == k).select("_id")
+        keep = out1.join(complete_ids, "_id", "left_semi")
+        under = base.join(complete_ids, "_id", "left_anti").select(
+            "_id", F.col("_x").alias("_px"), F.col("_y").alias("_py")
+        )
+        brute = (
+            site_top.select(
+                F.col("_x").alias("_nx"), F.col("_y").alias("_ny"), "_cand"
+            )
+            .crossJoin(F.broadcast(under))
+            .select(
+                "_id",
+                F.col("_px").alias("_x"),
+                F.col("_py").alias("_y"),
+                F.explode("_cand").alias("_nid"),
+                "_nx",
+                "_ny",
+            )
+            .where(F.col("_nid") != F.col("_id"))
+            .withColumn("_dist", d)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+        )
+        return _attach_unpersist(
+            keep.select(*final_cols).unionAll(brute.select(*final_cols))
+        )
+
+    # flag: every SPARSE point (dense points always return
     # exactly k distance-0 rows) rides an infinite-distance sentinel
     # through the SAME rank window — the sentinel survives the
     # rank <= k filter iff the point found < k in-radius neighbours,
@@ -843,73 +916,3 @@ def spatial_knn_join(
             )
         )
 
-    # escalate: under-filled points (the sentinel survivors — the
-    # isolated-outlier tail, empty whenever the adaptive density
-    # assumption holds) are re-answered exactly by one bounded probe:
-    # broadcast(under) x the persisted SITE table (k+1-id reachable
-    # lists — the same argument as the grid path: at equal distance
-    # only a site's k+1 smallest ids can rank), NOT a rescan of the
-    # point set. flagged is persisted (it is rank-limited, i.e.
-    # output-sized <= n*k rows) because its two consumers — the keep
-    # rows and the broadcast build of under — would otherwise each
-    # re-run the whole candidate pipeline.
-    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-    _persisted.append(flagged)
-    keep = flagged.where((F.col("_short") == 0) & (F.col("_sent") == 0))
-    under = flagged.where(F.col("_sent") == 1).select(
-        "_id", F.col("_x").alias("_px"), F.col("_y").alias("_py")
-    )
-    # ENFORCED bound on the escalation (review round 7): the probe is
-    # broadcast(under) x sites, which is only cheap while under-fill
-    # is the isolated-outlier tail. A corpus that violates the density
-    # assumption (a dense core plus a diffuse tail wider than the
-    # adaptive cell) could push |under| toward |points| and turn the
-    # nested loop near-quadratic — so the plan itself asserts
-    # |under| <= escalate_cap (lazy, no extra action: a broadcast
-    # 1-row count joined back with assert_true) and fails LOUDLY with
-    # instructions to pass an explicit cell or use flag mode, instead
-    # of grinding or blowing the broadcast limit.
-    n_under = under.agg(F.count("*").alias("_n_under"))
-    under = (
-        under.crossJoin(F.broadcast(n_under))
-        .where(
-            F.assert_true(
-                F.col("_n_under") <= F.lit(int(escalate_cap)),
-                F.concat(
-                    F.lit(
-                        "spatial_knn_join: escalation would probe "
-                    ),
-                    F.col("_n_under").cast("string"),
-                    F.lit(
-                        " under-filled points (> escalate_cap="
-                        f"{int(escalate_cap)}); the corpus violates the "
-                        "adaptive-density assumption — pass an explicit "
-                        "cell (fixed-radius contract) or "
-                        "on_underfill='flag', or raise escalate_cap"
-                    ),
-                ),
-            ).isNull()
-        )
-        .select("_id", "_px", "_py")
-    )
-    brute = (
-        site_top.select(
-            F.col("_x").alias("_nx"), F.col("_y").alias("_ny"), "_cand"
-        )
-        .crossJoin(F.broadcast(under))
-        .select(
-            "_id",
-            F.col("_px").alias("_x"),
-            F.col("_py").alias("_y"),
-            F.explode("_cand").alias("_nid"),
-            "_nx",
-            "_ny",
-        )
-        .where(F.col("_nid") != F.col("_id"))
-        .withColumn("_dist", d)
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-    )
-    return _attach_unpersist(
-        keep.select(*final_cols).unionAll(brute.select(*final_cols))
-    )

@@ -108,14 +108,14 @@ _MINHASH_CAND_SQL = f"""
     {_SHINGLE_SQL},
     mh AS (
       SELECT doc, seed,
-             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+             min(xor(CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT), s.c))
                AS mh
-      FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+      FROM shing, (SELECT * FROM (VALUES (0, 61620540649648908), (1, 29374383483003867), (2, 42114560361087690), (3, 59085761434809420), (4, 46164968885894621), (5, 22365717841552286), (6, 56488808382706310), (7, 58206001367736487), (8, 15930271405568968), (9, 52763672706474767), (10, 41786700642489633), (11, 45891371794529076), (12, 70088452899773101), (13, 28543675751347374), (14, 64770685752751656), (15, 68451890056042756)) v(seed, c)) s
       GROUP BY doc, seed
     ),
     bands AS (
       SELECT doc, seed // 4 AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
       FROM mh GROUP BY doc, seed // 4
     ),
     bkt AS (
@@ -189,14 +189,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_PAIRS_SQL = """
   mh AS (
     SELECT doc, seed,
-           min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+           min(xor(CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT), s.c))
              AS mh
-    FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+    FROM shing, (SELECT * FROM (VALUES (0, 61620540649648908), (1, 29374383483003867), (2, 42114560361087690), (3, 59085761434809420), (4, 46164968885894621), (5, 22365717841552286), (6, 56488808382706310), (7, 58206001367736487), (8, 15930271405568968), (9, 52763672706474767), (10, 41786700642489633), (11, 45891371794529076), (12, 70088452899773101), (13, 28543675751347374), (14, 64770685752751656), (15, 68451890056042756)) v(seed, c)) s
     GROUP BY doc, seed
   ),
   bands AS (
     SELECT doc, seed // 4 AS band,
-           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
     FROM mh GROUP BY doc, seed // 4
   ),
   bkt AS (
@@ -864,14 +864,14 @@ _INCREMENTAL_ORACLE = f"""
     ),
     mh AS (
       SELECT doc, seed,
-             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+             min(xor(CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT), s.c))
                AS mh
-      FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+      FROM shing, (SELECT * FROM (VALUES (0, 61620540649648908), (1, 29374383483003867), (2, 42114560361087690), (3, 59085761434809420), (4, 46164968885894621), (5, 22365717841552286), (6, 56488808382706310), (7, 58206001367736487), (8, 15930271405568968), (9, 52763672706474767), (10, 41786700642489633), (11, 45891371794529076), (12, 70088452899773101), (13, 28543675751347374), (14, 64770685752751656), (15, 68451890056042756)) v(seed, c)) s
       GROUP BY doc, seed
     ),
     bands AS (
       SELECT doc, seed // 4 AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
       FROM mh GROUP BY doc, seed // 4
     ),
     old_digests AS (
@@ -974,14 +974,14 @@ _INDEX_BUILD_ORACLE = f"""
     ),
     mh AS (
       SELECT doc, seed,
-             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))
+             min(xor(CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT), s.c))
                AS mh
-      FROM shing, (SELECT unnest(generate_series(0, 15)) AS seed) s
+      FROM shing, (SELECT * FROM (VALUES (0, 61620540649648908), (1, 29374383483003867), (2, 42114560361087690), (3, 59085761434809420), (4, 46164968885894621), (5, 22365717841552286), (6, 56488808382706310), (7, 58206001367736487), (8, 15930271405568968), (9, 52763672706474767), (10, 41786700642489633), (11, 45891371794529076), (12, 70088452899773101), (13, 28543675751347374), (14, 64770685752751656), (15, 68451890056042756)) v(seed, c)) s
       GROUP BY doc, seed
     ),
     bands AS (
       SELECT doc, seed // 4 AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
       FROM mh GROUP BY doc, seed // 4
     ),
     old_digests AS (

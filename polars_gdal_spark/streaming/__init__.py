@@ -415,14 +415,17 @@ def row_band_signatures(
     """Per-ROW MinHash band signatures as pure projection columns — no
     explode, no groupBy, no state. A document's signature depends only
     on its own shingle set, so each band signature is
-    ``md5(join(min-hash per seed))`` computed with array expressions
+    the ``'|'``-joined per-seed minima computed with array expressions
     over the row's own shingles: legal in a streaming ``select`` and
     append-mode safe. Values are identical to the batch
-    ``functions.dedup.band_signatures`` (same seeded md5-prefix scheme,
-    same hex formatting); the batch path keeps its explode + groupBy
-    formulation because whole-stage codegen makes the exploded
-    expression ~3× faster at corpus scale, while interpreted
-    higher-order lambdas are fine at micro-batch size.
+    ``functions.dedup.band_signatures`` (same one-md5 XOR-constant
+    scheme — ``h_s = base ⊕ MINHASH_XOR_CONSTS[s]`` over the md5's
+    56-bit prefix — and the same decimal ``concat_ws`` formatting;
+    round 8 changed both paths together, the probe join key must not
+    drift); the batch path keeps its explode + groupBy formulation
+    because whole-stage codegen makes the exploded expression ~3×
+    faster at corpus scale, while interpreted higher-order lambdas are
+    fine at micro-batch size.
 
     Returns ``bands`` Columns (band 0..bands-1); rows with no shingles
     get NULL signatures (callers treat NULL as "no probe")."""
@@ -431,25 +434,20 @@ def row_band_signatures(
     rows_per_band = n_hashes // bands
     sh = word_shingles(text_col, shingle_n)
 
+    from polars_gdal_spark.functions.dedup import MINHASH_XOR_CONSTS
+
     def mh(s: int):
-        return F.array_min(
-            F.transform(
-                sh,
-                lambda x: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{s}:"), x)), 1, 15),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        )
+        def _h(x):
+            m = F.md5(x)
+            h1 = F.conv(F.substring(m, 1, 14), 16, 10).cast("bigint")
+            return h1.bitwiseXOR(F.lit(MINHASH_XOR_CONSTS[s]))
+
+        return F.array_min(F.transform(sh, _h))
 
     def band(b: int):
-        parts = [
-            F.lpad(F.lower(F.hex(mh(b * rows_per_band + r))), 15, "0")
-            for r in range(rows_per_band)
-        ]
+        parts = [mh(b * rows_per_band + r) for r in range(rows_per_band)]
         return F.when(
-            F.size(sh) > 0, F.md5(F.concat_ws("|", *parts))
+            F.size(sh) > 0, F.concat_ws("|", *parts)
         ).otherwise(F.lit(None).cast("string"))
 
     return [band(b) for b in range(bands)]

@@ -318,7 +318,9 @@ def test_spatial_knn_escalate_cap_fails_loudly(spark):
     from polars_gdal_spark.functions.geo import spatial_knn_join
 
     pts, _ = _knn_outlier_fixture(spark)
-    out = spatial_knn_join(pts, "id", "x", "y", k=3, escalate_cap=1)
+    # round 8: under-fill is counted eagerly in the builder, so the
+    # cap violation raises at construction time (before any probe
+    # plan exists), and the builder releases its persisted relations
+    # on the way out
     with pytest.raises(Exception, match="escalate_cap|under-filled"):
-        out.count()
-    out.unpersist_sources()
+        spatial_knn_join(pts, "id", "x", "y", k=3, escalate_cap=1)
