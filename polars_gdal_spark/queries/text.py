@@ -2047,12 +2047,21 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single double division rounded to 6 dp. Both engines execute the
     identical op sequence, so values hash-match.
 
-    Scale shape: the count table attaches the history count c1 via a
-    window over the (small) bigram-TYPE table — sum(c2) partition by w1
-    — so the corpus-sized bigram stream joins ONCE, on (w1, w2) (far
-    less skewed than a w1-only join; AQE skew-split covers the Zipf
-    head). The vocabulary size is the one driver scalar (a documented
-    1-row collect, like the IVF centroid count)."""
+    Scale shape (round 8): the corpus-sized bigram OCCURRENCE stream is
+    tokenized and shuffled exactly ONCE — into the per-document
+    bigram-TYPE relation (doc_id, w1, w2, cnt). Everything downstream
+    rides that persisted relation: the global count table c2 is its
+    re-aggregation (map-side combinable, type-level input), c1 attaches
+    via a window over the (small) bigram-TYPE table — sum(c2) partition
+    by w1 — and the scoring join hits pdc, not the occurrence stream
+    (per-occurrence term sums fold exactly to cnt·term: the term is an
+    exact DECIMAL, integer multiples are exact). The previous shape
+    tokenized the corpus twice and shuffled the occurrence stream twice
+    (once for c2, once for the join) — measured as the dominant term of
+    the 31.8 s sf10 wall. The vocabulary size is the one driver scalar
+    (a documented 1-row collect, like the IVF centroid count)."""
+    from pyspark import StorageLevel
+
     docs = load_tables(spark, sf_dir)["documents"]
     tk = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
@@ -2070,7 +2079,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    pdc = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = pdc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     from pyspark.sql import Window
 
     c2t = c2.withColumn(
@@ -2081,17 +2095,25 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("x"))
         .first()[0]
     )
-    terms = big.join(c2t, ["w1", "w2"]).select(
+    terms = pdc.join(c2t, ["w1", "w2"]).select(
         "doc_id",
-        F.expr(
-            f"CAST(round(ln((c2 + 1) / CAST(c1 + {vocab} AS DOUBLE)), 9) "
-            "AS DECIMAL(20,9))"
+        "cnt",
+        (
+            # cnt as DECIMAL(10,0): a bigint operand would push the
+            # product past DECIMAL(38) and Spark silently drops the
+            # scale to 6 — cnt is bounded by a doc's token count, so
+            # 10 digits keeps precision 31 and the 9-dp scale exact
+            F.col("cnt").cast("decimal(10,0)")
+            * F.expr(
+                f"CAST(round(ln((c2 + 1) / CAST(c1 + {vocab} AS DOUBLE)), "
+                "9) AS DECIMAL(20,9))"
+            )
         ).alias("term"),
     )
     per = terms.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"), F.sum("term").alias("s")
+        F.sum("cnt").alias("n_bigrams"), F.sum("term").alias("s")
     )
-    return (
+    out = (
         per.select(
             "doc_id",
             "n_bigrams",
@@ -2102,3 +2124,6 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ce"), F.asc("doc_id"))
         .limit(100)
     )
+    from polars_gdal_spark.functions import attach_unpersist
+
+    return attach_unpersist(out, pdc)
