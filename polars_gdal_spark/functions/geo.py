@@ -848,7 +848,16 @@ def spatial_knn_join(
         # site's k+1 smallest ids can rank), NOT a rescan of the
         # point set.
         complete_ids = out1.where(F.col("_rk") == k).select("_id")
-        keep = out1.join(complete_ids, "_id", "left_semi")
+        # keep: complete points' rows, selected by a count window on
+        # the _id partitioning the rank window already established —
+        # no join, no extra Exchange (rows are rank-filtered to 1..k,
+        # so count == k  <=>  the rank-k row exists)
+        keep = (
+            out1.withColumn(
+                "_nk", F.count("*").over(Window.partitionBy("_id"))
+            )
+            .where(F.col("_nk") >= k)
+        )
         under = base.join(complete_ids, "_id", "left_anti").select(
             "_id", F.col("_x").alias("_px"), F.col("_y").alias("_py")
         )

@@ -369,21 +369,33 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling pass: per-column row/non-null/exact-distinct
-    counts and min/max, three columns in parallel aggregate columns over
-    ONE scan (count_distinct shuffles once on near-uniform values;
-    min/max/count are map-side combined). The one-scan many-stats shape
-    is how profiling must run at 100 TB — never one pass per column."""
+    counts and min/max. The non-distinct stats (count/min/max ×3
+    columns) ride ONE map-side-combined scan; each exact-distinct count
+    is its own narrow subtree — ``select(col).distinct().count()``,
+    a single-column scan whose partial aggregation shuffles only the
+    per-partition distinct values — and the four 1-row results meet in
+    broadcast cross joins. Round 8 UNLEARNED the "all stats in one agg"
+    shape: multiple ``count_distinct`` in one aggregate forces Spark's
+    EXPAND operator (every input row replicated ×4 before the shuffle),
+    measured 18.6 s warm at sf10 vs 2.3-3.7 s for the split subtrees —
+    per-column re-scans of a columnar format are nearly free, row
+    expansion is not. That is also the honest 100 TB shape: scans are
+    cheap and column-pruned, EXPAND multiplies the working set."""
     li = load_tables(spark, sf_dir)["lineitem"]
     cols = ["l_quantity", "l_returnflag", "l_discount"]
     aggs = [F.count("*").alias("nr")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
     wide = li.agg(*aggs)
+    for c in cols:
+        # count(c), not count(*): distinct keeps a NULL row, but
+        # count(DISTINCT c) semantics exclude NULL
+        nd = li.select(c).distinct().agg(F.count(c).alias(f"nd_{c}"))
+        wide = wide.crossJoin(nd)
     stack_args = ", ".join(
         f"'{c}', nr, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
     )
