@@ -13,13 +13,14 @@ Four families, all shuffle-on-key designs that hold at 100 TB:
                     union; exact verification for candidate pairs.
 
 Hash choice: md5 (identical lowercase hex in Spark, DuckDB, and Python's
-hashlib) so every operator is oracle-checkable. MinHash signatures take
-the first 15 hex chars of the seeded md5 and convert to a 60-bit BIGINT
-(``conv(..., 16, 10)``): min() over the bigints equals min() over the hex
-prefixes (fixed width ⇒ lexicographic = numeric order) but aggregates as
-fixed-width longs — HashAggregate instead of SortAggregate — and
-``band_signatures`` round-trips back to zero-padded hex so oracle SQL
-stays string-comparable.
+hashlib) so every operator is oracle-checkable. MinHash signatures
+(round 8) hash each shingle ONCE — the first 14 hex chars of
+``md5(shingle)`` parse to a 56-bit BIGINT (``conv(..., 16, 10)`` /
+DuckDB ``CAST('0x' || … AS BIGINT)``) — and expand to the per-seed
+family by XOR with the fixed ``MINHASH_XOR_CONSTS``; minima aggregate
+as fixed-width longs (HashAggregate, not SortAggregate) and
+``band_signatures`` keys buckets with ``concat_ws`` over the raw
+decimal minima (injective, codegen, never exposed in query output).
 """
 
 from __future__ import annotations
@@ -70,12 +71,19 @@ def word_shingles(col, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Signature-scheme tag persisted into on-disk dedup indexes
+# (``save_dedup_index``) and checked on every probe: signatures are
+# recomputed by the probing library, so an index written under a
+# different scheme must fail loudly, not silently match nothing.
+MINHASH_SCHEME = "md5-xor56-v2"
+
 # Fixed pseudorandom 56-bit MinHash seed constants (python:
-# random.seed(0x5eed); getrandbits(56) ×16), shared verbatim by the
-# Spark side (bitwiseXOR), the streaming per-row twin, and the DuckDB
-# oracle fragments (queries/dedup.py interpolates them into a VALUES
-# list) — the two engines must XOR the identical constants or every
-# signature diverges.
+# random.seed(0x5eed); getrandbits(56) ×64 — the first 16 are the
+# default seeds; the tail keeps larger n_hashes supported), shared
+# verbatim by the Spark side (bitwiseXOR), the streaming per-row twin,
+# and the DuckDB oracle fragments (queries/dedup.py interpolates them
+# into a VALUES list) — the two engines must XOR the identical
+# constants or every signature diverges.
 MINHASH_XOR_CONSTS = [
     61620540649648908,
     29374383483003867,
@@ -93,6 +101,54 @@ MINHASH_XOR_CONSTS = [
     28543675751347374,
     64770685752751656,
     68451890056042756,
+    16105742243026765,
+    4059915829357249,
+    43110164479346058,
+    63811556597087024,
+    18639027408036271,
+    20084962532439055,
+    44318522598847535,
+    46591357680614842,
+    3634969302166842,
+    18055412755803610,
+    53639226485935206,
+    56124230027168489,
+    3748100555903526,
+    8032513097340747,
+    22960493103953742,
+    57660478624714851,
+    55141248063769847,
+    17112582844050571,
+    66046876088062018,
+    7675116838307994,
+    3027341081297078,
+    16859346234477940,
+    50146916411130111,
+    59525067707989650,
+    9496079157183792,
+    36523070345420732,
+    62086252824631576,
+    60586438383601343,
+    605112995405163,
+    18864003377358921,
+    41390380031399960,
+    32942175076149672,
+    20331749008725783,
+    40818463383746214,
+    57764554220931263,
+    28567181469021508,
+    55027860195662079,
+    17874659946552781,
+    22520484897667887,
+    24793574287444949,
+    47549558367317558,
+    25523569569616581,
+    4482225520659277,
+    53250585949605879,
+    22444283127561564,
+    34617101127823832,
+    14782464242991570,
+    63149532064141738,
 ]
 
 
@@ -961,21 +1017,34 @@ def save_dedup_index(
     IVF-index-persistence pattern, ``similarity.save_ivf_index``): the
     digest and band-signature key sets as parquet, plus a 1-row params
     table so probes/appends reproduce the exact signature recipe. The
-    corpus text is scanned ONCE here; every later increment probes and
-    appends key sets only."""
+    params table carries the signature SCHEME tag (round 8): a probe
+    recomputes band signatures with the library's current scheme, so
+    an index written under a different scheme would silently match
+    nothing on the near-dup side (exact dups still match via digest,
+    masking the breakage) — the scheme check turns that into a loud
+    rebuild instruction instead. The corpus text is scanned ONCE here;
+    every later increment probes and appends key sets only."""
     digests, bandsigs = _dedup_keysets(
         docs, id_col, text_col, n_hashes, bands, shingle_n
     )
     digests.write.mode("overwrite").parquet(path + "/digests")
     bandsigs.write.mode("overwrite").parquet(path + "/bands")
     docs.sparkSession.createDataFrame(
-        [(n_hashes, bands, shingle_n)],
-        "n_hashes int, bands int, shingle_n int",
+        [(n_hashes, bands, shingle_n, MINHASH_SCHEME)],
+        "n_hashes int, bands int, shingle_n int, scheme string",
     ).write.mode("overwrite").parquet(path + "/params")
 
 
 def _dedup_index_params(spark, path: str) -> tuple[int, int, int]:
     p = spark.read.parquet(path + "/params").collect()[0]
+    scheme = p["scheme"] if "scheme" in p.__fields__ else "md5-seeded-v1"
+    if scheme != MINHASH_SCHEME:
+        raise ValueError(
+            f"dedup index at {path!r} was built with MinHash scheme "
+            f"{scheme!r}, but this library computes {MINHASH_SCHEME!r} "
+            "— band signatures would match nothing; rebuild the index "
+            "with save_dedup_index"
+        )
     return p["n_hashes"], p["bands"], p["shingle_n"]
 
 

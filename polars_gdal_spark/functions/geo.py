@@ -689,11 +689,18 @@ def spatial_knn_join(
             f"{on_underfill!r}"
         )
 
+    # NULL-coordinate rows have no defined location and are excluded
+    # up front (review round 8): every pre-r8 path already dropped
+    # them implicitly (NULL never equi-joins a site and NULL distances
+    # fail the radius filter), but the count-based escalate detection
+    # would otherwise count them as permanently under-filled — and the
+    # brute probe's NULLS-FIRST distance ordering would then emit k
+    # garbage NULL-distance rows per such point.
     base = pts.select(
         F.col(id_col).alias("_id"),
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
-    )
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     wsite = Window.partitionBy("_x", "_y").orderBy(F.asc("_id"))
     ranked = base.withColumn("_r", F.row_number().over(wsite))
     # one row per site: truncated member count + the k+1 smallest ids

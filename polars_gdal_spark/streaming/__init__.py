@@ -436,6 +436,15 @@ def row_band_signatures(
 
     from polars_gdal_spark.functions.dedup import MINHASH_XOR_CONSTS
 
+    if n_hashes > len(MINHASH_XOR_CONSTS):
+        # same self-describing error as the batch twin — an index
+        # saved with a large n_hashes must not die in an IndexError
+        # deep inside column construction
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MINHASH_XOR_CONSTS)} "
+            "fixed MinHash seed constants"
+        )
+
     def mh(s: int):
         def _h(x):
             m = F.md5(x)

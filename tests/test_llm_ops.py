@@ -626,6 +626,29 @@ def test_persisted_dedup_index_rolling_increments(spark, tmp_path):
     assert "corpus.parquet" not in plan
 
 
+def test_dedup_index_scheme_mismatch_fails_loudly(spark, tmp_path):
+    """A persisted index written under a different MinHash scheme must
+    fail the probe with a rebuild instruction, not silently return
+    is_near_dup=0 for everything (round-8 review: signatures are
+    recomputed by the probing library, so a stale index's band keys
+    would simply never match)."""
+    import pytest
+
+    idx = str(tmp_path / "stale_index")
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc bigint, text string",
+    )
+    D.save_dedup_index(docs, idx)
+    # simulate a pre-r8 index: params row without/with a different scheme
+    spark.createDataFrame(
+        [(16, 4, 3, "md5-seeded-v1")],
+        "n_hashes int, bands int, shingle_n int, scheme string",
+    ).write.mode("overwrite").parquet(idx + "/params")
+    with pytest.raises(ValueError, match="scheme|rebuild"):
+        D.probe_dedup_index(docs, idx).collect()
+
+
 def test_adaptive_planes_sizing():
     from polars_gdal_spark.functions.similarity import adaptive_planes
 

@@ -52,19 +52,21 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        df = None
         try:
             df = spec.func(spark, sf_dir)
             sdf = df.toPandas()
-            # release operator-internal persists the way a looping
-            # library consumer would (round-7 ADVICE: the hook must be
-            # exercised on the main sweep path, not only in tests) —
-            # a 191-query single-session sweep would otherwise
-            # accumulate every operator's cached relations
-            getattr(df, "unpersist_sources", lambda: None)()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # release operator-internal persists the way a looping
+            # library consumer would (round-7 ADVICE) — in a finally,
+            # so a failing query doesn't leak its already-persisted
+            # relations into the remaining ~190 queries of the sweep
+            if df is not None:
+                getattr(df, "unpersist_sources", lambda: None)()
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
