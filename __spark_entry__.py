@@ -62,12 +62,22 @@ def _last_verified_round() -> dict[str, int]:
 # hand-maintained set kept pinning already-re-verified queries at the
 # head of every sweep, displacing genuinely-stale rows).
 CHANGED_IN_ROUND = {
-    "dedup_winnowing": 8,  # r8: bigint cast in packed pair keys
-    "dedup_components": 8,  # r8: contraction-based components rewrite
-    "dedup_near_resolve": 8,  # r8: inherits the components rewrite
-    "geo_knn_join": 8,  # r8: count-based underfill detection
-    "geo_knn_join_flagged": 8,  # r8: shares the kNN restructure
-    "text_bigram_lm_score": 8,  # r8: per-doc bigram-type pre-agg
+    # r8: one-md5 xor-constant MinHash family (results changed, oracles
+    # mirrored in the same commit) — every family consumer re-verifies
+    "dedup_minhash_lsh": 8,
+    "dedup_components": 8,
+    "dedup_near_resolve": 8,
+    "dedup_minhash_estimate": 8,
+    "dedup_incremental": 8,
+    "dedup_index_build": 8,
+    "dedup_index_probe": 8,
+    "dedup_lsh_recall": 8,
+    # r8: plan-shape changes, same results
+    "dedup_winnowing": 8,  # bigint cast in packed pair keys
+    "geo_knn_join": 8,  # count-based underfill detection
+    "geo_knn_join_flagged": 8,  # shares the kNN restructure
+    "text_bigram_lm_score": 8,  # per-doc bigram-type pre-agg
+    "profile_lineitem": 8,  # expand-free distinct subtrees
 }
 
 
