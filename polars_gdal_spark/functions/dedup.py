@@ -477,6 +477,18 @@ def connected_components(
         labels = new_labels.select("doc", "component")
         if changed == 0:
             break
+    else:
+        # round 8: a component whose diameter exceeds max_iter used to
+        # return silently-unconverged labels (nodes > max_iter hops
+        # from their component's minimum keep a stale label). Near-dup
+        # clusters are shallow so the default never trips on the
+        # library's own pipelines — but the generic API must fail
+        # loudly, not wrongly.
+        raise ValueError(
+            f"connected_components: labels still changing after "
+            f"max_iter={max_iter} rounds — a component's diameter "
+            "exceeds max_iter; raise max_iter"
+        )
     return labels
 
 

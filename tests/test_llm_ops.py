@@ -626,6 +626,33 @@ def test_persisted_dedup_index_rolling_increments(spark, tmp_path):
     assert "corpus.parquet" not in plan
 
 
+def test_connected_components_chain_and_convergence_contract(spark):
+    """Unit pin for the round-8 one-union label loop: a 30-node path
+    (worst case for min-label propagation — the label travels one hop
+    per round), two disjoint triangles and an isolated pair must all
+    resolve to their minimum ids; and a max_iter smaller than the
+    diameter must raise (round 8 removed the silent-unconverged-return
+    mode) rather than return stale labels."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(100, 129)]  # path, diameter 29
+    tris = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    pair = [(50, 51)]
+    pairs = spark.createDataFrame(
+        chain + tris + pair, "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc"]: r["component"]
+        for r in D.connected_components(pairs, max_iter=40).collect()
+    }
+    assert all(got[i] == 100 for i in range(100, 130))
+    assert all(got[i] == 0 for i in (0, 1, 2))
+    assert all(got[i] == 10 for i in (10, 11, 12))
+    assert got[50] == 50 and got[51] == 50
+    with pytest.raises(ValueError, match="max_iter"):
+        D.connected_components(pairs, max_iter=5)
+
+
 def test_dedup_index_scheme_mismatch_fails_loudly(spark, tmp_path):
     """A persisted index written under a different MinHash scheme must
     fail the probe with a rebuild instruction, not silently return
