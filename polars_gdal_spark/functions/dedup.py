@@ -370,6 +370,14 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
     :func:`minhash_signatures`. (An earlier version exploded tokens ×
     bit-positions, a ``bits``× shuffle amplification of the token table;
     here the shuffle carries ``bits`` partially-combined ints per doc.)
+
+    The vote itself is integer bit-tests (round 8): the md5 hex parses
+    into 8-hex-char BIGINT groups once per token, and "hex digit i >=
+    '8'" is exactly "nibble i's top bit set" — ``(h >> (4·(7−pos)+3))
+    & 1``. Byte-identical signatures to the substring/isin form it
+    replaces (A/B checked row-for-row at sf10), at half the wall: 32
+    per-row string slices + set probes became 4 convs + 32 shifts
+    (11.1 → 5.3 s honest at sf10).
     """
     assert bits <= 32, "md5 hex gives 32 positions"
     toks = df.select(
@@ -383,15 +391,30 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
             )
         ).alias("tok"),
     ).withColumn("th", F.md5("tok"))
-    vote = [
-        F.sum(
-            F.when(
-                F.substring(F.col("th"), i, 1).isin(*"89abcdef"), 1
-            ).otherwise(-1)
-        ).alias(f"_s{i}")
-        for i in range(1, bits + 1)
+    n_groups = (bits + 7) // 8
+    hs = [
+        F.conv(F.substring("th", 1 + 8 * g, 8), 16, 10)
+        .cast("bigint")
+        .alias(f"_h{g}")
+        for g in range(n_groups)
     ]
-    sums = toks.groupBy("doc").agg(*vote)
+    grouped_toks = toks.select("doc", *hs)
+    vote = []
+    for i in range(1, bits + 1):
+        g, pos = (i - 1) // 8, (i - 1) % 8
+        shift = 4 * (7 - pos) + 3
+        vote.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"_h{g}"), shift).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"_s{i}")
+        )
+    sums = grouped_toks.groupBy("doc").agg(*vote)
     sig = F.concat(
         *[
             F.when(F.col(f"_s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
