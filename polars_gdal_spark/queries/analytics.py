@@ -1225,6 +1225,17 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
+    # edges feeds THREE join legs (e1/e2/e3) and Spark recomputes the
+    # pair pipeline for each (no cross-subtree exchange reuse — round-8
+    # finding, same as tfidf_topk). Materializing it was A/B'd at all
+    # three scales and REJECTED: localCheckpoint wins sf10 (14.2 vs
+    # 17.9 s — accurate size stats keep the broadcast) but pays 1.8× at
+    # sf0.1 (1.06 → 1.91 s) and 1.12× at sf1; persist loses everywhere
+    # (a cached plan's estimates demote the wedge joins from broadcast
+    # to shuffle, 22.2 s at sf10). The recompute is map-side-combined
+    # aggregation over bounded-basket pair streams — linear, gate-green
+    # at 3.8× for 10× data — so the plain shape keeps the best
+    # worst-case.
     edges = pairs.where(F.col("c") >= 2).select("pa", "pb")
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     # no forced broadcast: the support-filtered edge set grows with the
