@@ -72,12 +72,17 @@ CHANGED_IN_ROUND = {
     "dedup_index_build": 8,
     "dedup_index_probe": 8,
     "dedup_lsh_recall": 8,
-    # r8: plan-shape changes, same results
-    "dedup_winnowing": 8,  # bigint cast in packed pair keys
+    # r8: result-changing semantics pin (boilerplate df cap 1024->64,
+    # oracle mirrored) plus the bigint pair-key cast
+    "dedup_winnowing": 8,
+    # r8: plan/implementation changes, same results (verified)
     "geo_knn_join": 8,  # count-based underfill detection
     "geo_knn_join_flagged": 8,  # shares the kNN restructure
     "text_bigram_lm_score": 8,  # per-doc bigram-type pre-agg
     "profile_lineitem": 8,  # expand-free distinct subtrees
+    "dedup_simhash": 8,  # integer bit-test votes (byte-identical)
+    "dedup_simhash_pairs": 8,  # inherits the simhash_bits rewrite
+    "text_tfidf_topk": 8,  # tf relation persisted (plan change)
 }
 
 

@@ -471,7 +471,12 @@ def connected_components(
         .withColumn("component", F.col("doc"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # max_iter + 1 iterations: a component whose min-label eccentricity
+    # is exactly max_iter needs max_iter propagation rounds PLUS one
+    # zero-change round to confirm convergence — without the +1, inputs
+    # that converge right at the limit would raise spuriously (review
+    # round 8).
+    for _ in range(max_iter + 1):
         msgs = (
             edges.join(labels, edges.b == labels.doc)
             .select("a", "component", F.lit(None).cast("bigint").alias("_old"))
@@ -509,8 +514,9 @@ def connected_components(
         # loudly, not wrongly.
         raise ValueError(
             f"connected_components: labels still changing after "
-            f"max_iter={max_iter} rounds — a component's diameter "
-            "exceeds max_iter; raise max_iter"
+            f"max_iter={max_iter} propagation rounds — some node is "
+            "more than max_iter hops from its component's minimum id; "
+            "raise max_iter"
         )
     return labels
 

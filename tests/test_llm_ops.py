@@ -651,6 +651,16 @@ def test_connected_components_chain_and_convergence_contract(spark):
     assert got[50] == 50 and got[51] == 50
     with pytest.raises(ValueError, match="max_iter"):
         D.connected_components(pairs, max_iter=5)
+    # boundary: eccentricity EXACTLY max_iter converges (the +1
+    # confirmation round must not count against the budget)
+    path6 = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a bigint, doc_b bigint"
+    )
+    got6 = {
+        r["doc"]: r["component"]
+        for r in D.connected_components(path6, max_iter=6).collect()
+    }
+    assert all(got6[i] == 0 for i in range(7))
 
 
 def test_dedup_index_scheme_mismatch_fails_loudly(spark, tmp_path):
