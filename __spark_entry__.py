@@ -83,6 +83,9 @@ CHANGED_IN_ROUND = {
     "dedup_simhash": 8,  # integer bit-test votes (byte-identical)
     "dedup_simhash_pairs": 8,  # inherits the simhash_bits rewrite
     "text_tfidf_topk": 8,  # tf relation persisted (plan change)
+    # r8: adaptive planes (same plane count — and therefore same
+    # results — at the driver's gate scales; grows with n beyond)
+    "dedup_embedding_cosine": 8,
 }
 
 

@@ -325,12 +325,18 @@ def dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
       FROM augv
     ),
+    params AS (
+      SELECT greatest(8, least(24,
+               CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS pl
+      FROM (SELECT (count(*) + 63) // 64 AS m FROM q)
+    ),
     proj AS (
       SELECT q.vec_id, p.p,
              sum(q.v[i.i + 1]
                  * (((((p.p * 73856093) + (i.i * 19349663)) % 83) % 7) - 3)) AS s
       FROM q,
-           (SELECT unnest(generate_series(0, 7)) AS p) p,
+           (SELECT unnest(generate_series(0, (SELECT pl FROM params) - 1))
+              AS p) p,
            (SELECT unnest(generate_series(0, 63)) AS i) i
       GROUP BY q.vec_id, p.p
     ),
@@ -393,8 +399,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.select("vec_id", "embedding").unionByName(mut)
     import polars_gdal_spark.functions.similarity as S
 
+    n_aug = 2 * emb.count()
     pairs = S.lsh_bucketed_pairs(
-        aug, id_col="vec_id", vec_col="embedding", planes=8, threshold=0.95
+        aug, id_col="vec_id", vec_col="embedding",
+        planes=S.adaptive_planes(n_aug), threshold=0.95,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = D.connected_components(pairs)
     dropped = comp.where(F.col("component") != F.col("doc")).select(
