@@ -17,6 +17,59 @@ collects anywhere.
 """
 
 
+def spread_scan(df, *keys, min_bytes=4 << 20, factor=2):
+    """Rebalance a CPU-dense scan whose source yields fewer splits than
+    the cluster has task slots.
+
+    Spark sizes file splits by BYTES (``spark.sql.files.
+    maxPartitionBytes`` / ``openCostInBytes``), which is right for
+    I/O-bound plans but starves per-row CPU-dense stages (md5
+    shingling, HOF tokenization, Arrow GEMM) when the input is a
+    handful of small-but-text-heavy files: a 65 MB documents file
+    opens as ≤16 splits no matter how many cores exist (the 4 MB
+    openCost floor caps split count), and every downstream md5 then
+    runs at half utilization with row-group-alignment stragglers.
+    Measured at sf10: MinHash signatures 25.0 → 10.3 s from this one
+    exchange (16 skewed splits → 64 balanced, 32 cores).
+
+    On a real cluster reading a 100 TB corpus the source provides
+    splits >> slots and this is a NO-OP — the partition-count check
+    runs first and no shuffle is added. It only fires on the
+    few-big-files layout, where one hash exchange of the projected
+    columns (cheap relative to the CPU stage it unblocks) buys
+    full-width parallelism.
+
+    ``keys`` should be a high-cardinality column like the doc id —
+    hash partitioning is deterministic and skips round-robin's
+    sort-before-repartition pass. Sources smaller than ``min_bytes``
+    are left alone: at toy scale (the driver's sf0.01 correctness
+    sweep, sf0.1 canonical bench) the extra stage would cost more
+    than the CPU it spreads, so those plans are byte-identical to
+    the pre-helper ones.
+    """
+    try:
+        slots = df.sparkSession.sparkContext.defaultParallelism
+        if df._jdf.rdd().getNumPartitions() >= slots:
+            return df
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        # py4j maps scala BigInt to a plain int on this Spark; older
+        # versions hand back the object — accept both
+        raw = stats.sizeInBytes()
+        size = raw if isinstance(raw, int) else int(str(raw))
+        if size < min_bytes:
+            return df
+    except Exception:
+        # partition/stats introspection is best-effort; never let the
+        # balancing hint break the plan itself
+        return df
+    import pyspark.sql.functions as F
+
+    n = factor * slots
+    if keys:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)
+
+
 def attach_unpersist(df, *relations):
     """Attach the round-7 ``unpersist_sources()`` hook: operators that
     persist internal relations (the kNN site table, the winnowing

@@ -21,6 +21,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from polars_gdal_spark.functions import spread_scan
+
 QUANT = 1_000_000
 
 # pairwise_cosine(group_col=None) plans a nested-loop self-join — the
@@ -157,7 +159,9 @@ def cosine_range(
                     }
                 )
 
-    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return spread_scan(df, id_col).select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
 
 
 def pairwise_cosine(
@@ -417,7 +421,9 @@ def ivf_assign(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+    return spread_scan(df, id_col).select(id_col, vec_col).mapInPandas(
+        assign, schema
+    )
 
 
 def ivf_search(
@@ -660,7 +666,7 @@ def lsh_bucketed_pairs(
     math is identical (dots ≤ 3e8 « 2⁵³), so bucket keys are bit-equal
     in both formulations and the oracle keeps passing."""
     keys_udf = _srp_keys_udf(planes, tables)
-    withb = df.select(
+    withb = spread_scan(df, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(keys_udf(F.col(vec_col))).alias("bkt"),
@@ -801,7 +807,9 @@ def knn_join(
 
     from pyspark.sql import Window
 
-    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    local = spread_scan(corpus, id_col).select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
     w = Window.partitionBy("qid").orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
@@ -999,7 +1007,9 @@ def ivfpq_adc_topk(
                 {id_col: ids, "adc_dist": adc.astype(np.float64)}
             )
 
-    local = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    local = spread_scan(corpus, id_col).select(id_col, vec_col).mapInPandas(
+        kernel, out_schema
+    )
     return local.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
@@ -1066,9 +1076,9 @@ def hard_negatives(
 
     from pyspark.sql import Window
 
-    local = corpus.select(id_col, vec_col, label_col).mapInPandas(
-        score, out_schema
-    )
+    local = spread_scan(corpus, id_col).select(
+        id_col, vec_col, label_col
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         local.withColumn("_rn", F.row_number().over(w))
@@ -1256,4 +1266,6 @@ def semantic_decontaminate(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return spread_scan(corpus, id_col).select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )

@@ -182,7 +182,9 @@ def tfidf_topk(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    toks = df.select(
+    from polars_gdal_spark.functions import spread_scan
+
+    toks = spread_scan(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )

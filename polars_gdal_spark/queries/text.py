@@ -2062,7 +2062,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a documented 1-row collect, like the IVF centroid count)."""
     from pyspark import StorageLevel
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    from polars_gdal_spark.functions import spread_scan
+
+    docs = spread_scan(
+        load_tables(spark, sf_dir)["documents"], "doc_id"
+    )
     tk = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
     )
