@@ -2131,3 +2131,91 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_gdal_spark.functions import attach_unpersist
 
     return attach_unpersist(out, pdc)
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS ntok,
+             length(text) AS ch,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '' AND regexp_matches(x, '[a-z]'))) AS alpha_tok,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS sym,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))
+               AS stops
+      FROM documents
+    )
+    SELECT doc_id, ntok,
+           ntok BETWEEN 25 AND 80 AS r_words,
+           (ch - (ntok - 1)) / ntok >= 3
+             AND (ch - (ntok - 1)) / ntok <= 4.5 AS r_word_len,
+           alpha_tok / ntok >= 0.8 AS r_alpha,
+           sym / ntok <= 0.1 AS r_symbol,
+           stops >= 2 AS r_stopwords,
+           (ntok BETWEEN 25 AND 80)
+             AND (ch - (ntok - 1)) / ntok >= 3
+             AND (ch - (ntok - 1)) / ntok <= 4.5
+             AND alpha_tok / ntok >= 0.8
+             AND sym / ntok <= 0.1
+             AND stops >= 2 AS keep
+    FROM f
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021, Appendix A —
+    the rule-based pre-filter every modern crawl pipeline runs before
+    any learned scorer): token-count window, mean-word-length window,
+    minimum alphabetic-token fraction, maximum symbol(#/ellipsis)-to-
+    word ratio, minimum stopword hits. Thresholds are adapted to the
+    fixture corpus (token window 25-80, mean-word-length window
+    3-4.5) so each rule splits it non-trivially; the rule SET and the
+    expression shapes are Gopher's. Output: one row per document with
+    each rule verdict and the conjunction ``keep``.
+
+    Engine determinism: every ratio is an int/int IEEE double division
+    compared against an exactly representable threshold; rule verdicts
+    are booleans computed identically in both engines. One scan, zero
+    shuffles — the filter fuses into the parquet scan at any scale."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    ntok = T.token_count(c)
+    lower_toks = T.tokens(F.lower(c))
+    alpha = F.size(
+        F.filter(lower_toks, lambda x: x.rlike("[a-z]"))
+    ).cast("bigint")
+    sym = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + F.floor(
+            (
+                F.length(c)
+                - F.length(F.replace(c, F.lit("..."), F.lit("")))
+            )
+            / 3
+        )
+    ).cast("bigint")
+    mwl = (F.length(c).cast("bigint") - (ntok - 1)) / ntok
+    stops = T.stopword_count(c)
+    r_words = (ntok >= 25) & (ntok <= 80)
+    r_word_len = (mwl >= 3) & (mwl <= 4.5)
+    r_alpha = alpha / ntok >= 0.8
+    r_symbol = sym / ntok <= 0.1
+    r_stopwords = stops >= 2
+    return t["documents"].select(
+        "doc_id",
+        ntok.alias("ntok"),
+        r_words.alias("r_words"),
+        r_word_len.alias("r_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        r_stopwords.alias("r_stopwords"),
+        (r_words & r_word_len & r_alpha & r_symbol & r_stopwords).alias(
+            "keep"
+        ),
+    )

@@ -55,8 +55,15 @@ EVENT_SPAN_US = 30 * 86400 * 1_000_000  # 30 days
 
 def _write(outdir: str, name: str, table: pa.Table) -> None:
     rows = table.num_rows
-    # multiple row groups -> parallel Spark scan tasks
-    rg = max(65536, rows // 16) if rows > 65536 else rows or 1
+    # Row groups sized so Spark's byte-based splitter — not row-group
+    # alignment — decides scan parallelism. The old rows//16 cap meant
+    # sf10 lineitem (1.36 GB) opened as exactly 16 splits on 32 cores
+    # and the 65 MB documents file as 8, understating the engine on
+    # full hardware; a real 100 TB corpus arrives as thousands of
+    # files with splits >> slots, so the fixtures should behave the
+    # same way. rows//128 with an 8192-row floor lands row groups in
+    # the ~1-12 MB range at every table/sf combination.
+    rg = max(8192, rows // 128) if rows > 8192 else rows or 1
     pq.write_table(table, os.path.join(outdir, f"{name}.parquet"),
                    row_group_size=rg)
     print(f"  {name}: {rows} rows")
