@@ -128,6 +128,10 @@ EXPECT = {
     "text_langid": ["!Exchange"],
     "text_pii_scrub": ["!Exchange"],
     "text_quality_features": ["!Exchange"],
+    # one scan, rule verdicts fused — no shuffle anywhere
+    "text_gopher_rules": ["!Exchange"],
+    # per-shard running sum: ONE window, partitioned (never global)
+    "pipeline_token_budget": ["Window", "!CartesianProduct"],
     "geo_measures": ["!Exchange"],
     "multimodal_frame_sample": ["Generate", "!Exchange"],
     # ---- semi/anti joins (existence, never materialized) ----------------
