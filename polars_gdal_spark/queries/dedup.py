@@ -1334,3 +1334,79 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnowing_pairs(
         aug, "doc", "text", k=3, w=8, min_shared=3, max_fp_df=64
     )
+
+
+@query(
+    "dedup_quality_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL.strip().lstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_LSH_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc = e.b
+    ),
+    comp AS (SELECT doc, min(lab) AS component FROM reach GROUP BY doc),
+    qual AS (
+      SELECT doc,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))
+             / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS q
+      FROM aug
+    ),
+    rep AS (
+      SELECT c.doc,
+             row_number() OVER (
+               PARTITION BY c.component ORDER BY q.q DESC, c.doc
+             ) AS rk
+      FROM comp c JOIN qual q ON q.doc = c.doc
+    )
+    SELECT a.doc FROM aug a
+    LEFT JOIN rep r ON r.doc = a.doc
+    WHERE r.doc IS NULL OR r.rk = 1
+    """,
+)
+def dedup_quality_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup resolve — the production variant of
+    ``dedup_near_resolve``: instead of keeping each duplicate cluster's
+    min-id member (arbitrary), keep its highest-QUALITY member
+    (stopword-ratio score, doc-id tiebreak) — the rule RefinedWeb /
+    FineWeb-class pipelines apply so deduplication never discards the
+    best copy of a document. Same verified substrate (LSH pairs →
+    connected components); the selection differs only in the
+    representative rule.
+
+    Scale shape: the quality score joins onto the (small) cluster
+    MEMBERSHIP relation, not the corpus — the corpus-sized scan feeds
+    only a pruned (doc, q) projection; the representative pick is one
+    window partitioned by component (never global); the final survivor
+    filter is a left-anti join of the corpus against the non-
+    representative member set. Quality is an int/int IEEE division, so
+    the kept set is engine-identical."""
+    from pyspark.sql import Window
+
+    from polars_gdal_spark.functions import text as T
+
+    aug = _augmented(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(aug, "doc", "text", 16, 4, 3)
+    comp = D.connected_components(pairs)
+    c = F.col("text")
+    qual = aug.select(
+        "doc", (T.stopword_count(c) / T.token_count(c)).alias("q")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc"))
+    nonrep = (
+        comp.join(qual, "doc")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") > 1)
+        .select("doc")
+    )
+    return aug.join(nonrep, "doc", "left_anti").select("doc")

@@ -132,6 +132,9 @@ EXPECT = {
     "text_gopher_rules": ["!Exchange"],
     # per-shard running sum: ONE window, partitioned (never global)
     "pipeline_token_budget": ["Window", "!CartesianProduct"],
+    # representative pick: component-partitioned window; survivor set
+    # via anti join — no cartesian anywhere in the composed plan
+    "dedup_quality_resolve": ["Window", "!CartesianProduct"],
     "geo_measures": ["!Exchange"],
     "multimodal_frame_sample": ["Generate", "!Exchange"],
     # ---- semi/anti joins (existence, never materialized) ----------------
