@@ -23,21 +23,27 @@ def spread_scan(df, *keys, min_bytes=4 << 20, factor=2):
 
     Spark sizes file splits by BYTES (``spark.sql.files.
     maxPartitionBytes`` / ``openCostInBytes``), which is right for
-    I/O-bound plans but starves per-row CPU-dense stages (md5
-    shingling, HOF tokenization, Arrow GEMM) when the input is a
-    handful of small-but-text-heavy files: a 65 MB documents file
-    opens as ≤16 splits no matter how many cores exist (the 4 MB
-    openCost floor caps split count), and every downstream md5 then
-    runs at half utilization with row-group-alignment stragglers.
-    Measured at sf10: MinHash signatures 25.0 → 10.3 s from this one
-    exchange (16 skewed splits → 64 balanced, 32 cores).
+    I/O-bound plans but starves per-row CPU-dense stages when the
+    input is a handful of small-but-text-heavy files: a 65 MB
+    documents file opens as ≤16 splits no matter how many cores
+    exist (the 4 MB openCost floor caps split count). Worst on a
+    low-row-group layout, where row-group alignment additionally
+    skews the splits: MinHash signatures over an 8-row-group file
+    measured 25.0 → 10.3 s at sf10 from this one exchange.
+
+    APPLY ONLY WHERE A MEASURED A/B WINS. The exchange re-ships the
+    projected input once, so it pays only when the stage's per-byte
+    CPU dominates that cost. Measured on balanced (many-row-group)
+    layouts: the tokenize→explode→aggregate stages of TF-IDF
+    (4.26 → 2.70 s sf1, 6.9 → 4.8 s sf10) and bigram-LM scoring win;
+    the md5-shingle family and the Arrow-GEMM kernels WASH OR LOSE
+    (e.g. winnowing 3.3 → 4.1 s sf1) — those call sites were tried
+    and reverted, and the LSH-bucketed pair path is always wrong
+    here because its own groupBy reshuffles immediately anyway.
 
     On a real cluster reading a 100 TB corpus the source provides
     splits >> slots and this is a NO-OP — the partition-count check
-    runs first and no shuffle is added. It only fires on the
-    few-big-files layout, where one hash exchange of the projected
-    columns (cheap relative to the CPU stage it unblocks) buys
-    full-width parallelism.
+    runs first and no shuffle is added.
 
     ``keys`` should be a high-cardinality column like the doc id —
     hash partitioning is deterministic and skips round-robin's

@@ -28,8 +28,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from polars_gdal_spark.functions import spread_scan
-
 
 def content_digest(col) -> Column:
     """Exact-dup key: md5 of the normalized text."""
@@ -159,12 +157,7 @@ def shingle_table(
 ) -> DataFrame:
     """Exploded (id, shingle) pairs — the working set for MinHash and
     Jaccard. Cardinality ≈ rows × tokens; partitions by shingle hash when
-    joined, which is near-uniform. The input scan is spread to full task
-    width first (:func:`~polars_gdal_spark.functions.spread_scan`) —
-    the shingle build + md5 is the CPU-dense stage of every consumer,
-    and byte-sized file splits under-provision it on few-big-files
-    layouts (no-op when the source already yields ≥ slots splits)."""
-    df = spread_scan(df, id_col)
+    joined, which is near-uniform."""
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
@@ -387,7 +380,6 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
     (11.1 → 5.3 s honest at sf10).
     """
     assert bits <= 32, "md5 hex gives 32 positions"
-    df = spread_scan(df, id_col)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -546,7 +538,6 @@ def _shingle_docarr(
     since both require ≥ ⌈t·|r|⌉ overlap with the probe side).
     Returns ``(docarr, sc_p)``; docarr is persisted MEMORY_AND_DISK."""
     sc_p = df.sparkSession.sparkContext.defaultParallelism
-    df = spread_scan(df, id_col)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
@@ -1165,7 +1156,6 @@ def winnowing_fingerprints(
     but fewer than ``w`` select the single global minimum (one covering
     window). Pure per-row expressions — no shuffle; output is the
     exploded (doc, fp) relation."""
-    df = spread_scan(df, id_col)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )

@@ -21,8 +21,6 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from polars_gdal_spark.functions import spread_scan
-
 QUANT = 1_000_000
 
 # pairwise_cosine(group_col=None) plans a nested-loop self-join — the
@@ -159,9 +157,7 @@ def cosine_range(
                     }
                 )
 
-    return spread_scan(df, id_col).select(id_col, vec_col).mapInPandas(
-        score, out_schema
-    )
+    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def pairwise_cosine(
@@ -421,9 +417,7 @@ def ivf_assign(
                 }
             )
 
-    return spread_scan(df, id_col).select(id_col, vec_col).mapInPandas(
-        assign, schema
-    )
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def ivf_search(
@@ -666,7 +660,7 @@ def lsh_bucketed_pairs(
     math is identical (dots ≤ 3e8 « 2⁵³), so bucket keys are bit-equal
     in both formulations and the oracle keeps passing."""
     keys_udf = _srp_keys_udf(planes, tables)
-    withb = spread_scan(df, id_col).select(
+    withb = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(keys_udf(F.col(vec_col))).alias("bkt"),
@@ -807,9 +801,7 @@ def knn_join(
 
     from pyspark.sql import Window
 
-    local = spread_scan(corpus, id_col).select(id_col, vec_col).mapInPandas(
-        score, out_schema
-    )
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("qid").orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
@@ -1007,9 +999,7 @@ def ivfpq_adc_topk(
                 {id_col: ids, "adc_dist": adc.astype(np.float64)}
             )
 
-    local = spread_scan(corpus, id_col).select(id_col, vec_col).mapInPandas(
-        kernel, out_schema
-    )
+    local = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     return local.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
@@ -1076,9 +1066,9 @@ def hard_negatives(
 
     from pyspark.sql import Window
 
-    local = spread_scan(corpus, id_col).select(
-        id_col, vec_col, label_col
-    ).mapInPandas(score, out_schema)
+    local = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, out_schema
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         local.withColumn("_rn", F.row_number().over(w))
@@ -1266,6 +1256,4 @@ def semantic_decontaminate(
                 }
             )
 
-    return spread_scan(corpus, id_col).select(id_col, vec_col).mapInPandas(
-        score, out_schema
-    )
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)

@@ -176,7 +176,11 @@ def tfidf_topk(
     aggregation and the join probe, and Spark does NOT reuse the
     exchange across those subtrees (verified in the executed plan) —
     without the persist the corpus is tokenized and counted twice
-    (20.5 → 17.3 s at sf10). The returned DataFrame exposes
+    (20.5 → 17.3 s at sf10). The input scan is spread to full task
+    width first (``spread_scan`` — A/B-won at this site at BOTH
+    scales: 4.26 → 2.70 s sf1, 6.9 → 4.8 s sf10; the tokenize→
+    explode→count stage is the rare one whose per-byte CPU dominates
+    the balancing exchange). The returned DataFrame exposes
     ``unpersist_sources()``.
     """
     from pyspark import StorageLevel
