@@ -191,3 +191,65 @@ def stateful_cusum_drift(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming token-budget admission — the live-ingest twin of
+# queries.pipeline.pipeline_token_budget: admit arriving documents to a
+# training mix while the source's cumulative token count stays within
+# its quota. State per source is ONE long (tokens seen so far), so
+# state size is O(sources) — bounded however large the crawl gets.
+# Prefix semantics match the batch query exactly: every arriving
+# document's tokens count against the quota whether or not it is
+# admitted (the batch side filters a running cumsum the same way), so
+# a stream drained in arrival order emits exactly the batch selection.
+
+BUDGET_STATE_SCHEMA = "spent long"
+BUDGET_OUTPUT_SCHEMA = (
+    "doc_id bigint, source string, ntok bigint, cum_tok bigint"
+)
+
+
+def stateful_token_budget(docs: DataFrame, budget: int = 600) -> DataFrame:
+    """docs (streaming, with ``doc_id``/``source``/``text``) → admitted
+    documents with their token count and the source's running total at
+    admission time. Arrival order within a micro-batch is doc_id order
+    (deterministic); cross-batch order is the stream's delivery order,
+    exactly like a real ingest."""
+
+    def admit(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        (spent,) = state.get if state.exists else (0,)
+        out: dict[str, list] = {
+            "doc_id": [],
+            "source": [],
+            "ntok": [],
+            "cum_tok": [],
+        }
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            # whitespace tokens, empties dropped — identical to
+            # functions.text.token_count
+            ntok = sum(1 for t in text.split(" ") if t)
+            spent += ntok
+            if spent <= budget:
+                out["doc_id"].append(int(doc_id))
+                out["source"].append(source)
+                out["ntok"].append(ntok)
+                out["cum_tok"].append(spent)
+        state.update((spent,))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "ntok": "int64", "cum_tok": "int64"}
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=BUDGET_OUTPUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -826,3 +826,72 @@ def test_streaming_ann_probe_matches_indexed_search(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_stateful_token_budget_matches_batch(spark, tmp_path):
+    """Two-batch streamed admission == the batch prefix-cumsum selection
+    in doc_id order: the per-source spent counter carries across
+    micro-batches (the second file's docs are admitted against quota
+    already consumed by the first), and rejected documents still charge
+    the quota — prefix semantics, exactly the batch filter's."""
+    import time
+
+    from pyspark.sql import Window
+
+    from polars_gdal_spark.functions import text as T
+    from polars_gdal_spark.streaming.stateful import stateful_token_budget
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    cut = 250
+    src = tmp_path / "docs_budget"
+    src.mkdir()
+    # two files with ascending doc_id ranges, written in order, so
+    # maxFilesPerTrigger=1 delivers them as two in-order micro-batches
+    docs.where(F.col("doc_id") < cut).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    time.sleep(1.1)
+    docs.where(F.col("doc_id") >= cut).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stateful_token_budget(stream, budget=600)
+        .writeStream.format("memory")
+        .queryName("budget_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["source"], r["ntok"], r["cum_tok"])
+        for r in spark.table("budget_stream").collect()
+    }
+
+    ntok = T.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]: (r["source"], r["ntok"], r["cum_tok"])
+        for r in docs.select(
+            "doc_id", "source", ntok.alias("ntok")
+        )
+        .withColumn("cum_tok", F.sum("ntok").over(w))
+        .where(F.col("cum_tok") <= 600)
+        .collect()
+    }
+    assert got == want
+    # the cross-batch carry must actually be exercised: at least one
+    # source admits docs from the first file and rejects all of the
+    # second file's (quota already spent when batch 2 arrives)
+    first = {d for d in want if d < cut}
+    assert first and len(first) < len(docs.select("doc_id").collect())
