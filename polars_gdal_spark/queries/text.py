@@ -2201,7 +2201,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("bigint")
     mwl = (F.length(c).cast("bigint") - (ntok - 1)) / ntok
-    stops = T.stopword_count(c)
+    # Gopher counts stopword hits case-insensitively (the alpha-token
+    # rule above already lowers); the oracle mirrors with lower(text).
+    stops = T.stopword_count(F.lower(c))
     r_words = (ntok >= 25) & (ntok <= 80)
     r_word_len = (mwl >= 3) & (mwl <= 4.5)
     r_alpha = alpha / ntok >= 0.8
