@@ -1384,15 +1384,21 @@ def dedup_quality_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components); the selection differs only in the
     representative rule.
 
-    Scale shape: the quality score joins onto the (small) cluster
-    MEMBERSHIP relation, not the corpus — the corpus-sized scan feeds
-    only a pruned (doc, q) projection; the representative pick is one
-    window partitioned by component (never global); the final survivor
-    filter is a left-anti join of the corpus against the non-
-    representative member set. Quality is an int/int IEEE division, so
-    the kept set is engine-identical."""
-    from pyspark.sql import Window
-
+    Scale shape: the quality score joins onto the cluster MEMBERSHIP
+    relation keyed by doc (the components loop already leaves it
+    hash-partitioned on doc, so only the pruned (doc, q) projection
+    shuffles); the representative pick is an AGGREGATION, not a window
+    — each component needs only its argmax member, so
+    ``max(struct(q, -doc))`` combines map-side to one row per
+    component per partition instead of sort-shuffling every member
+    (round 9: this replaced a rank window); the rep relation joins
+    back onto the CHECKPOINTED membership (not the scored relation, so
+    the quality scan runs once) to name the non-representatives — AQE
+    picks broadcast vs shuffle there, since rep is O(components) and
+    only small at low duplicate rates — and the final survivor filter
+    is a left-anti join of the corpus against that set. Quality is an
+    int/int IEEE division and the argmax tiebreak (max q, then min
+    doc) is integer-exact, so the kept set is engine-identical."""
     from polars_gdal_spark.functions import text as T
 
     aug = _augmented(spark, sf_dir)
@@ -1402,11 +1408,16 @@ def dedup_quality_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = aug.select(
         "doc", (T.stopword_count(c) / T.token_count(c)).alias("q")
     )
-    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc"))
+    scored = comp.join(qual, "doc")
+    # argmax by (q DESC, doc ASC): max over struct(q, -doc) — doubles
+    # compare on q first, the negated id breaks ties toward min doc
+    rep = scored.groupBy("component").agg(
+        (-F.max(F.struct(F.col("q"), (-F.col("doc")).alias("nd")))["nd"])
+        .alias("rep_doc")
+    )
     nonrep = (
-        comp.join(qual, "doc")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") > 1)
+        comp.join(rep, "component")
+        .where(F.col("doc") != F.col("rep_doc"))
         .select("doc")
     )
     return aug.join(nonrep, "doc", "left_anti").select("doc")
