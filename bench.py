@@ -194,7 +194,9 @@ def _chunk(names: list[str], n_groups: int) -> list[list[str]]:
     return [names[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
 
 
-def _run_isolated(names: list[str], n_groups: int) -> dict[str, float]:
+def _run_isolated(
+    names: list[str], n_groups: int
+) -> tuple[dict[str, float], float | None]:
     """Round-7 verdict item 5 (opt-in: SPARK_GRAFT_BENCH_GROUPS>1):
     split the full suite into a few SEQUENTIAL subprocesses (fresh
     JVM each, same per-query timing loop; JVM startup outside the
@@ -210,6 +212,7 @@ def _run_isolated(names: list[str], n_groups: int) -> dict[str, float]:
     import subprocess
 
     timings: dict[str, float] = {}
+    cals: list[float] = []
     for chunk in _chunk(names, n_groups):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *chunk],
@@ -238,7 +241,37 @@ def _run_isolated(names: list[str], n_groups: int) -> dict[str, float]:
                 f"stderr tail: {proc.stderr[-2000:]}"
             )
         timings.update(parsed["queries"])
-    return timings
+        if "calibration_sec" in parsed:
+            cals.append(parsed["calibration_sec"])
+    # one canary per group JVM; the median is the run's load figure
+    cal = round(statistics.median(cals), 3) if cals else None
+    return timings, cal
+
+
+def _calibration(spark) -> float:
+    """Fixed-work host-load canary (round-8 verdict item 3): a constant
+    job — 20M generated rows, one 100k-key shuffle, zero data read — whose
+    wall time depends only on host conditions, never on sf or repo code.
+    Every artifact carries it as ``calibration_sec`` so drift_audit can
+    separate "the host was loaded" (calibration drifted too) from "the
+    code regressed" (calibration steady) without anyone re-measuring;
+    round 8's driver artifact read as a phantom 1.37x regression that
+    took three artifacts and a fresh bench to dismiss. Median of 3
+    after 1 warmup, same discipline as the query timings."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .groupBy((F.col("id") % 100_000).alias("k"))
+            .count()
+            .count()
+        )
+        return time.time() - t0
+
+    run()
+    return round(statistics.median(run() for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -256,12 +289,13 @@ def main() -> None:
     names = sys.argv[1:] or _full_suite()  # optional per-query iteration
     n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "1"))
     if not sys.argv[1:] and n_groups > 1:
-        timings = _run_isolated(names, n_groups)
-        _emit_full(timings, sf, n_groups)
+        timings, cal = _run_isolated(names, n_groups)
+        _emit_full(timings, sf, n_groups, cal)
         return
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    cal = _calibration(spark)
     timings = {}
 
     def timed_run(spec) -> float:
@@ -316,27 +350,32 @@ def main() -> None:
     if sys.argv[1:]:
         # ad-hoc subset run: the full line is small — print it whole
         # so scale_audit/drift_audit can parse stdout directly
-        print(json.dumps(_result(timings, sf)))
+        print(json.dumps(_result(timings, sf, cal)))
     else:
         # SPARK_GRAFT_BENCH_GROUPS=1: single-JVM full suite (the
         # suite-pressure twin artifacts)
-        _emit_full(timings, sf, 1)
+        _emit_full(timings, sf, 1, cal)
 
 
-def _result(timings: dict[str, float], sf: str) -> dict:
+def _result(timings: dict[str, float], sf: str, cal: float | None) -> dict:
     """The one artifact shape every consumer parses (driver, audits,
     subset stdout, detail files) — built in exactly one place so the
     paths cannot drift."""
-    return {
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
     }
+    if cal is not None:
+        out["calibration_sec"] = cal
+    return out
 
 
-def _emit_full(timings: dict[str, float], sf: str, n_groups: int) -> None:
+def _emit_full(
+    timings: dict[str, float], sf: str, n_groups: int, cal: float | None
+) -> None:
     """Full-suite artifact: the per-query map is ~200 entries and
     growing — round 5's single line overflowed the driver's stdout
     tail capture and was truncated mid-object (BENCH_r05.json parsed:
@@ -348,7 +387,7 @@ def _emit_full(timings: dict[str, float], sf: str, n_groups: int) -> None:
     bench_artifacts/ dir (round-6 ADVICE: epoch-named files in the
     repo root grew without bound); promote a detail file with
     `git add -f` when its compact artifact is committed as canonical."""
-    result = _result(timings, sf)
+    result = _result(timings, sf, cal)
     total = result["value"]
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(repo_dir, "bench_artifacts"), exist_ok=True)
@@ -358,19 +397,18 @@ def _emit_full(timings: dict[str, float], sf: str, n_groups: int) -> None:
     with open(os.path.join(repo_dir, detail_name), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "isolated_groups": n_groups,
-                "queries_file": detail_name,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "isolated_groups": n_groups,
+        "queries_file": detail_name,
+    }
+    if cal is not None:
+        summary["calibration_sec"] = cal
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

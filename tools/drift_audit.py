@@ -79,10 +79,25 @@ def main() -> int:
         return 2
 
     oq, nq = old["queries"], new["queries"]
+    # Host-load canary (bench.py emits a fixed-work calibration job per
+    # run). If both artifacts carry it, its ratio estimates how much of
+    # any uniform inflation is the HOST, not the code: a flagged query
+    # whose load-normalized ratio falls back under the gate is labeled
+    # LOAD-SUSPECT (warning, exit 0) instead of REGRESSED. Only ratios
+    # > 1 excuse anything — a faster host never hides a regression.
+    cal_ratio = None
+    if old.get("calibration_sec") and new.get("calibration_sec"):
+        cal_ratio = new["calibration_sec"] / old["calibration_sec"]
+        print(
+            f"calibration: {old['calibration_sec']:.3f}s -> "
+            f"{new['calibration_sec']:.3f}s ({cal_ratio:.2f}x host load)"
+        )
+    norm = max(cal_ratio, 1.0) if cal_ratio is not None else 1.0
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     bad = []
+    suspect = []
     improved = 0
     for name in common:
         a, b = oq[name], nq[name]
@@ -94,8 +109,12 @@ def main() -> int:
             improved += 1
         verdict = "OK"
         if ratio > args.max_drift and (b - a) >= args.min_abs:
-            verdict = "REGRESSED"
-            bad.append((name, a, b, ratio))
+            if ratio / norm <= args.max_drift:
+                verdict = "LOAD-SUSPECT"
+                suspect.append((name, a, b, ratio))
+            else:
+                verdict = "REGRESSED"
+                bad.append((name, a, b, ratio))
         print(
             f"  {name:42s} {a:7.3f}s -> {b:7.3f}s "
             f"{ratio:6.2f}x vs {args.max_drift:.2f}x  {verdict}"
@@ -119,6 +138,14 @@ def main() -> int:
         print(f"new (no baseline, skipped): {', '.join(added)}")
     if removed:
         print(f"removed since old artifact: {', '.join(removed)}")
+    if suspect:
+        print(
+            f"\n{len(suspect)} load-suspect queries (over the gate raw, "
+            f"under it after dividing out the {norm:.2f}x calibration "
+            "drift — re-measure on a quiet host before chasing):"
+        )
+        for name, a, b, r in suspect:
+            print(f"  {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
     if bad:
         print(f"\n{len(bad)} regressed queries:")
         for name, a, b, r in bad:
