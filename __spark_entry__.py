@@ -62,30 +62,25 @@ def _last_verified_round() -> dict[str, int]:
 # hand-maintained set kept pinning already-re-verified queries at the
 # head of every sweep, displacing genuinely-stale rows).
 CHANGED_IN_ROUND = {
-    # r8: one-md5 xor-constant MinHash family (results changed, oracles
-    # mirrored in the same commit) — every family consumer re-verifies
-    "dedup_minhash_lsh": 8,
-    "dedup_components": 8,
-    "dedup_near_resolve": 8,
-    "dedup_minhash_estimate": 8,
-    "dedup_incremental": 8,
-    "dedup_index_build": 8,
-    "dedup_index_probe": 8,
-    "dedup_lsh_recall": 8,
-    # r8: result-changing semantics pin (boilerplate df cap 1024->64,
-    # oracle mirrored) plus the bigint pair-key cast
-    "dedup_winnowing": 8,
-    # r8: plan/implementation changes, same results (verified)
-    "geo_knn_join": 8,  # count-based underfill detection
-    "geo_knn_join_flagged": 8,  # shares the kNN restructure
-    "text_bigram_lm_score": 8,  # per-doc bigram-type pre-agg
-    "profile_lineitem": 8,  # expand-free distinct subtrees
-    "dedup_simhash": 8,  # integer bit-test votes (byte-identical)
-    "dedup_simhash_pairs": 8,  # inherits the simhash_bits rewrite
-    "text_tfidf_topk": 8,  # tf relation persisted (plan change)
-    # r8: adaptive planes (same plane count — and therefore same
-    # results — at the driver's gate scales; grows with n beyond)
-    "dedup_embedding_cosine": 8,
+    # r9: stopword counting is now case-insensitive (results change on
+    # mixed-case corpora; the fixture vocabulary is lowercase, so gate
+    # results are unchanged — still force a fresh green row)
+    "text_gopher_rules": 9,
+    "pipeline_token_budget": 9,
+    # r9: zip-slice shingle construction in minhash_signatures
+    # (byte-identical signatures, plan change) — every consumer of the
+    # minhash path re-verifies
+    "dedup_minhash_lsh": 9,
+    "dedup_lsh_recall": 9,
+    "dedup_minhash_estimate": 9,
+    "dedup_components": 9,
+    "dedup_near_resolve": 9,
+    "dedup_incremental": 9,
+    "dedup_index_build": 9,
+    "dedup_index_probe": 9,
+    # r9: representative pick rewritten window -> argmax aggregation
+    # (same kept set, plan change) on top of the shingle change
+    "dedup_quality_resolve": 9,
 }
 
 

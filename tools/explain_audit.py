@@ -134,7 +134,9 @@ EXPECT = {
     "pipeline_token_budget": ["Window", "!CartesianProduct"],
     # representative pick: component-partitioned window; survivor set
     # via anti join — no cartesian anywhere in the composed plan
-    "dedup_quality_resolve": ["Window", "!CartesianProduct"],
+    # r9: representative pick is an argmax AGGREGATION (partial/final
+    # HashAggregate), no Window — pin the partial agg and the anti join
+    "dedup_quality_resolve": ["partial", "LeftAnti", "!CartesianProduct"],
     "geo_measures": ["!Exchange"],
     "multimodal_frame_sample": ["Generate", "!Exchange"],
     # ---- semi/anti joins (existence, never materialized) ----------------
