@@ -81,6 +81,9 @@ CHANGED_IN_ROUND = {
     # r9: representative pick rewritten window -> argmax aggregation
     # (same kept set, plan change) on top of the shingle change
     "dedup_quality_resolve": 9,
+    # r9: PPJoin positional filter added to candidate generation
+    # (lossless — identical pairs, verified at sf10 — but plan change)
+    "dedup_ngram_jaccard": 9,
 }
 
 

@@ -679,16 +679,34 @@ def ngram_jaccard_pairs(
     docarr, sc_p = _shingle_docarr(
         df, id_col, text_col, n, threshold, max_shingle_df
     )
-    prefix = docarr.select(
-        "doc", "sz", F.explode("pre").alias("sh")
-    ).repartition(sc_p, "sh")
-    grouped = prefix.groupBy("sh").agg(
-        F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
+    prefix = (
+        docarr.select("doc", "sz", F.posexplode("pre").alias("_p0", "sh"))
+        .select("doc", "sz", (F.col("_p0") + 1).alias("pos"), "sh")
+        .repartition(sc_p, "sh")
     )
-    # all (i < j) pairs of each sorted (doc, sz) list, generated map-side;
-    # the length filter (min size >= t * max size, a necessary condition
-    # for J >= t, epsilon-relaxed so float rounding can only keep extra
-    # candidates) prunes before the distinct
+    grouped = prefix.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "sz", "pos"))).alias(
+            "ds"
+        )
+    )
+    # all (i < j) pairs of each sorted (doc, sz, pos) list, generated
+    # map-side; two lossless prunes run before the distinct, both
+    # epsilon-relaxed so float rounding can only keep extra candidates:
+    # * the length filter (min size >= t * max size — necessary for
+    #   J >= t);
+    # * PPJoin's POSITIONAL filter (WWW'08 §3.2, round 9): both docs'
+    #   arrays are sorted by the same global (df, sh) key, so every
+    #   shared shingle sits at-or-after the pair's FIRST shared one in
+    #   both orders — overlap <= 1 + min(|A|-pos_a, |B|-pos_b). J >= t
+    #   needs overlap >= t/(1+t)·(|A|+|B|); an occurrence below that
+    #   bound cannot be the first shared element of a qualifying pair,
+    #   and the first shared occurrence of any TRUE pair always passes
+    #   (its bound >= the actual overlap), so dropDuplicates keeps
+    #   every qualifying pair. Measured at sf10: candidates
+    #   33.4M -> 4.0M, verify 86 -> 14 s, result rows identical.
+    required = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("sz_a") + F.col("sz_b")
+    ) - F.lit(1e-9)
     cand = (
         grouped.select(
             F.explode(
@@ -696,7 +714,9 @@ def ngram_jaccard_pairs(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
                     "y -> struct(x.doc AS doc_a, x.sz AS sz_a, "
-                    "y.doc AS doc_b, y.sz AS sz_b))))"
+                    "x.pos AS pos_a, "
+                    "y.doc AS doc_b, y.sz AS sz_b, "
+                    "y.pos AS pos_b))))"
                 )
             ).alias("p")
         )
@@ -705,6 +725,17 @@ def ngram_jaccard_pairs(
             F.least("sz_a", "sz_b")
             >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
         )
+        .where(
+            (
+                1
+                + F.least(
+                    F.col("sz_a") - F.col("pos_a"),
+                    F.col("sz_b") - F.col("pos_b"),
+                )
+            )
+            >= required
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
         .dropDuplicates(["doc_a", "doc_b"])
         .repartition(sc_p, "doc_a")
     )
