@@ -565,6 +565,7 @@ def _shingle_docarr(
     n: int,
     threshold: float,
     max_shingle_df: int,
+    with_prefix: bool = True,
 ):
     """Shared candidate-generation substrate for the PPJoin-style
     similarity joins (:func:`ngram_jaccard_pairs`,
@@ -573,7 +574,16 @@ def _shingle_docarr(
     with its size and prefix slice (prefix length
     ``|r| − ⌈t·|r|⌉ + 1`` — the completeness bound both measures share,
     since both require ≥ ⌈t·|r|⌉ overlap with the probe side).
-    Returns ``(docarr, sc_p)``; docarr is persisted MEMORY_AND_DISK."""
+    Returns ``(docarr, sc_p)``; docarr is persisted MEMORY_AND_DISK.
+
+    ``with_prefix=False`` (round 9) serves VERIFY-ONLY consumers
+    (``dedup_minhash_estimate``, whose candidates come from LSH, not
+    from a prefix join): the rare-first ordering exists solely to cut
+    prefixes, so skipping it drops the df re-join (a second 41M-row
+    shuffle at sf10) and sorts plain longs instead of (df, sh) structs
+    — the arrays feed only set ops (``array_intersect``), which are
+    order-free. Measured 19.4 → 8.5 s warm at sf10; ``pre`` is absent
+    from the result."""
     sc_p = df.sparkSession.sparkContext.defaultParallelism
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
@@ -593,6 +603,14 @@ def _shingle_docarr(
     dfs = base.groupBy("sh").agg(F.count("*").alias("_df"))
     hot = dfs.where(F.col("_df") > max_shingle_df).select("sh")
     shc = base.join(F.broadcast(hot), "sh", "left_anti")
+    if not with_prefix:
+        docarr = (
+            shc.groupBy("doc")
+            .agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+            .select("doc", F.size("shs").alias("sz"), "shs")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return docarr, sc_p
     # ceil() runs on floats; the 1e-9 bias only ever LENGTHENS the
     # prefix, which is always safe (a shortening would be a
     # false-negative bug).

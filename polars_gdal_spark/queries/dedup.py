@@ -715,7 +715,12 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs verified (millions) to left-join back a few thousand
     # candidates; work is now O(candidates), the quantity the harness
     # actually reports.
-    docarr, _ = D._shingle_docarr(aug, "doc", "text", 3, 0.0, 1024)
+    # with_prefix=False: candidates come from LSH, never from a prefix
+    # join, and array_intersect is order-free — skip the df re-join
+    # and the rare-first struct sort (19.4 -> 8.5 s at sf10)
+    docarr, _ = D._shingle_docarr(
+        aug, "doc", "text", 3, 0.0, 1024, with_prefix=False
+    )
     verified = (
         est.join(
             docarr.select(
