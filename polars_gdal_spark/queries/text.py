@@ -2221,3 +2221,152 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+@query(
+    "text_repetition_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+             length(text) AS ch
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, ch, tk[i] || ' ' || tk[i+1] AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2
+    ),
+    c2 AS (
+      SELECT doc_id, g, any_value(ch) AS ch, count(*) AS c
+      FROM g2 GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT doc_id,
+             max(c * length(g)) / any_value(ch) AS top2f,
+             sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+               / any_value(ch) AS dup2f
+      FROM c2 GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id, ch, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+      WHERE len(tk) >= 3
+    ),
+    c3 AS (
+      SELECT doc_id, g, any_value(ch) AS ch, count(*) AS c
+      FROM g3 GROUP BY 1, 2
+    ),
+    a3 AS (
+      SELECT doc_id, max(c * length(g)) / any_value(ch) AS top3f
+      FROM c3 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(a2.top2f, 0.0) AS top2f,
+           COALESCE(a2.dup2f, 0.0) AS dup2f,
+           COALESCE(a3.top3f, 0.0) AS top3f,
+           COALESCE(a2.top2f, 0.0) <= 0.10 AS r_top2,
+           COALESCE(a2.dup2f, 0.0) <= 0.15 AS r_dup2,
+           COALESCE(a3.top3f, 0.0) <= 0.12 AS r_top3,
+           COALESCE(a2.top2f, 0.0) <= 0.10
+             AND COALESCE(a2.dup2f, 0.0) <= 0.15
+             AND COALESCE(a3.top3f, 0.0) <= 0.12 AS keep
+    FROM documents d
+    LEFT JOIN a2 ON a2.doc_id = d.doc_id
+    LEFT JOIN a3 ON a3.doc_id = d.doc_id
+    """,
+)
+def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION rules (Rae et al. 2021, Table A1 lower
+    half — the within-document repetition half of the quality table
+    that ``text_gopher_rules``' hard thresholds leave uncovered):
+    fraction of characters covered by the most frequent word 2-gram
+    (``top2f``) and 3-gram (``top3f``), and by all duplicated 2-grams
+    (``dup2f``); a document is kept only under all three caps. The
+    fixture corpus has no newlines, so the paper's duplicate-LINE
+    family is degenerate here and the n-gram family is the operative
+    one; thresholds (0.10/0.15/0.12) are adapted to split the fixture
+    non-trivially, like text_gopher_rules' windows — the RULE SET and
+    the char-fraction definitions are Gopher's. Overlapping n-gram
+    occurrences count their characters once per occurrence
+    (freq x length(gram) / length(doc)), mirrored exactly in the
+    oracle.
+
+    Scale shape: per-document n-gram counting is two map-side-
+    combinable aggregations per n (groupBy(doc, gram) count, then a
+    per-doc max/sum) plus two doc-keyed joins — everything linear,
+    partial-aggregated, and partitioned by doc or (doc, gram); no
+    global state, no windows, no arrays shipped between stages. The
+    n-gram rows are built with the zip-slice construction (bulk
+    slices + arrays_zip + one concat_ws per row after the explode, all
+    whole-stage codegen) rather than a per-position interpreted
+    lambda, the same 8x-measured pattern minhash_signatures uses.
+
+    All fractions are int/int IEEE divisions compared against shared
+    literals, so verdicts are engine-identical."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.lower(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("ch"),
+        tk.alias("_tk"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        m = F.size(F.col("_tk")) - (n - 1)
+        zipped = F.arrays_zip(
+            *[
+                F.slice(F.col("_tk"), i + 1, m).alias(f"_{i}")
+                for i in range(n)
+            ]
+        )
+        return (
+            base.where(F.size("_tk") >= n)
+            .select("doc_id", "ch", F.explode(zipped).alias("_g"))
+            .select(
+                "doc_id",
+                "ch",
+                F.concat_ws(
+                    " ", *[F.col("_g")[f"_{i}"] for i in range(n)]
+                ).alias("g"),
+            )
+        )
+
+    chars = F.col("c") * F.length("g")
+    c2 = grams(2).groupBy("doc_id", "g").agg(
+        F.first("ch").alias("ch"), F.count("*").alias("c")
+    )
+    a2 = c2.groupBy("doc_id").agg(
+        (F.max(chars) / F.first("ch")).alias("top2f"),
+        (
+            F.sum(F.when(F.col("c") >= 2, chars).otherwise(F.lit(0)))
+            / F.first("ch")
+        ).alias("dup2f"),
+    )
+    c3 = grams(3).groupBy("doc_id", "g").agg(
+        F.first("ch").alias("ch"), F.count("*").alias("c")
+    )
+    a3 = c3.groupBy("doc_id").agg(
+        (F.max(chars) / F.first("ch")).alias("top3f")
+    )
+    top2f = F.coalesce("top2f", F.lit(0.0))
+    dup2f = F.coalesce("dup2f", F.lit(0.0))
+    top3f = F.coalesce("top3f", F.lit(0.0))
+    r_top2 = top2f <= 0.10
+    r_dup2 = dup2f <= 0.15
+    r_top3 = top3f <= 0.12
+    return (
+        docs.select("doc_id")
+        .join(a2, "doc_id", "left")
+        .join(a3, "doc_id", "left")
+        .select(
+            "doc_id",
+            top2f.alias("top2f"),
+            dup2f.alias("dup2f"),
+            top3f.alias("top3f"),
+            r_top2.alias("r_top2"),
+            r_dup2.alias("r_dup2"),
+            r_top3.alias("r_top3"),
+            (r_top2 & r_dup2 & r_top3).alias("keep"),
+        )
+    )

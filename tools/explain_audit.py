@@ -130,6 +130,9 @@ EXPECT = {
     "text_quality_features": ["!Exchange"],
     # one scan, rule verdicts fused — no shuffle anywhere
     "text_gopher_rules": ["!Exchange"],
+    # repetition rules: per-(doc, gram) and per-doc aggs must stay
+    # partial (map-side combinable); no window, no cartesian
+    "text_repetition_rules": ["partial", "!Window", "!CartesianProduct"],
     # per-shard running sum: ONE window, partitioned (never global)
     "pipeline_token_budget": ["Window", "!CartesianProduct"],
     # representative pick: component-partitioned window; survivor set
