@@ -377,6 +377,10 @@ def _result(timings: dict[str, float], sf: str, cal: float | None) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # forcing sink used for the timed action — drift_audit refuses
+        # to compare artifacts timed with different sinks (count()-era
+        # artifacts lack the field and are pruned-plan measurements)
+        "timed_sink": "noop",
     }
     if cal is not None:
         out["calibration_sec"] = cal
@@ -415,6 +419,7 @@ def _emit_full(
         "n_queries": len(timings),
         "isolated_groups": n_groups,
         "queries_file": detail_name,
+        "timed_sink": "noop",
     }
     if cal is not None:
         summary["calibration_sec"] = cal

@@ -166,7 +166,13 @@ def shingle_table(
 
 
 def _shingle_rows_with_dups(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    id_alias: str = "doc",
+    out_col: str = "shingle",
 ) -> DataFrame:
     """Exploded (doc, shingle) rows for MIN-AGGREGATING consumers only
     (MinHash): duplicate in-doc shingles are KEPT — a min over a bag
@@ -180,7 +186,13 @@ def _shingle_rows_with_dups(
     per row inside whole-stage codegen. Byte-identical shingle strings,
     so the md5-based scheme and its DuckDB oracle mirror are unchanged.
     Jaccard/PPJoin consumers must keep :func:`shingle_table` (set
-    semantics)."""
+    semantics).
+
+    ``extra_cols`` are carried through unchanged (e.g. a per-doc char
+    count for repetition-fraction consumers); ``id_alias``/``out_col``
+    rename the two produced columns so non-dedup consumers
+    (``text_repetition_rules``) share this construction instead of
+    duplicating it."""
     tk = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
@@ -188,15 +200,19 @@ def _shingle_rows_with_dups(
     zipped = F.arrays_zip(
         *[F.slice(F.col("_tk"), i + 1, m).alias(f"_{i}") for i in range(n)]
     )
+    carried = list(extra_cols)
     return (
-        df.select(F.col(id_col).alias("doc"), tk.alias("_tk"))
+        df.select(
+            F.col(id_col).alias(id_alias), *carried, tk.alias("_tk")
+        )
         .where(F.size(F.col("_tk")) >= n)
-        .select("doc", F.explode(zipped).alias("_g"))
+        .select(id_alias, *carried, F.explode(zipped).alias("_g"))
         .select(
-            "doc",
+            id_alias,
+            *carried,
             F.concat_ws(
                 " ", *[F.col("_g")[f"_{i}"] for i in range(n)]
-            ).alias("shingle"),
+            ).alias(out_col),
         )
     )
 
@@ -604,9 +620,11 @@ def _shingle_docarr(
     hot = dfs.where(F.col("_df") > max_shingle_df).select("sh")
     shc = base.join(F.broadcast(hot), "sh", "left_anti")
     if not with_prefix:
+        # no sort: the arrays feed only order-free set ops
+        # (array_intersect) — element order never reaches any output
         docarr = (
             shc.groupBy("doc")
-            .agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+            .agg(F.collect_list("sh").alias("shs"))
             .select("doc", F.size("shs").alias("sz"), "shs")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -2304,32 +2304,25 @@ def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All fractions are int/int IEEE divisions compared against shared
     literals, so verdicts are engine-identical."""
+    from polars_gdal_spark.functions.dedup import _shingle_rows_with_dups
+
     docs = load_tables(spark, sf_dir)["documents"]
-    tk = T.tokens(F.lower(F.col("text")))
     base = docs.select(
-        "doc_id",
-        F.length("text").cast("bigint").alias("ch"),
-        tk.alias("_tk"),
+        "doc_id", F.length("text").cast("bigint").alias("ch"), "text"
     )
 
     def grams(n: int) -> DataFrame:
-        m = F.size(F.col("_tk")) - (n - 1)
-        zipped = F.arrays_zip(
-            *[
-                F.slice(F.col("_tk"), i + 1, m).alias(f"_{i}")
-                for i in range(n)
-            ]
-        )
-        return (
-            base.where(F.size("_tk") >= n)
-            .select("doc_id", "ch", F.explode(zipped).alias("_g"))
-            .select(
-                "doc_id",
-                "ch",
-                F.concat_ws(
-                    " ", *[F.col("_g")[f"_{i}"] for i in range(n)]
-                ).alias("g"),
-            )
+        # the shared zip-slice construction (one codegen concat_ws per
+        # row after the explode — see functions.dedup), carrying the
+        # per-doc char count through for the fraction denominators
+        return _shingle_rows_with_dups(
+            base,
+            "doc_id",
+            "text",
+            n,
+            extra_cols=("ch",),
+            id_alias="doc_id",
+            out_col="g",
         )
 
     chars = F.col("c") * F.length("g")
