@@ -173,6 +173,7 @@ def _shingle_rows_with_dups(
     extra_cols: tuple[str, ...] = (),
     id_alias: str = "doc",
     out_col: str = "shingle",
+    hashed: bool = False,
 ) -> DataFrame:
     """Exploded (doc, shingle) rows for MIN-AGGREGATING consumers only
     (MinHash): duplicate in-doc shingles are KEPT — a min over a bag
@@ -192,7 +193,12 @@ def _shingle_rows_with_dups(
     count for repetition-fraction consumers); ``id_alias``/``out_col``
     rename the two produced columns so non-dedup consumers
     (``text_repetition_rules``) share this construction instead of
-    duplicating it."""
+    duplicating it. ``hashed=True`` emits ``xxhash64`` over the n token
+    slots directly (bigint, no n-gram string ever materialized) for
+    consumers that only need shingle IDENTITY — joins/membership/counts
+    — where 8-byte keys shrink every downstream shuffle and a 64-bit
+    collision is ~2^-64 per pair (the ngram_jaccard substrate's
+    documented argument)."""
     tk = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
@@ -210,8 +216,12 @@ def _shingle_rows_with_dups(
         .select(
             id_alias,
             *carried,
-            F.concat_ws(
-                " ", *[F.col("_g")[f"_{i}"] for i in range(n)]
+            (
+                F.xxhash64(*[F.col("_g")[f"_{i}"] for i in range(n)])
+                if hashed
+                else F.concat_ws(
+                    " ", *[F.col("_g")[f"_{i}"] for i in range(n)]
+                )
             ).alias(out_col),
         )
     )
