@@ -84,6 +84,8 @@ CHANGED_IN_ROUND = {
     # r9: PPJoin positional filter added to candidate generation
     # (lossless — identical pairs, verified at sf10 — but plan change)
     "dedup_ngram_jaccard": 9,
+    # r9: hashed zip-slice shingles + semi-join rewrite (same counts)
+    "pipeline_split_leakage": 9,
 }
 
 

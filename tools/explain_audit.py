@@ -195,7 +195,10 @@ EXPECT = {
     # train shingles join by KEY (nothing requires them in memory; AQE
     # may broadcast at toy scale, shuffles at corpus scale); split
     # assignment is a zero-shuffle projection
-    "pipeline_split_leakage": ["partial", "!CartesianProduct"],
+    # r9: hashed shingles + semi-join against raw train rows (the
+    # distinct pass is gone); the held-out dedup and count aggs stay
+    # map-side combinable
+    "pipeline_split_leakage": ["LeftSemi", "partial", "!CartesianProduct"],
     # classifier-surrogate scoring fused into the scan: no exchange
     "text_quality_logit": ["!Exchange"],
     # all moments in ONE map-combined aggregate; 1-row result
