@@ -62,30 +62,15 @@ def _last_verified_round() -> dict[str, int]:
 # hand-maintained set kept pinning already-re-verified queries at the
 # head of every sweep, displacing genuinely-stale rows).
 CHANGED_IN_ROUND = {
-    # r9: stopword counting is now case-insensitive (results change on
-    # mixed-case corpora; the fixture vocabulary is lowercase, so gate
-    # results are unchanged — still force a fresh green row)
-    "text_gopher_rules": 9,
-    "pipeline_token_budget": 9,
-    # r9: zip-slice shingle construction in minhash_signatures
-    # (byte-identical signatures, plan change) — every consumer of the
-    # minhash path re-verifies
-    "dedup_minhash_lsh": 9,
-    "dedup_lsh_recall": 9,
-    "dedup_minhash_estimate": 9,
-    "dedup_components": 9,
-    "dedup_near_resolve": 9,
-    "dedup_incremental": 9,
-    "dedup_index_build": 9,
-    "dedup_index_probe": 9,
-    # r9: representative pick rewritten window -> argmax aggregation
-    # (same kept set, plan change) on top of the shingle change
-    "dedup_quality_resolve": 9,
-    # r9: PPJoin positional filter added to candidate generation
-    # (lossless — identical pairs, verified at sf10 — but plan change)
-    "dedup_ngram_jaccard": 9,
-    # r9: hashed zip-slice shingles + semi-join rewrite (same counts)
-    "pipeline_split_leakage": 9,
+    # (r9 entries expired: all 13 landed green r9 driver rows —
+    # CORRECTNESS_r09.json — so they sort by staleness again)
+    # r10: window hash rewritten md5(string) -> xxhash64 zip-slice
+    # (identical counts by the ~2^-64 identity argument; plan change)
+    "dedup_substring_windows": 10,
+    # r10: verify stage intersects suffix slices from the min shared
+    # prefix position instead of full arrays (lossless — see
+    # functions/dedup.py ngram_jaccard_pairs; plan change)
+    "dedup_ngram_jaccard": 10,
 }
 
 

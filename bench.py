@@ -262,12 +262,17 @@ def _calibration(spark) -> float:
 
     def run() -> float:
         t0 = time.time()
-        (
+        # the trailing .count() is the ACTION that executes the canary
+        # job — pin its expected cardinality so a refactor that drops
+        # it (leaving a no-op plan build) fails loudly instead of
+        # silently corrupting load normalization
+        n = (
             spark.range(0, 20_000_000, 1, 32)
             .groupBy((F.col("id") % 100_000).alias("k"))
             .count()
             .count()
         )
+        assert n == 100_000, f"calibration canary computed {n} groups"
         return time.time() - t0
 
     run()

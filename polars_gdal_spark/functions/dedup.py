@@ -606,10 +606,10 @@ def _shingle_docarr(
     (``dedup_minhash_estimate``, whose candidates come from LSH, not
     from a prefix join): the rare-first ordering exists solely to cut
     prefixes, so skipping it drops the df re-join (a second 41M-row
-    shuffle at sf10) and sorts plain longs instead of (df, sh) structs
-    — the arrays feed only set ops (``array_intersect``), which are
-    order-free. Measured 19.4 → 8.5 s warm at sf10; ``pre`` is absent
-    from the result."""
+    shuffle at sf10) and skips the sort entirely (plain
+    ``collect_list``) — the arrays feed only set ops
+    (``array_intersect``), which are order-free. Measured 19.4 → 8.5 s
+    warm at sf10; ``pre`` is absent from the result."""
     sc_p = df.sparkSession.sparkContext.defaultParallelism
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")

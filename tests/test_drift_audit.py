@@ -87,3 +87,27 @@ def test_queries_file_indirection(tmp_path):
         {"sf": 1.0, "queries": {"q": 1.05}},
     )
     assert rc == 0
+
+
+def test_load_suspect_exits_3_not_0(tmp_path):
+    """A flagged row the canary excuses is 'pending quiet-host
+    re-measure', not clean — callers gating on the exit code need the
+    distinction (round-9 ADVICE)."""
+    rc, out = _run(
+        tmp_path,
+        {"sf": 0.1, "calibration_sec": 0.70, "queries": {"q": 2.0}},
+        # 1.45x query drift, canary 1.5x: normalized 0.97x <= gate
+        {"sf": 0.1, "calibration_sec": 1.05, "queries": {"q": 2.9}},
+    )
+    assert rc == 3 and "LOAD-SUSPECT" in out
+
+
+def test_regression_beats_load_excuse(tmp_path):
+    # canary over the floor but the query drifted far beyond it:
+    # normalization must NOT excuse a real regression
+    rc, out = _run(
+        tmp_path,
+        {"sf": 0.1, "calibration_sec": 0.70, "queries": {"q": 2.0}},
+        {"sf": 0.1, "calibration_sec": 0.95, "queries": {"q": 4.5}},
+    )
+    assert rc == 1 and "REGRESSED" in out

@@ -116,3 +116,79 @@ def test_gopher_keep_is_rule_conjunction(spark):
         n_keep += bool(r.keep)
     # thresholds are corpus-adapted so the filter splits non-trivially
     assert 0 < n_keep < len(rows)
+
+
+def _mixed_case_sf_dir(tmp_path, docs):
+    """Clone the sf0.001 table set with a hand-built documents table —
+    the registry queries take an sf dir, so semantic pins on corpus
+    CONTENT build one."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfmx"
+    d.mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{name}.parquet", d)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([r[2] for r in docs], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in docs], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_stopword_rules_are_case_insensitive(spark, tmp_path):
+    """Round-9 ADVICE: the fixture corpus is lowercase, so the oracle
+    gate cannot distinguish stopword_count(lower(c)) from
+    stopword_count(c) — pin the lowercased semantic on mixed-case text
+    so a regression to case-sensitive counting fails HERE."""
+    # doc 0: stopwords appear ONLY capitalized — case-sensitive
+    # counting sees 0 (< 2 => r_stopwords False), lowercased sees 4
+    filler = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (0, "The It And But " + filler, "g"),
+        (1, "zz yy xx " + filler, "g"),  # no stopwords either way
+    ]
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_gopher_rules"]
+        .func(spark, _mixed_case_sf_dir(tmp_path, docs))
+        .collect()
+    }
+    assert rows[0].r_stopwords, (
+        "capitalized stopwords must count (lowercased semantics)"
+    )
+    assert not rows[1].r_stopwords
+
+
+def test_token_budget_quality_is_case_insensitive(spark, tmp_path):
+    """Same pin for pipeline_token_budget's quality ratio: the greedy
+    rank must order by stopword_count(lower(text))/ntok."""
+    n = 400  # each doc alone fits the 600-token budget; both don't
+    caps = ("The It And But Not She May Out Who Now " * (n // 10)).split()
+    low = ["the"] + [f"w{i}" for i in range(n - 1)]
+    docs = [
+        (0, " ".join(caps), "mx"),  # q=1.0 lowercased, 0.0 otherwise
+        (1, " ".join(low), "mx"),  # q=1/400 under either counting
+    ]
+    sel = (
+        QUERIES["pipeline_token_budget"]
+        .func(spark, _mixed_case_sf_dir(tmp_path, docs))
+        .collect()
+    )
+    picked = {r.doc_id for r in sel if r.source == "mx"}
+    # lowercased ranking picks doc 0 first and doc 1 overflows;
+    # case-sensitive ranking would pick doc 1 instead
+    assert picked == {0}

@@ -21,7 +21,12 @@ Rules:
   * a query slower than ``max_drift`` x old AND slower by at least
     0.5 s absolute FAILS (exit 1). The absolute guard keeps a
     0.6 s -> 0.9 s blip from failing a build while still catching a
-    2 s -> 3 s real regression.
+    2 s -> 3 s real regression;
+  * if the host-load canary (> 1.25x) explains every flagged row, the
+    run exits 3, not 0 — load-suspect means "unresolved pending a
+    quiet-host re-measure", which callers gating on the exit code must
+    be able to tell apart from clean. Exit 2 = refused comparison
+    (different sf or timed sink).
 
 Artifacts measured on different harness versions (e.g. before/after
 the bench clearCache fix) or different run modes (isolated vs full
@@ -185,8 +190,13 @@ def main() -> int:
             "\nno code regressions CONFIRMED, but the load-suspect rows "
             "above are unresolved until re-measured on a quiet host"
         )
-    else:
-        print("\nno regressions beyond the drift gate")
+        # distinct exit code (round-9 ADVICE): callers gating on the
+        # return code must be able to tell "clean" (0) from "pending a
+        # quiet-host re-measure" — load-suspect rows exiting 0 would
+        # let a genuine regression that coincides with host load pass
+        # CI with only the warning text as evidence
+        return 3
+    print("\nno regressions beyond the drift gate")
     return 0
 
 
