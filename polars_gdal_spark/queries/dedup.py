@@ -1087,35 +1087,33 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANY alignment — a copied paragraph flags every window it covers,
     not just the lines that happen to align to the 10-token grid.
 
-    Scale shape: window generation is explode(sequence) + slice +
-    array_join + md5 — all codegen (no interpreted higher-order
-    lambda); the shared-window set comes from one map-side-combined
-    count-distinct groupBy on the 128-bit window hash; attribution is
-    one equi-join on the same uniform key; per-doc totals are a
-    projection (size − k + 1). Two balanced shuffles, no all-pairs
-    stage, no window function — the CCNet/line-dedup plan with a k×
-    denser (but still linear) stream. Runs over the augmented corpus
-    (base ∪ 80%-prefix mutants) so genuinely shared spans exist at
-    every SF."""
+    Scale shape (round 10: md5-over-window-string → zip-slice
+    ``xxhash64`` over the k token slots, the exact change that took
+    ``pipeline_split_leakage`` 20.4→5.7 s at sf1): windows are hashed
+    to 64-bit longs DIRECTLY — k bulk ``slice`` copies zipped
+    positionally, one ``xxhash64`` per row in whole-stage codegen, no
+    window string or md5 hex ever materialized — so both shuffles
+    carry 8-byte keys instead of 32-char hex. Identity by hash is the
+    ngram_jaccard substrate's documented ~2⁻⁶⁴ argument: only
+    membership COUNTS reach the output, so the DuckDB oracle's
+    md5-keyed grouping is count-identical and stays unchanged. The
+    shared-window set comes from one map-side-combined count-distinct
+    groupBy on the window hash; attribution is one equi-join on the
+    same uniform key; per-doc totals are a projection (size − k + 1).
+    Two balanced shuffles, no all-pairs stage, no window function —
+    the CCNet/line-dedup plan with a k× denser (but still linear)
+    stream. Runs over the augmented corpus (base ∪ 80%-prefix
+    mutants) so genuinely shared spans exist at every SF."""
+    from polars_gdal_spark.functions.dedup import _shingle_rows_with_dups
+
     k = 20
     aug = _augmented(spark, sf_dir)
     tk = _toks(F.col("text"))
     base = aug.select("doc", tk.alias("tk"))
-    w = (
-        base.where(F.size("tk") >= k)
-        .select(
-            "doc",
-            F.explode(
-                F.sequence(F.lit(1), F.size("tk") - (k - 1))
-            ).alias("i"),
-            "tk",
-        )
-        .select(
-            "doc",
-            F.md5(
-                F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")
-            ).alias("h"),
-        )
+    # aug text is already lowercase-normalized, so the builder's
+    # lower() is an identity and the windows match _toks' tokens
+    w = _shingle_rows_with_dups(
+        aug, "doc", "text", k, id_alias="doc", out_col="h", hashed=True
     )
     shared = (
         w.groupBy("h")
