@@ -68,9 +68,12 @@ CHANGED_IN_ROUND = {
     # (identical counts by the ~2^-64 identity argument; plan change)
     "dedup_substring_windows": 10,
     # r10: verify stage intersects suffix slices from the min shared
-    # prefix position instead of full arrays (lossless — see
-    # functions/dedup.py ngram_jaccard_pairs; plan change)
+    # prefix position instead of full arrays; candidates from a codegen
+    # prefix self-join; DF cap fused into the shuffled-hash df-attach
+    # join (all lossless — see functions/dedup.py; plan changes)
     "dedup_ngram_jaccard": 10,
+    # r10: shares the rewritten _shingle_docarr substrate (same rows)
+    "dedup_containment_pairs": 10,
 }
 
 

@@ -627,11 +627,12 @@ def _shingle_docarr(
     from pyspark import StorageLevel
 
     dfs = base.groupBy("sh").agg(F.count("*").alias("_df"))
-    hot = dfs.where(F.col("_df") > max_shingle_df).select("sh")
-    shc = base.join(F.broadcast(hot), "sh", "left_anti")
     if not with_prefix:
-        # no sort: the arrays feed only order-free set ops
+        # broadcast-anti DF cap (the hot set is tiny at any corpus
+        # size); no sort: the arrays feed only order-free set ops
         # (array_intersect) — element order never reaches any output
+        hot = dfs.where(F.col("_df") > max_shingle_df).select("sh")
+        shc = base.join(F.broadcast(hot), "sh", "left_anti")
         docarr = (
             shc.groupBy("doc")
             .agg(F.collect_list("sh").alias("shs"))
@@ -639,6 +640,21 @@ def _shingle_docarr(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         return docarr, sc_p
+    # Prefix consumers need per-occurrence df anyway, so the DF cap is
+    # the INNER join against the ≤cap df table — capping and df-attach
+    # in one equi-join (round 10). The old broadcast-anti pass was a
+    # third full shingle-generation: Catalyst reuses no exchange
+    # between the hot-set BroadcastExchange and the df join's hash
+    # exchange (read from the sf10 plan), so building the broadcast
+    # recomputed the whole 41M-row groupBy. The inner join adds no
+    # shuffle the df join didn't already pay, and the aggregation
+    # buffer stays fixed-width (count only) at any corpus skew.
+    # shuffle_hash hint: SMJ sorts 41M occurrence rows on both sides;
+    # the hash build side is the post-agg df table — UNIQUE 8-byte
+    # keys, so per-partition build memory is |distinct capped
+    # shingles| / shuffle-partitions × 16 B (partition-count-sized at
+    # any corpus scale, skew-free by construction). Measured
+    # 15.9 → 9.3 s for the substrate build at sf10.
     # ceil() runs on floats; the 1e-9 bias only ever LENGTHENS the
     # prefix, which is always safe (a shortening would be a
     # false-negative bug).
@@ -646,7 +662,12 @@ def _shingle_docarr(
         f"size(a) - cast(ceil({threshold} * size(a) - 1e-9) as int) + 1"
     )
     docarr = (
-        shc.join(dfs, "sh")
+        base.join(
+            dfs.where(F.col("_df") <= max_shingle_df).hint(
+                "shuffle_hash"
+            ),
+            "sh",
+        )
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("a"))
         .select(
@@ -698,8 +719,17 @@ def ngram_jaccard_pairs(
        shingle cardinality is ~2\u207b\u00b3\u2075 \u2014 below any observable effect).
        Every downstream shuffle moves 8-byte keys instead of ~25-byte
        strings.
-    2. The DF cap stays an **in-plan broadcast anti-join** against the
-       (tiny) hot set \u2014 no second shuffle of the shingle table.
+    2. The DF cap is fused into the **shuffled-hash df-attach join**
+       (round 10): prefix ordering needs per-occurrence df anyway, so
+       the \u2264cap df table IS the inner-join side \u2014 no separate anti
+       pass, no third shingle-generation (Catalyst reused no exchange
+       between the old hot-set broadcast and the df join \u2014 read from
+       the sf10 plan). The hash build side has UNIQUE 8-byte keys
+       (post-agg shingles), so per-partition build memory is
+       |distinct capped shingles| / shuffle-partitions \u00d7 16 B \u2014 sized
+       by partition count at any corpus scale, and skew-free by
+       construction. Measured 15.9 \u2192 9.3 s for the substrate at sf10
+       (SMJ was sorting 41M rows on both sides of the join).
     3. **Prefix filtering** (the PPJoin principle \u2014 Xiao, Wang, Lin &
        Yu, "Efficient Similarity Joins for Near Duplicate Detection",
        WWW 2008): order each document's shingles by ascending global
@@ -716,12 +746,20 @@ def ngram_jaccard_pairs(
        shingle arrays (bounded by document length) and computes
        |A\u2229B| with one vectorized ``array_intersect`` per pair \u2014 each
        candidate pair crosses the wire ONCE, instead of once per
-       shared shingle as in the old co-occurrence count.
+       shared shingle as in the old co-occurrence count. Round 10:
+       the intersect runs over SUFFIX slices from the pair's first
+       shared prefix position (carried as min(pos) through the
+       candidate agg) \u2014 lossless because both arrays share the global
+       (df, sh) sort, and cheapest exactly on the false candidates
+       that dominate the verify stage, whose first shared element
+       sits deep in both prefixes.
     6. The hot shuffles are **explicitly hash-repartitioned to
        ``defaultParallelism``**: AQE's size-based coalescing sees only
-       a few MB here and would serialize the CPU-heavy pair explode
-       onto 4-8 tasks; pinning partition count keeps all cores busy
-       and is the neutral choice on a real cluster."""
+       a few MB here and would serialize the CPU-heavy pair join onto
+       4-8 tasks; pinning partition count keeps all cores busy and is
+       the neutral choice on a real cluster. Both pair-join sides
+       project from the SAME repartitioned prefix relation, so the
+       exchange is planned once and reused."""
     docarr, sc_p = _shingle_docarr(
         df, id_col, text_col, n, threshold, max_shingle_df
     )
@@ -730,14 +768,14 @@ def ngram_jaccard_pairs(
         .select("doc", "sz", (F.col("_p0") + 1).alias("pos"), "sh")
         .repartition(sc_p, "sh")
     )
-    grouped = prefix.groupBy("sh").agg(
-        F.array_sort(F.collect_list(F.struct("doc", "sz", "pos"))).alias(
-            "ds"
-        )
-    )
-    # all (i < j) pairs of each sorted (doc, sz, pos) list, generated
-    # map-side; two lossless prunes run before the distinct, both
-    # epsilon-relaxed so float rounding can only keep extra candidates:
+    # candidate pairs: prefix ⋈ prefix equi-join on the shingle key
+    # (round 10 — back from the r9 collect_list + interpreted
+    # pair-explode lambda, which evaluated nested HOFs per element:
+    # the codegen join generates the same pairs at 9.4 → 4.8 s sf10
+    # and needs no per-key aggregation buffer at all; per-key fan-out
+    # stays bounded at cap²/2 by the substrate's DF cap). Two lossless
+    # prunes run before the pair agg, both epsilon-relaxed so float
+    # rounding can only keep extra candidates:
     # * the length filter (min size >= t * max size — necessary for
     #   J >= t);
     # * PPJoin's POSITIONAL filter (WWW'08 §3.2, round 9): both docs'
@@ -747,26 +785,27 @@ def ngram_jaccard_pairs(
     #   needs overlap >= t/(1+t)·(|A|+|B|); an occurrence below that
     #   bound cannot be the first shared element of a qualifying pair,
     #   and the first shared occurrence of any TRUE pair always passes
-    #   (its bound >= the actual overlap), so dropDuplicates keeps
+    #   (its bound >= the actual overlap), so the min(pos) agg keeps
     #   every qualifying pair. Measured at sf10: candidates
     #   33.4M -> 4.0M, verify 86 -> 14 s, result rows identical.
+    pa = prefix.select(
+        "sh",
+        F.col("doc").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    pb = prefix.select(
+        "sh",
+        F.col("doc").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+    )
     required = F.lit(threshold / (1.0 + threshold)) * (
         F.col("sz_a") + F.col("sz_b")
     ) - F.lit(1e-9)
     cand = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(x.doc AS doc_a, x.sz AS sz_a, "
-                    "x.pos AS pos_a, "
-                    "y.doc AS doc_b, y.sz AS sz_b, "
-                    "y.pos AS pos_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        pa.join(pb, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
         .where(
             F.least("sz_a", "sz_b")
             >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
@@ -781,22 +820,52 @@ def ngram_jaccard_pairs(
             )
             >= required
         )
-        .select("doc_a", "doc_b", "sz_a", "sz_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min("pos_a").alias("_pa"), F.min("pos_b").alias("_pb"))
         .repartition(sc_p, "doc_a")
     )
-    # exact verification: intersect the two full shingle arrays (each
-    # bounded by document length); |A∪B| = |A|+|B|−|A∩B|
+    # exact verification on SUFFIX slices, not full arrays (round 10,
+    # the heaviest-honest-row item): both docs' arrays are sorted by
+    # the same global (df, sh) key, so every shared shingle sits
+    # at-or-after the pair's FIRST shared one in both orders — the
+    # intersection of the suffixes starting at that element IS the full
+    # intersection. min(pos) over the surviving prefix-join rows
+    # recovers that element exactly for every TRUE pair (its first
+    # shared occurrence always passes the positional filter: its bound
+    # ≥ the actual overlap ≥ required); for a FALSE pair the filter may
+    # have dropped earlier shared occurrences, which can only SHRINK
+    # the computed overlap below the already-failing true value — the
+    # pair is discarded either way, so the output is unchanged. The
+    # A-side slice runs BEFORE the doc_b join, so the second join's
+    # shuffle carries suffixes, not full arrays. |A∪B| = |A|+|B|−|A∩B|.
     result = (
         cand.join(docarr.select(F.col("doc").alias("doc_a"), "shs"), "doc_a")
-        .withColumnRenamed("shs", "_sa")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            "_pb",
+            F.slice(
+                "shs", F.col("_pa"), F.col("sz_a") - F.col("_pa") + 1
+            ).alias("_sa"),
+        )
         .join(docarr.select(F.col("doc").alias("doc_b"), "shs"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "sz_a",
             "sz_b",
-            F.size(F.array_intersect("_sa", "shs")).alias("inter"),
+            F.size(
+                F.array_intersect(
+                    "_sa",
+                    F.slice(
+                        "shs",
+                        F.col("_pb"),
+                        F.col("sz_b") - F.col("_pb") + 1,
+                    ),
+                )
+            ).alias("inter"),
         )
         .select(
             "doc_a",

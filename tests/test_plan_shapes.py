@@ -14,9 +14,8 @@ from tools.explain_audit import EXPECT
 
 def _plan(spark, name: str) -> str:
     if name == "dedup_ngram_jaccard":
-        # max_shingle_df=8 makes the hot set non-empty at SF_SMOKE so
-        # the DF-cap anti-join actually filters rows (with the default
-        # cap the hot side is empty at this SF).
+        # max_shingle_df=8 makes the DF cap actually drop rows at
+        # SF_SMOKE (with the default cap nothing is hot).
         from polars_gdal_spark.functions import dedup as D
         from polars_gdal_spark.queries.dedup import _augmented
 

@@ -46,9 +46,11 @@ EXPECT = {
     # corpus filtered before the digest shuffle: gates are in the same
     # stage as the scan (project/filter fused), agg is partial-first
     "pipeline_training_prep": ["partial"],
-    # hot-shingle cap is a broadcast ANTI join (map-side filter): the
-    # shingle table must NOT shuffle a second time for the DF cap
-    "dedup_ngram_jaccard": ["BroadcastHashJoin", "LeftAnti"],
+    # hot-shingle DF cap fused into the shuffled-hash df-attach join
+    # (unique-key build side); candidates from the prefix self-join —
+    # never a cartesian, no separate anti pass
+    "dedup_ngram_jaccard": ["ShuffledHashJoin", "partial",
+                            "!CartesianProduct"],
     # eval-set shingles broadcast; the corpus side is probed map-side
     "text_decontaminate": ["BroadcastHashJoin", "partial"],
     # hash-Bernoulli thinning is a pure filter: no exchange anywhere
@@ -334,7 +336,8 @@ EXPECT = {
     "sim_pq_adc_topk": ["TakeOrderedAndProject", "!CartesianProduct"],
     # candidates from the shared-shingle equi-join (DF-capped), never
     # corpus x corpus; the hot-set cap is a broadcast anti join
-    "dedup_containment_pairs": ["LeftAnti", "!CartesianProduct"],
+    "dedup_containment_pairs": ["ShuffledHashJoin",
+                                "!CartesianProduct"],
     # support-filtered bigrams join vocab marginals; no cartesian; the
     # corpus-total rides a 1-row broadcast
     "text_pmi_collocations": ["partial", "TakeOrderedAndProject",
@@ -482,9 +485,8 @@ def main() -> int:
     bad = 0
     for name in names:
         if name == "dedup_ngram_jaccard":
-            # max_shingle_df=8 makes the hot set non-empty so the
-            # DF-cap anti-join actually filters rows (with the default
-            # cap the hot side is empty at this SF).
+            # max_shingle_df=8 makes the DF cap actually drop
+            # rows at this SF (with the default cap nothing is hot).
             from polars_gdal_spark.functions import dedup as D
             from polars_gdal_spark.queries.dedup import _augmented
 
