@@ -74,6 +74,9 @@ CHANGED_IN_ROUND = {
     "dedup_ngram_jaccard": 10,
     # r10: shares the rewritten _shingle_docarr substrate (same rows)
     "dedup_containment_pairs": 10,
+    # r10: verify docarr built only for candidate-pair docs (semi
+    # prune; DF counts stay corpus-global — same output rows)
+    "dedup_minhash_estimate": 10,
 }
 
 

@@ -592,6 +592,7 @@ def _shingle_docarr(
     threshold: float,
     max_shingle_df: int,
     with_prefix: bool = True,
+    only_docs: DataFrame | None = None,
 ):
     """Shared candidate-generation substrate for the PPJoin-style
     similarity joins (:func:`ngram_jaccard_pairs`,
@@ -609,7 +610,19 @@ def _shingle_docarr(
     shuffle at sf10) and skips the sort entirely (plain
     ``collect_list``) — the arrays feed only set ops
     (``array_intersect``), which are order-free. Measured 19.4 → 8.5 s
-    warm at sf10; ``pre`` is absent from the result."""
+    warm at sf10; ``pre`` is absent from the result.
+
+    ``only_docs`` (round 10, verify-only consumers again): a relation
+    with a ``doc`` column — the per-doc arrays are built ONLY for
+    these docs (LEFT SEMI before the collect), while the DF counts
+    stay corpus-global (the cap and ``sz`` are defined over the whole
+    corpus regardless of which docs get verified). When candidates
+    come from LSH, the verify substrate serves |candidate docs| ≪
+    |corpus| rows, so collecting every doc's array shuffles ~5× more
+    than the consumer reads. Plain (non-broadcast) semi join: the
+    candidate relation is corpus-proportional in the worst case, and
+    the semi's doc-hash shuffle is one the groupBy(doc) directly
+    reuses — AQE broadcasts it when it is actually small."""
     sc_p = df.sparkSession.sparkContext.defaultParallelism
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
@@ -633,6 +646,10 @@ def _shingle_docarr(
         # (array_intersect) — element order never reaches any output
         hot = dfs.where(F.col("_df") > max_shingle_df).select("sh")
         shc = base.join(F.broadcast(hot), "sh", "left_anti")
+        if only_docs is not None:
+            shc = shc.join(
+                only_docs.select("doc"), "doc", "left_semi"
+            )
         docarr = (
             shc.groupBy("doc")
             .agg(F.collect_list("sh").alias("shs"))
@@ -640,6 +657,13 @@ def _shingle_docarr(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         return docarr, sc_p
+    if only_docs is not None:
+        # prefix consumers GENERATE candidates from this relation — a
+        # doc filter here would silently drop qualifying pairs
+        raise ValueError(
+            "_shingle_docarr: only_docs requires with_prefix=False "
+            "(the prefix side must cover the whole corpus)"
+        )
     # Prefix consumers need per-occurrence df anyway, so the DF cap is
     # the INNER join against the ≤cap df table — capping and df-attach
     # in one equi-join (round 10). The old broadcast-anti pass was a

@@ -717,9 +717,18 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually reports.
     # with_prefix=False: candidates come from LSH, never from a prefix
     # join, and array_intersect is order-free — skip the df re-join
-    # and the rare-first struct sort (19.4 -> 8.5 s at sf10)
+    # and the rare-first struct sort (19.4 -> 8.5 s at sf10).
+    # only_docs (round 10): arrays are built ONLY for docs that appear
+    # in a candidate pair (~5x fewer than the corpus at sf10) — the DF
+    # counts stay corpus-global, so sz and the capped universe are
+    # unchanged; docs absent from the candidate set were never read
+    # from docarr in the first place (est left-joins on pair docs).
+    cand_docs = pairs.select(F.col("doc_a").alias("doc")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc"))
+    )
     docarr, _ = D._shingle_docarr(
-        aug, "doc", "text", 3, 0.0, 1024, with_prefix=False
+        aug, "doc", "text", 3, 0.0, 1024,
+        with_prefix=False, only_docs=cand_docs,
     )
     verified = (
         est.join(
