@@ -77,6 +77,10 @@ CHANGED_IN_ROUND = {
     # r10: verify docarr built only for candidate-pair docs (semi
     # prune; DF counts stay corpus-global — same output rows)
     "dedup_minhash_estimate": 10,
+    # r10: count+HLL now computed over the deduped pair relation
+    # (Expand plan shipped an HLL buffer per distinct pair; estimates
+    # bit-identical — HLL is duplicate-insensitive)
+    "sketch_distinct_users": 10,
 }
 
 
