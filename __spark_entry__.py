@@ -81,6 +81,9 @@ CHANGED_IN_ROUND = {
     # (Expand plan shipped an HLL buffer per distinct pair; estimates
     # bit-identical — HLL is duplicate-insensitive)
     "sketch_distinct_users": 10,
+    # r10: window minima via sparse-table doubling (identical
+    # (doc, fp) multiset, asserted vs brute force; plan change)
+    "dedup_winnowing": 10,
 }
 
 

@@ -1102,3 +1102,51 @@ def test_bigram_lm_scores_repetitive_text_better(spark, tmp_path):
     }
     assert out[9] == max(out.values())
     assert all(out[9] > out[i] for i in range(9))
+
+
+def test_winnowing_doubling_matches_bruteforce(spark):
+    """Round 10 replaced per-window array_min(slice) with sparse-table
+    doubling (plus the RMQ overlap for non-power-of-two w). Pin the
+    construction against a brute-force reference for every w shape:
+    power of two, non-power, w=1, and docs shorter than w."""
+    import hashlib
+
+    rows = [
+        (0, "a b c d e f g h i j k l m"),
+        (1, "x y z x y z x y z"),  # repeated grams -> duplicate mins
+        (2, "p q r s"),            # 2 grams, < w for w >= 3
+        (3, "t u"),                # sub-k: no grams
+    ]
+    texts = dict(rows)
+    k = 3
+
+    def brute(text, w):
+        tk = [t for t in text.lower().split(" ") if t]
+        if len(tk) < k:
+            return set()
+        h = [
+            int(
+                hashlib.md5(
+                    " ".join(tk[i : i + k]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(tk) - k + 1)
+        ]
+        if len(h) < w:
+            return {min(h)}
+        return {min(h[j : j + w]) for j in range(len(h) - w + 1)}
+
+    from polars_gdal_spark.functions.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (1, 2, 3, 4, 5, 6, 7, 8):
+        got = {}
+        for r in winnowing_fingerprints(
+            df, "doc_id", "text", k=k, w=w
+        ).collect():
+            got.setdefault(r["doc"], set()).add(r["fp"])
+        for doc, text in texts.items():
+            assert got.get(doc, set()) == brute(text, w), (
+                f"w={w} doc={doc}"
+            )
