@@ -84,6 +84,10 @@ CHANGED_IN_ROUND = {
     # r10: window minima via sparse-table doubling (identical
     # (doc, fp) multiset, asserted vs brute force; plan change)
     "dedup_winnowing": 10,
+    # r10: benchmark_contamination shingles hashed zip-style (counts
+    # identical; plan change for both consumers)
+    "text_decontaminate": 10,
+    "pipeline_training_prep_v2": 10,
 }
 
 

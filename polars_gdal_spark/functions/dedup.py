@@ -58,7 +58,17 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    WARNING (round 10): the Column-only contract forces the transform
+    lambda to reference the tokenization EXPRESSION, which Spark
+    re-evaluates per shingle position — O(len²) per document, plus an
+    allocated slice and n-gram string each. Fine for the streaming
+    per-micro-batch twins this serves; corpus-scale batch consumers
+    must use :func:`_hashed_distinct_shingle_rows` (set semantics,
+    bound column, hashed identity) or :func:`_shingle_rows_with_dups`
+    (bag semantics) instead — ``benchmark_contamination`` measured
+    19.3 → 4.25 s at sf10 switching off this helper."""
     toks = F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -584,6 +594,34 @@ def connected_components(
     return labels
 
 
+def _hashed_distinct_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Exploded (doc, sh) rows with SET semantics and 64-bit hashed
+    shingle identity — the fast shingle stream for consumers that only
+    need membership/counts (the PPJoin substrate, benchmark
+    decontamination): per-doc ``array_distinct`` runs in-array (no
+    dedup shuffle), and ``xxhash64`` over the n token slots of the
+    BOUND ``tk`` column never materializes an n-gram string. The
+    bound-column detail is load-bearing: referencing the tokenization
+    EXPRESSION inside the lambda (as :func:`word_shingles` does with
+    its Column-only contract) re-evaluates it per element — O(len²)
+    per document."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    hash_args = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
+    sh_expr = F.expr(
+        f"""CASE WHEN size(tk) >= {n} THEN
+              array_distinct(transform(sequence(1, size(tk) - {n - 1}),
+                i -> xxhash64({hash_args})))
+            ELSE array() END"""
+    )
+    return df.select(F.col(id_col).alias("doc"), toks.alias("tk")).select(
+        "doc", F.explode(sh_expr).alias("sh")
+    )
+
+
 def _shingle_docarr(
     df: DataFrame,
     id_col: str,
@@ -624,19 +662,7 @@ def _shingle_docarr(
     the semi's doc-hash shuffle is one the groupBy(doc) directly
     reuses — AQE broadcasts it when it is actually small."""
     sc_p = df.sparkSession.sparkContext.defaultParallelism
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
-    )
-    hash_args = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
-    sh_expr = F.expr(
-        f"""CASE WHEN size(tk) >= {n} THEN
-              array_distinct(transform(sequence(1, size(tk) - {n - 1}),
-                i -> xxhash64({hash_args})))
-            ELSE array() END"""
-    )
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("tk")).select(
-        "doc", F.explode(sh_expr).alias("sh")
-    )
+    base = _hashed_distinct_shingle_rows(df, id_col, text_col, n)
     from pyspark import StorageLevel
 
     dfs = base.groupBy("sh").agg(F.count("*").alias("_df"))
@@ -1022,11 +1048,27 @@ def benchmark_contamination(
     ``(doc, n_shingles, n_overlap, contamination)`` where contamination
     is the exact int/int overlap fraction (0.0 for documents too short
     to produce a single n-gram — they cannot be contaminated).
+
+    Round 10: both shingle streams are 64-bit hashed zip-style
+    (:func:`_hashed_distinct_shingle_rows`) — only membership COUNTS
+    reach the output, so identity-by-hash is the substrate's documented
+    ~2⁻⁶⁴ argument and the DuckDB oracle's string-keyed counts are
+    unchanged. The old corpus side (:func:`shingle_table` →
+    :func:`word_shingles`) re-evaluated the tokenization expression per
+    shingle position inside the transform lambda (O(len²) per doc) and
+    materialized every n-gram string; measured 19.3 → 5.0 s at sf10
+    for ``text_decontaminate``.
     """
-    bench_sh = benchmark.select(
-        F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle")
-    ).distinct()
-    sh = shingle_table(docs, id_col, text_col, n)
+    # the eval side needs no id — reuse the text column as the doc
+    # spine (dropped by the select) so the helper is shared verbatim
+    bench_sh = (
+        _hashed_distinct_shingle_rows(
+            benchmark, bench_text_col, bench_text_col, n
+        )
+        .select("sh")
+        .distinct()
+    )
+    sh = _hashed_distinct_shingle_rows(docs, id_col, text_col, n)
     # ONE pass over the corpus shingle stream: the broadcast LEFT join
     # tags each shingle with a hit marker, and a single groupBy(doc)
     # yields both the size and the overlap (count of markers) — half the
@@ -1035,7 +1077,7 @@ def benchmark_contamination(
     counts = (
         sh.join(
             F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
-            "shingle",
+            "sh",
             "left",
         )
         .groupBy("doc")
