@@ -1235,13 +1235,33 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey").dropDuplicates()
     a, b = li.alias("a"), li.alias("b")
+    # the support count rides a SINGLE packed BIGINT key (pa << 31 |
+    # pb — the winnowing_pairs trick, round 10): ~100M generated pair
+    # rows reach this aggregation with mostly-unique keys, so partial
+    # aggregation cannot shrink the shuffle and every key byte counts;
+    # one long vs a two-field row measured 16.1 → 13.1 s for the edge
+    # leg at sf10 (identical edge set), ×3 legs since the pipeline is
+    # recomputed per leg (see below). Validity (0 ≤ id < 2^31) is
+    # asserted IN-PLAN per pair — out-of-range part ids fail loudly
+    # instead of colliding; assert_true returns NULL on success, and
+    # the `.isNull()` filter is never OR'd with a literal (which
+    # BooleanSimplification would fold away, deleting the guard).
+    guard = F.expr(
+        "assert_true(a.l_partkey >= 0 AND b.l_partkey < 2147483648, "
+        "'graph_triangle_participation: packed pair keys require part "
+        "ids in [0, 2^31)')"
+    )
     pairs = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
+        .where(guard.isNull())
+        .select(
+            (
+                F.shiftleft(F.col("a.l_partkey").cast("bigint"), 31)
+                + F.col("b.l_partkey").cast("bigint")
+            ).alias("pk")
         )
+        .groupBy("pk")
         .agg(F.count("*").alias("c"))
     )
     # edges feeds THREE join legs (e1/e2/e3) and Spark recomputes the
@@ -1255,7 +1275,10 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation over bounded-basket pair streams — linear, gate-green
     # at 3.8× for 10× data — so the plain shape keeps the best
     # worst-case.
-    edges = pairs.where(F.col("c") >= 2).select("pa", "pb")
+    edges = pairs.where(F.col("c") >= 2).select(
+        F.shiftright("pk", 31).alias("pa"),
+        (F.col("pk") % F.lit(2147483648)).alias("pb"),
+    )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     # no forced broadcast: the support-filtered edge set grows with the
     # corpus, so the hint is left to AQE — it broadcasts at these
