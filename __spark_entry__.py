@@ -62,32 +62,21 @@ def _last_verified_round() -> dict[str, int]:
 # hand-maintained set kept pinning already-re-verified queries at the
 # head of every sweep, displacing genuinely-stale rows).
 CHANGED_IN_ROUND = {
-    # (r9 entries expired: all 13 landed green r9 driver rows —
-    # CORRECTNESS_r09.json — so they sort by staleness again)
-    # r10: window hash rewritten md5(string) -> xxhash64 zip-slice
-    # (identical counts by the ~2^-64 identity argument; plan change)
-    "dedup_substring_windows": 10,
-    # r10: verify stage intersects suffix slices from the min shared
-    # prefix position instead of full arrays; candidates from a codegen
-    # prefix self-join; DF cap fused into the shuffled-hash df-attach
-    # join (all lossless — see functions/dedup.py; plan changes)
-    "dedup_ngram_jaccard": 10,
-    # r10: shares the rewritten _shingle_docarr substrate (same rows)
-    "dedup_containment_pairs": 10,
-    # r10: verify docarr built only for candidate-pair docs (semi
-    # prune; DF counts stay corpus-global — same output rows)
-    "dedup_minhash_estimate": 10,
-    # r10: count+HLL now computed over the deduped pair relation
-    # (Expand plan shipped an HLL buffer per distinct pair; estimates
-    # bit-identical — HLL is duplicate-insensitive)
-    "sketch_distinct_users": 10,
-    # r10: window minima via sparse-table doubling (identical
-    # (doc, fp) multiset, asserted vs brute force; plan change)
-    "dedup_winnowing": 10,
-    # r10: benchmark_contamination shingles hashed zip-style (counts
-    # identical; plan change for both consumers)
-    "text_decontaminate": 10,
-    "pipeline_training_prep_v2": 10,
+    # (r10 entries expired: all 8 landed green r10 driver rows —
+    # CORRECTNESS_r10.json — so they sort by staleness again)
+    # r10: support count rides a packed-bigint pair key with an in-plan
+    # assert_true range guard (identical edge set; plan change) — the
+    # round-10 rewrite shipped WITHOUT this entry (round-10 ADVICE), so
+    # its last green row (r09) predates the plan it would attest
+    "graph_triangle_participation": 10,
+    # r11: LSH candidate relation persisted — the only_docs semi-prune
+    # no longer recomputes candidate generation (same rows; plan change)
+    "dedup_minhash_estimate": 11,
+    # r11: benchmark-side shingle spine is an xxhash64 surrogate, not
+    # the full text string (same shingle set; plan change for all
+    # benchmark_contamination consumers)
+    "text_decontaminate": 11,
+    "pipeline_training_prep_v2": 11,
 }
 
 

@@ -1059,11 +1059,21 @@ def benchmark_contamination(
     materialized every n-gram string; measured 19.3 → 5.0 s at sf10
     for ``text_decontaminate``.
     """
-    # the eval side needs no id — reuse the text column as the doc
-    # spine (dropped by the select) so the helper is shared verbatim
+    # the eval side needs no id, but the helper explodes (doc, sh) rows
+    # — aliasing the TEXT column as the doc spine made every exploded
+    # bench shingle row carry the whole document string until the
+    # select (round-10 ADVICE). An xxhash64 surrogate keeps the spine
+    # 8 bytes wide; the spine is dropped before the distinct, so hash
+    # collisions between bench texts cannot affect the shingle SET.
     bench_sh = (
         _hashed_distinct_shingle_rows(
-            benchmark, bench_text_col, bench_text_col, n
+            benchmark.select(
+                F.xxhash64(F.col(bench_text_col)).alias("_bid"),
+                F.col(bench_text_col).alias("_bt"),
+            ),
+            "_bid",
+            "_bt",
+            n,
         )
         .select("sh")
         .distinct()

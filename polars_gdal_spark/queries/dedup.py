@@ -695,10 +695,17 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(aug, "doc", "text", 16, 3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # pairs feeds TWO lineages — the agreement join below and the
+    # only_docs semi-prune inside the docarr build — and only sigs was
+    # persisted, so candidate generation (band explode + bucket
+    # self-join) executed twice per run (round-10 ADVICE). Persist the
+    # candidate relation itself: it is the SMALL post-LSH set (a few
+    # thousand rows at any duplicate rate), so the storage cost is
+    # negligible and the second consumer reads the materialized set.
     pairs = D.minhash_lsh_pairs(
         aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3,
         max_bucket=64, sigs=sigs,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_agree = F.size(

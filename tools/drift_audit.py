@@ -26,7 +26,19 @@ Rules:
     run exits 3, not 0 — load-suspect means "unresolved pending a
     quiet-host re-measure", which callers gating on the exit code must
     be able to tell apart from clean. Exit 2 = refused comparison
-    (different sf or timed sink).
+    (different sf or timed sink);
+  * REGRESSED rows under a QUIET canary are auto-re-measured (round-10
+    verdict: the fixed-work canary samples host load around the run,
+    not per row, so a transient spike on one query is invisible to it
+    — BENCH_r09 vs BENCH_r10 flagged 4 such rows that were all
+    at-or-below baseline in every quiet-host artifact). The tool
+    re-runs exactly the flagged queries through ``bench.py`` (one
+    fresh JVM, noop sink, the same warmup/median discipline) against
+    the artifact's scale factor and adjudicates on the re-measure:
+    cleared rows are labeled TRANSIENT (not failures), still-slow rows
+    stay REGRESSED (exit 1). ``--no-remeasure`` restores the pure
+    artifact comparison; if no data dir for the artifact's sf exists,
+    the rows are left unresolved with a distinct exit 4.
 
 Artifacts measured on different harness versions (e.g. before/after
 the bench clearCache fix) or different run modes (isolated vs full
@@ -42,6 +54,93 @@ import os
 import sys
 
 
+def _infer_sf_dir(sf) -> str | None:
+    """Locate a data dir for the artifact's scale factor: the driver's
+    testdata tree for the small SFs, the gen_sf.py .localdata tree for
+    sf1/sf3/sf10."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = str(int(sf)) if float(sf) == int(sf) else str(sf)
+    for cand in (
+        f"/root/testdata/sf{tag}",
+        os.path.join(repo, ".localdata", f"sf{tag}"),
+    ):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
+def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Re-run exactly ``names`` through bench.py in ONE fresh JVM (noop
+    sink, adaptive warmup, median-of-3 — the identical timing loop the
+    artifacts were produced with) and return the per-query map. Flagged
+    dependents of a DEP_PAIRS builder get the builder prepended so the
+    re-measure never re-pays a one-time build inside the timed row
+    (the round-4 index-probe artifact)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import DEP_PAIRS  # noqa: E402
+
+    ordered: list[str] = []
+    for n in names:
+        builder = DEP_PAIRS.get(n)
+        if builder and builder not in ordered:
+            ordered.append(builder)
+        if n not in ordered:
+            ordered.append(n)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), *ordered],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        try:
+            cand = json.loads(ln.strip())
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
+            return cand["queries"]
+    raise RuntimeError(
+        f"re-measure subprocess produced no result line "
+        f"(rc={proc.returncode}); stderr tail: {proc.stderr[-2000:]}"
+    )
+
+
+def _adjudicate(
+    bad: list[tuple],
+    iso: dict[str, float],
+    max_drift: float,
+    min_abs: float,
+) -> tuple[list[tuple], list[str]]:
+    """Pass/fail each flagged row on its isolated re-measure: a row is
+    TRANSIENT (cleared) if the isolated time is back inside the gate —
+    ratio within max_drift of the OLD artifact, or absolute growth
+    under the min_abs guard. A row the re-measure could not produce
+    stays REGRESSED (fail loud, never silently cleared). Returns the
+    confirmed rows plus the per-row report lines (pure function so the
+    gate semantics are unit-testable without a JVM)."""
+    confirmed: list[tuple] = []
+    lines: list[str] = []
+    for name, a, b, r in bad:
+        t = iso.get(name)
+        if t is None:
+            confirmed.append((name, a, b, r))
+            verdict = "REGRESSED (re-measure missing)"
+        elif t / a <= max_drift or (t - a) < min_abs:
+            verdict = "TRANSIENT (cleared)"
+        else:
+            confirmed.append((name, a, t, t / a))
+            verdict = "REGRESSED (confirmed)"
+        shown = f"{t:7.3f}s" if t is not None else "   n/a "
+        lines.append(
+            f"  {name:42s} {a:7.3f}s -> {shown} isolated  {verdict}"
+        )
+    return confirmed, lines
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -49,6 +148,18 @@ def main() -> int:
     ap.add_argument("--max-drift", type=float, default=1.30)
     ap.add_argument("--min-sec", type=float, default=0.5)
     ap.add_argument("--min-abs", type=float, default=0.5)
+    ap.add_argument(
+        "--no-remeasure",
+        action="store_true",
+        help="pure artifact comparison: never spawn a re-measure JVM "
+        "(offline adjudication of someone else's artifacts)",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=None,
+        help="data dir for the re-measure run; default infers "
+        "testdata/.localdata from the artifact's sf field",
+    )
     args = ap.parse_args()
 
     def load(path):
@@ -184,6 +295,45 @@ def main() -> int:
         print(f"\n{len(bad)} regressed queries:")
         for name, a, b, r in bad:
             print(f"  {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
+        # Transient-noise adjudication (round-10 verdict item 5): the
+        # canary samples host load AROUND the run, not per row — a
+        # transient spike on one query leaves the canary quiet, so
+        # "REGRESSED + quiet canary" is exactly the case the artifact
+        # pair alone cannot settle. Re-measure those rows isolated and
+        # pass/fail on the re-measure. Only the quiet-canary case
+        # re-measures: under a loud canary the rows are already
+        # LOAD-SUSPECT (exit 3), never REGRESSED.
+        if norm == 1.0 and not args.no_remeasure:
+            sf_dir = args.sf_dir or _infer_sf_dir(new.get("sf"))
+            if sf_dir is None:
+                print(
+                    "\ncanary is quiet, so these flags may be transient "
+                    "per-row host spikes — but no data dir for "
+                    f"sf{new.get('sf')} exists to re-measure. UNRESOLVED "
+                    "(exit 4): re-run with --sf-dir on a machine with "
+                    "the data."
+                )
+                return 4
+            flagged = [name for name, *_ in bad]
+            print(
+                f"\ncanary is quiet — re-measuring {len(flagged)} "
+                f"flagged row(s) isolated against {sf_dir} "
+                "(one fresh JVM, noop sink, same timing loop) ..."
+            )
+            iso = _remeasure(flagged, sf_dir)
+            confirmed, lines = _adjudicate(
+                bad, iso, args.max_drift, args.min_abs
+            )
+            for ln_out in lines:
+                print(ln_out)
+            if not confirmed:
+                print(
+                    "\nall flagged rows cleared by isolated re-measure "
+                    "— transient host noise, not code regressions"
+                )
+                return 0
+            bad = confirmed
+            print(f"\n{len(bad)} regressions CONFIRMED by re-measure")
         return 1
     if suspect:
         print(
