@@ -69,9 +69,9 @@ CHANGED_IN_ROUND = {
     # round-10 rewrite shipped WITHOUT this entry (round-10 ADVICE), so
     # its last green row (r09) predates the plan it would attest
     "graph_triangle_participation": 10,
-    # r11: LSH candidate relation persisted — the only_docs semi-prune
-    # no longer recomputes candidate generation (same rows; plan change)
-    "dedup_minhash_estimate": 11,
+    # (dedup_minhash_estimate: r11 tried persisting the candidate
+    # relation per round-10 ADVICE — measured 19.7 -> 23.5/37.3 s at
+    # sf10 and REVERTED, so its plan is exactly the r10-attested one)
     # r11: benchmark-side shingle spine is an xxhash64 surrogate, not
     # the full text string (same shingle set; plan change for all
     # benchmark_contamination consumers)

@@ -524,7 +524,19 @@ def connected_components(
     sf0.1 and sf10 measured fixed-width repartition(32, key) slower at
     both scales (2.24 vs 1.24 s / 8.40 vs 6.86 s) — AQE's coalesced
     shuffle sizing beats a hand-pinned layout on node-count-sized
-    relations."""
+    relations.
+
+    Round 11 tried FUSING propagation rounds in pairs (one
+    localCheckpoint + one convergence check per TWO rounds, the
+    pre-pair label threaded through both groupBys) on the round-10
+    hypothesis that the ~1.2-2.4 s/round was scheduler/checkpoint
+    overhead — REJECTED by a same-JVM alternating A/B from one
+    checkpointed sf10 edge set (868k edges, 8 rounds to converge):
+    per-round median 9.05 s vs fused 9.16 s over 4 trials. The cost is
+    the propagation SHUFFLES themselves, which fusing does not reduce;
+    the convergence-count jobs scan checkpointed data (~0.1 s each)
+    and the eager checkpoint adds no separate job (it IS the round's
+    action), so there was no per-round constant left to win."""
     import pyspark.sql.functions as F
 
     # Materialize edges once and truncate lineage every round — without

@@ -1266,19 +1266,37 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # edges feeds THREE join legs (e1/e2/e3) and Spark recomputes the
     # pair pipeline for each (no cross-subtree exchange reuse — round-8
-    # finding, same as tfidf_topk). Materializing it was A/B'd at all
-    # three scales and REJECTED: localCheckpoint wins sf10 (14.2 vs
-    # 17.9 s — accurate size stats keep the broadcast) but pays 1.8× at
-    # sf0.1 (1.06 → 1.91 s) and 1.12× at sf1; persist loses everywhere
-    # (a cached plan's estimates demote the wedge joins from broadcast
-    # to shuffle, 22.2 s at sf10). The recompute is map-side-combined
-    # aggregation over bounded-basket pair streams — linear, gate-green
-    # at 3.8× for 10× data — so the plain shape keeps the best
-    # worst-case.
+    # finding, same as tfidf_topk). The round-10 A/B: localCheckpoint
+    # wins sf10 (14.2 vs 17.9 s — accurate size stats keep the wedge
+    # joins broadcast while the 3× recompute is gone) but LOSES below
+    # ~sf3 (1.06 → 1.91 s at sf0.1, 1.12× at sf1) where recomputing a
+    # small pipeline is cheaper than materializing it; plain persist
+    # loses everywhere (a cached plan's estimates demote the wedge
+    # joins from broadcast to shuffle, 22.2 s at sf10). Round 11 makes
+    # the choice ADAPTIVE on the lineitem scan's sizeInBytes plan
+    # statistic — the same driver-side metadata signal Catalyst feeds
+    # its own join planning, read without running a job — so small
+    # inputs keep the recomputed shape and large ones pay one
+    # materialization instead of three pipeline executions. Threshold
+    # 500 MB is the geometric midpoint of the measured win (sf10,
+    # ~1.4 GB scan) and loss (sf1, ~140 MB scan) regimes. (A round-11
+    # re-run of the sf10 A/B under a loud host — canary 0.95-1.02,
+    # external load — read as a wash, medians 21.9 plain vs 22.7 ckpt
+    # over 3 alternating trials; the quiet-host round-10 figures above
+    # remain the decision basis. SCALE.md round 11 records both.)
     edges = pairs.where(F.col("c") >= 2).select(
         F.shiftright("pk", 31).alias("pa"),
         (F.col("pk") % F.lit(2147483648)).alias("pb"),
     )
+    scan_bytes = int(
+        t["lineitem"]
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    if scan_bytes >= 500 * 1024 * 1024:
+        edges = edges.localCheckpoint(eager=True)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     # no forced broadcast: the support-filtered edge set grows with the
     # corpus, so the hint is left to AQE — it broadcasts at these

@@ -696,16 +696,24 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     # pairs feeds TWO lineages — the agreement join below and the
-    # only_docs semi-prune inside the docarr build — and only sigs was
-    # persisted, so candidate generation (band explode + bucket
-    # self-join) executed twice per run (round-10 ADVICE). Persist the
-    # candidate relation itself: it is the SMALL post-LSH set (a few
-    # thousand rows at any duplicate rate), so the storage cost is
-    # negligible and the second consumer reads the materialized set.
+    # only_docs semi-prune inside the docarr build — so candidate
+    # generation (band explode + bucket self-join over the PERSISTED
+    # sigs) executes twice per run. Round-10 ADVICE suggested
+    # materializing the candidate relation; MEASURED at sf10 and
+    # REJECTED both ways: persist(MEMORY_AND_DISK) 19.7 -> 23.5 s
+    # (cached-plan stats demote the downstream join choices — the
+    # same failure mode the triangle-edge A/B documented) and
+    # localCheckpoint(eager) 19.7 -> 37.3 s (the eager cut serializes
+    # sig-build + pair-gen + block-manager writes ahead of a DAG that
+    # otherwise pipelines them, and the checkpointed partitioning is
+    # kept where AQE would have coalesced it). The second generation
+    # pass reads the persisted sigs, so the recompute costs one
+    # band-explode + bucket-join — cheaper than either
+    # materialization at every measured scale.
     pairs = D.minhash_lsh_pairs(
         aug, "doc", "text", n_hashes=16, bands=4, shingle_n=3,
         max_bucket=64, sigs=sigs,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_agree = F.size(
