@@ -67,8 +67,11 @@ CHANGED_IN_ROUND = {
     # r10: support count rides a packed-bigint pair key with an in-plan
     # assert_true range guard (identical edge set; plan change) — the
     # round-10 rewrite shipped WITHOUT this entry (round-10 ADVICE), so
-    # its last green row (r09) predates the plan it would attest
-    "graph_triangle_participation": 10,
+    # its last green row (r09) predates the plan it would attest.
+    # r11: edge materialization adaptive on scan stats (plain shape
+    # below the 500 MB threshold, so the driver-gate-scale plan is the
+    # r10 one; entry bumped to cover both changes)
+    "graph_triangle_participation": 11,
     # (dedup_minhash_estimate: r11 tried persisting the candidate
     # relation per round-10 ADVICE — measured 19.7 -> 23.5/37.3 s at
     # sf10 and REVERTED, so its plan is exactly the r10-attested one)
