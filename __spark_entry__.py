@@ -76,10 +76,20 @@ CHANGED_IN_ROUND = {
     # relation per round-10 ADVICE — measured 19.7 -> 23.5/37.3 s at
     # sf10 and REVERTED, so its plan is exactly the r10-attested one)
     # r11: benchmark-side shingle spine is an xxhash64 surrogate, not
-    # the full text string (same shingle set; plan change for all
-    # benchmark_contamination consumers)
+    # the full text string (same shingle set; code change only — the
+    # r11 before/after explains in plans/r11/ show Catalyst had already
+    # pruned the spine, so the physical plan is unchanged)
     "text_decontaminate": 11,
     "pipeline_training_prep_v2": 11,
+    # r11: per-iteration contribution stream rebuilt from the CLOSED
+    # FORM of the synthetic graph (explode two destinations per rank
+    # row, per-row degree expression) — the edges-union build, the
+    # out-degree groupBy shuffle and the edges⋈outdeg⋈ranks join chain
+    # are gone from every iteration (plans/r11/graph_pagerank_*_full).
+    # Contribution multiset identical, ranks bit-equal vs the unchanged
+    # oracle (cell-exact PASS at sf0.001/0.01/0.1 recorded in
+    # OPTIMIZATION_r11.md).
+    "graph_pagerank": 11,
 }
 
 

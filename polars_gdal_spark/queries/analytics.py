@@ -1066,12 +1066,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hashes bit-equal against the DuckDB oracle's unrolled-iteration
     CTEs (float PageRank would drift with summation order).
 
-    Scale shape: each of the 6 iterations is one edges-to-ranks
-    equi-join + map-side-combined aggregation + left join back to the
-    node set; lineage is cut with localCheckpoint every other round
-    (the connected-components pattern) so plan depth stays bounded. The
-    rank relation is node-sized; edges shuffle on uniform id keys. The
-    only driver scalar is the node count."""
+    Scale shape (round 11): the graph is SYNTHETIC — both out-edges of
+    ``u`` and therefore its out-degree are closed-form in ``u`` and the
+    node count (``deg(u) = 2 − [7u+1 ≡ u] − [13u+5 ≡ u] (mod n)``), a
+    fact the optimizer cannot see through the edges/groupBy/join
+    construction (guide §8: use what you know the optimizer does not).
+    Each of the 6 iterations is therefore ONE pass over the node-sized
+    rank relation — explode the two destinations per row, filter
+    self-loops, divide by the per-row degree expression — then the
+    map-side-combined contribution aggregation and the left join back
+    to the node set. The previous shape paid, per iteration, an
+    edges-union build (two extra scans), an out-degree groupBy
+    (a whole shuffle), and an edges⋈outdeg⋈ranks join chain — all
+    recomputed every iteration because only ``ranks`` is ever
+    checkpointed; measured by alternating fresh-JVM bench subsets at
+    sf10: old 9.03/14.60 s vs new 4.40/4.29 s (canaries 0.76–0.94),
+    sf1 quiet pair 3.65 → 2.63 s (SCALE.md round 11). The contribution
+    MULTISET is unchanged — for every
+    non-self edge (u,v) both shapes add floor(rank_u / deg_u) into
+    group v, deg is {1,2} so the double division is exact, and the
+    BIGINT sum is order-independent — so ranks are bit-identical
+    against the unchanged DuckDB oracle. Lineage is cut with
+    localCheckpoint every other round (the connected-components
+    pattern) so plan depth stays bounded. The rank relation is
+    node-sized; only (dst, contrib) longs ever shuffle. The only
+    driver scalar is the node count."""
     t = load_tables(spark, sf_dir)
     nodes = t["documents"].select(F.col("doc_id").alias("doc"))
     n = nodes.count()
@@ -1079,24 +1098,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return nodes.select(
             "doc", F.lit(None).cast("bigint").alias("rank")
         )
-    e1 = nodes.select(
-        F.col("doc").alias("src"), ((F.col("doc") * 7 + 1) % n).alias("dst")
-    )
-    e2 = nodes.select(
-        F.col("doc").alias("src"), ((F.col("doc") * 13 + 5) % n).alias("dst")
-    )
-    edges = e1.unionAll(e2).where(F.col("src") != F.col("dst"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    esrc = edges.join(outdeg, "src")
+    # deg(u) over NON-SELF edges only, matching edges.where(src != dst)
+    # in the oracle's construction; guarded so rows that would divide
+    # by zero (both edges self-loops) never evaluate the division —
+    # they are filtered out below and contribute nothing, as before.
+    deg = F.when((F.col("doc") * 7 + 1) % n != F.col("doc"), 1).otherwise(
+        0
+    ) + F.when((F.col("doc") * 13 + 5) % n != F.col("doc"), 1).otherwise(0)
     scale = 1000000000000
     base = (15 * scale) // (100 * n)
     ranks = nodes.select("doc", F.lit(scale // n).cast("bigint").alias("rank"))
     for i in range(6):
         contrib = (
-            esrc.join(ranks.withColumnRenamed("doc", "src"), "src")
+            ranks.select(
+                "doc",
+                "rank",
+                F.explode(
+                    F.array(
+                        (F.col("doc") * 7 + 1) % n,
+                        (F.col("doc") * 13 + 5) % n,
+                    )
+                ).alias("dst"),
+            )
+            .where(F.col("dst") != F.col("doc"))
             .select(
                 F.col("dst").alias("doc"),
-                F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("_c"),
+                F.when(
+                    deg > 0, F.floor(F.col("rank") / deg).cast("bigint")
+                ).alias("_c"),
             )
             .groupBy("doc")
             .agg(F.sum("_c").alias("contrib"))
