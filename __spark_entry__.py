@@ -90,6 +90,13 @@ CHANGED_IN_ROUND = {
     # oracle (cell-exact PASS at sf0.001/0.01/0.1 recorded in
     # OPTIMIZATION_r11.md).
     "graph_pagerank": 11,
+    # r11: vocabulary count folded into the bigram-type relation via
+    # (token, NULL) sentinel rows for 1-token docs — the second full
+    # tokenization (explode + exact distinct over the occurrence
+    # stream) is gone; sentinels are filtered from c2 and can never
+    # match the inner scoring join, so the output rows are identical
+    # (cell-exact PASS at sf0.001/0.01/0.1; ~1.5 s off the sf10 row).
+    "text_bigram_lm_score": 11,
 }
 
 

@@ -2071,6 +2071,17 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
     )
     dt = docs.select("doc_id", tk.alias("tk"))
+    # Single-token docs ride the SAME explode as a (token, NULL)
+    # sentinel row (round 11): they contribute no bigram, but their
+    # token belongs to the VOCABULARY, and carrying it here lets the
+    # vocab count below read the persisted bigram-type relation instead
+    # of re-tokenizing the corpus a second time (the old shape's
+    # separate explode+distinct over the full 24M-token occurrence
+    # stream — measured 2.7–4.7 s of the 11.4 s sf10 wall). Sentinels
+    # are invisible to scoring: c2 filters them out (so c1 marginals
+    # are untouched) and the inner terms join on (w1, w2) can never
+    # match a NULL w2, so per-doc sums see exactly the rows they always
+    # did.
     big = dt.select(
         "doc_id",
         F.explode(
@@ -2079,6 +2090,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, size(tk) - 1), "
                 "i -> struct(element_at(tk, i) AS w1, "
                 "element_at(tk, i + 1) AS w2)) "
+                "WHEN size(tk) = 1 THEN "
+                "array(struct(element_at(tk, 1) AS w1, "
+                "CAST(NULL AS STRING) AS w2)) "
                 "ELSE array() END"
             )
         ).alias("b"),
@@ -2088,15 +2102,29 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c2 = pdc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    # global bigram-type counts, persisted: it feeds BOTH the vocab
+    # count and the c1-marginal window, and it is vocabulary²-bounded
+    # (small) where pdc is corpus-sized
+    c2 = (
+        pdc.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     from pyspark.sql import Window
 
     c2t = c2.withColumn(
         "c1", F.sum("c2").over(Window.partitionBy("w1"))
     )
+    # vocabulary = every token that appears anywhere: tokens of docs
+    # with >= 2 tokens all occur as some bigram's w1 or w2; tokens of
+    # 1-token docs are exactly the NULL-w2 sentinels. This action also
+    # materializes pdc and c2, which the final job reuses.
     vocab = int(
-        dt.select(F.explode("tk").alias("x"))
-        .agg(F.count_distinct("x"))
+        c2.select("w1")
+        .unionAll(c2.select(F.col("w2").alias("w1")))
+        .unionAll(pdc.where(F.col("w2").isNull()).select("w1"))
+        .agg(F.count_distinct("w1"))
         .first()[0]
     )
     terms = pdc.join(c2t, ["w1", "w2"]).select(
@@ -2130,7 +2158,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from polars_gdal_spark.functions import attach_unpersist
 
-    return attach_unpersist(out, pdc)
+    return attach_unpersist(out, pdc, c2)
 
 
 @query(
