@@ -1150,3 +1150,100 @@ def test_winnowing_doubling_matches_bruteforce(spark):
             assert got.get(doc, set()) == brute(text, w), (
                 f"w={w} doc={doc}"
             )
+
+
+def test_pagerank_closed_form_degree_matches_edge_construction(spark):
+    """Round 11 replaced the per-iteration edges/outdeg/join pipeline in
+    graph_pagerank with the graph's closed-form out-degree
+    (deg(u) = 2 − [7u+1 ≡ u] − [13u+5 ≡ u] (mod n)). Pin the identity
+    against the original edge construction for n values that exercise
+    every self-loop case: n=5 hits both kinds (u=4 self-loops on the
+    7-edge since 7·4+1 ≡ 4, u=0 on the 13-edge since 13·0+5 ≡ 0), n=7
+    hits the 7-edge only (u=1), n=12/n=500 have no solutions (gcd
+    shares a factor with 6 resp. 12), so every deg is 2."""
+    import pyspark.sql.functions as F
+
+    for n in (5, 7, 12, 500):
+        nodes = spark.range(n).select(F.col("id").alias("doc"))
+        e1 = nodes.select(
+            F.col("doc").alias("src"),
+            ((F.col("doc") * 7 + 1) % n).alias("dst"),
+        )
+        e2 = nodes.select(
+            F.col("doc").alias("src"),
+            ((F.col("doc") * 13 + 5) % n).alias("dst"),
+        )
+        edges = e1.unionAll(e2).where(F.col("src") != F.col("dst"))
+        ref = {
+            r["src"]: r["deg"]
+            for r in edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .collect()
+        }
+        deg = F.when(
+            (F.col("doc") * 7 + 1) % n != F.col("doc"), 1
+        ).otherwise(0) + F.when(
+            (F.col("doc") * 13 + 5) % n != F.col("doc"), 1
+        ).otherwise(0)
+        got = {
+            r["doc"]: r["deg"]
+            for r in nodes.select("doc", deg.alias("deg")).collect()
+        }
+        for u in range(n):
+            assert got[u] == ref.get(u, 0), f"n={n} u={u}"
+
+
+def test_bigram_lm_vocab_counts_single_token_docs(spark, tmp_path):
+    """Round 11 folded the vocabulary count into the bigram-type
+    relation via (token, NULL) sentinel rows for 1-token docs. Pin the
+    two contracts that rewrite depends on: (a) a single-token doc's
+    token still counts toward the vocabulary — adding a 1-token doc
+    with a NOVEL token must shift every other doc's cross-entropy
+    (V appears in every ln((c2+1)/(c1+V)) term); (b) single-token docs
+    themselves never appear in the output (no bigrams), exactly as
+    before the rewrite."""
+    import os
+    import shutil
+
+    from polars_gdal_spark.queries import QUERIES, TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+
+    def build(extra_doc):
+        d = tmp_path / f"corp_{extra_doc[1]}"
+        d.mkdir()
+        for t in TABLE_NAMES:
+            if t == "documents":
+                continue
+            p = f"{src}/{t}.parquet"
+            if os.path.isdir(p):
+                shutil.copytree(p, d / f"{t}.parquet")
+            else:
+                shutil.copy(p, d / f"{t}.parquet")
+        rows = [(i, "the cat sat on the mat") for i in range(6)]
+        rows.append(extra_doc)
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    # corpus A: 1-token doc with a token already in the vocabulary;
+    # corpus B: 1-token doc with a NOVEL token (vocab one larger)
+    out_a = {
+        r["doc_id"]: r["ce"]
+        for r in QUERIES["text_bigram_lm_score"]
+        .func(spark, build((6, "the")))
+        .collect()
+    }
+    out_b = {
+        r["doc_id"]: r["ce"]
+        for r in QUERIES["text_bigram_lm_score"]
+        .func(spark, build((6, "zzznovel")))
+        .collect()
+    }
+    # (b) the 1-token doc is absent from both outputs
+    assert 6 not in out_a and 6 not in out_b
+    assert set(out_a) == set(out_b) == set(range(6))
+    # (a) the novel sentinel token changed V, so every ce shifted
+    for i in range(6):
+        assert out_a[i] != out_b[i], f"doc {i}: vocab change invisible"
