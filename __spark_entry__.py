@@ -97,6 +97,21 @@ CHANGED_IN_ROUND = {
     # match the inner scoring join, so the output rows are identical
     # (cell-exact PASS at sf0.001/0.01/0.1; ~1.5 s off the sf10 row).
     "text_bigram_lm_score": 11,
+    # r11: connected_components gained a hybrid finish — edge sets
+    # within the single-task memory ceiling (default 8M symmetric
+    # edges, env SPARK_GRAFT_CC_LOCAL_MAX_EDGES) are solved exactly in
+    # ONE Arrow task by vectorized min-label pointer-doubling instead
+    # of 6+ rounds of broadcast+shuffle+checkpoint+count jobs; above
+    # the ceiling the distributed loop is unchanged. Identical
+    # (doc, component) relation (A/B-asserted at sf0.001/sf10; all four
+    # queries cell-exact vs their unchanged oracles at
+    # sf0.001/0.01/0.1). sf10: components 21.2->11.3 s, quality_resolve
+    # 24.4->19.0 s, near_resolve 17.4->15.3 s, embedding_cosine
+    # ->10.8 s.
+    "dedup_components": 11,
+    "dedup_near_resolve": 11,
+    "dedup_quality_resolve": 11,
+    "dedup_embedding_cosine": 11,
 }
 
 

@@ -641,6 +641,8 @@ def test_connected_components_chain_and_convergence_contract(spark):
     pairs = spark.createDataFrame(
         chain + tris + pair, "doc_a bigint, doc_b bigint"
     )
+    # default path: this graph is far below _CC_LOCAL_MAX_EDGES, so the
+    # round-11 single-task exact finish answers
     got = {
         r["doc"]: r["component"]
         for r in D.connected_components(pairs, max_iter=40).collect()
@@ -649,8 +651,20 @@ def test_connected_components_chain_and_convergence_contract(spark):
     assert all(got[i] == 0 for i in (0, 1, 2))
     assert all(got[i] == 10 for i in (10, 11, 12))
     assert got[50] == 50 and got[51] == 50
+    # the distributed loop path (local_max_edges=0 disables the local
+    # finish — the 100 TB shape) must produce the IDENTICAL relation
+    got_loop = {
+        r["doc"]: r["component"]
+        for r in D.connected_components(
+            pairs, max_iter=40, local_max_edges=0
+        ).collect()
+    }
+    assert got_loop == got
+    # loop-path fail-loud contract: max_iter smaller than the diameter
+    # raises rather than returning stale labels (the local path has no
+    # iteration budget — it is a direct exact solve)
     with pytest.raises(ValueError, match="max_iter"):
-        D.connected_components(pairs, max_iter=5)
+        D.connected_components(pairs, max_iter=5, local_max_edges=0)
     # boundary: eccentricity EXACTLY max_iter converges (the +1
     # confirmation round must not count against the budget)
     path6 = spark.createDataFrame(
@@ -658,9 +672,29 @@ def test_connected_components_chain_and_convergence_contract(spark):
     )
     got6 = {
         r["doc"]: r["component"]
-        for r in D.connected_components(path6, max_iter=6).collect()
+        for r in D.connected_components(
+            path6, max_iter=6, local_max_edges=0
+        ).collect()
     }
     assert all(got6[i] == 0 for i in range(7))
+
+
+def test_connected_components_local_finish_edge_cases(spark):
+    """Round-11 hybrid finish: the single-task exact solve must mirror
+    the loop path row-for-row on degenerate inputs — self-loops (a node
+    whose only edge is to itself must still appear in the output),
+    duplicate and reversed-duplicate edges — and on the empty relation."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (2, 3), (7, 8), (8, 7), (9, 9)],
+        "doc_a bigint, doc_b bigint",
+    )
+    local = D.connected_components(pairs).collect()
+    loop = D.connected_components(pairs, local_max_edges=0).collect()
+    assert sorted(map(tuple, local)) == sorted(map(tuple, loop))
+    got = {r["doc"]: r["component"] for r in local}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7, 9: 9}
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert D.connected_components(empty).count() == 0
 
 
 def test_dedup_index_scheme_mismatch_fails_loudly(spark, tmp_path):
