@@ -112,6 +112,20 @@ CHANGED_IN_ROUND = {
     "dedup_near_resolve": 11,
     "dedup_quality_resolve": 11,
     "dedup_embedding_cosine": 11,
+    # r11: the 16-projection F.aggregate(F.zip_with(...)) tower is one
+    # mapInArrow int64 GEMM per batch (HOFs are interpreted, not
+    # codegen'd — the SRP-keys lesson applied to the JL projection):
+    # 5.2-5.8 -> ~0.5 s at sf10, exceptAll-identical, oracle unchanged
+    # (cell-exact PASS at sf0.001/0.01/0.1).
+    "embed_random_projection": 11,
+    # r11: hamming refine is bit_count(xor) over the signature carried
+    # as BIGINT through the band explode, replacing the per-pair
+    # split+zip_with array compare (interpreted HOF). Identical values
+    # (popcount of xor = differing positions; bits<=63 guard), oracle
+    # cell-exact at all three SFs; measured neutral at registry
+    # candidate densities (the signature build dominates) — kept for
+    # the codegen refine + narrower banded persist.
+    "dedup_simhash_pairs": 11,
 }
 
 

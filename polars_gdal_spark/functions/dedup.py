@@ -1276,13 +1276,29 @@ def simhash_pairs(
         raise ValueError(f"bits ({bits}) must divide into {nb} bands")
     width = bits // nb
     sigs = simhash_bits(df, id_col, text_col, bits)
+    # The signature rides the band explode as a BIGINT (round 11): the
+    # per-pair hamming refine is then one codegen'd
+    # bit_count(xor(_ia, _ib)) instead of splitting two ``bits``-char
+    # strings into arrays and zip_with-comparing them per candidate
+    # pair — higher-order functions are interpreted by Catalyst, and
+    # the two array allocations per pair were the dominant term of the
+    # refine. Identical hamming for equal-length 0/1 strings (popcount
+    # of xor = count of differing positions; conv preserves leading
+    # zeros), guarded to bits ≤ 63 so the signed-bigint conversion can
+    # never overflow — wider signatures keep the array form.
+    as_int = bits <= 63
+    sig_col = (
+        F.conv("simhash", 2, 10).cast("bigint")
+        if as_int
+        else F.col("simhash")
+    )
     banded = sigs.select(
         "doc",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
     ).select(
         "doc",
-        "simhash",
+        sig_col.alias("_sig"),
         "band",
         F.expr(f"substring(simhash, band * {width} + 1, {width})").alias(
             "bv"
@@ -1296,21 +1312,26 @@ def simhash_pairs(
     )
     cand = banded.join(eligible, ["band", "bv"])
     a = cand.select(
-        "band", "bv", F.col("doc").alias("doc_a"), F.col("simhash").alias("_sa")
+        "band", "bv", F.col("doc").alias("doc_a"), F.col("_sig").alias("_sa")
     )
     b = cand.select(
-        "band", "bv", F.col("doc").alias("doc_b"), F.col("simhash").alias("_sb")
+        "band", "bv", F.col("doc").alias("doc_b"), F.col("_sig").alias("_sb")
     )
-    ham = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("_sa"), ""),
-                F.split(F.col("_sb"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda t: t,
+    if as_int:
+        ham = F.bit_count(
+            F.col("_sa").bitwiseXOR(F.col("_sb"))
+        ).cast("int")
+    else:
+        ham = F.size(
+            F.filter(
+                F.zip_with(
+                    F.split(F.col("_sa"), ""),
+                    F.split(F.col("_sb"), ""),
+                    lambda x, y: x != y,
+                ),
+                lambda t: t,
+            )
         )
-    )
     result = (
         a.join(b, ["band", "bv"])
         .where(F.col("doc_a") < F.col("doc_b"))

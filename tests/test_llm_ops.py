@@ -1281,3 +1281,65 @@ def test_bigram_lm_vocab_counts_single_token_docs(spark, tmp_path):
     # (a) the novel sentinel token changed V, so every ce shifted
     for i in range(6):
         assert out_a[i] != out_b[i], f"doc {i}: vocab change invisible"
+
+
+def test_random_projection_gemm_matches_literal_sum(spark, tmp_path):
+    """Round 11 replaced embed_random_projection's 16-column
+    F.aggregate(F.zip_with(...)) tower (interpreted HOFs) with one
+    mapInArrow int64 GEMM. Pin the kernel against a pure-Python
+    evaluation of the oracle's formula — qproj[j] = Σ_i q_i · JL[j][i]
+    over q_i = floor(x_i · 1e6) — on vectors with negative, zero and
+    near-boundary coordinates."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polars_gdal_spark.queries import QUERIES
+    from polars_gdal_spark.queries.similarity import _JL
+
+    vecs = [
+        [0.0] * 64,
+        [(-1) ** i * (i / 64.0) for i in range(64)],
+        [0.999999] * 64,
+        [-0.000001 * i for i in range(64)],
+    ]
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "label": pa.array(["a"] * len(vecs)),
+                "embedding": pa.array(
+                    vecs, type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+    # the other tables the loader registers: empty stand-ins
+    for name in (
+        "lineitem", "orders", "customer", "part", "supplier",
+        "nation", "region", "events", "documents",
+    ):
+        pq.write_table(pa.table({"_": pa.array([], type=pa.int64())}),
+                       f"{sf_dir}/{name}.parquet")
+    got = {
+        (r["vec_id"], r["dim"]): r["qproj"]
+        for r in QUERIES["embed_random_projection"]
+        .func(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) == len(vecs) * 16
+    for vid, v in enumerate(vecs):
+        q = [math.floor(float(np32) * 1_000_000) for np32 in map(_f32, v)]
+        for j in range(16):
+            want = sum(qi * s for qi, s in zip(q, _JL[j]))
+            assert got[(vid, j)] == want, (vid, j)
+
+
+def _f32(x: float) -> float:
+    """Round-trip through float32, matching the parquet column type."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
