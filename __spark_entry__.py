@@ -126,6 +126,16 @@ CHANGED_IN_ROUND = {
     # candidate densities (the signature build dominates) — kept for
     # the codegen refine + narrower banded persist.
     "dedup_simhash_pairs": 11,
+    # r11: minhash_lsh_pairs' in-bucket combination explode is two
+    # chained Generate nodes (explode anchor position, explode suffix
+    # slice) instead of the nested interpreted F.transform struct tower
+    # — same sorted-docs pair set (exceptAll-identical), all-codegen;
+    # isolated pair stage 0.68-1.13 -> 0.51-0.65 s at sf10 (same-JVM
+    # alternating A/B). The three CC-family consumers above already
+    # carry r11 entries; these are the remaining callers.
+    "dedup_minhash_lsh": 11,
+    "dedup_lsh_recall": 11,
+    "dedup_minhash_estimate": 11,
 }
 
 

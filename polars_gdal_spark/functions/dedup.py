@@ -408,22 +408,30 @@ def minhash_lsh_pairs(
         .groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
     )
-    n = F.size("docs")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("docs"), i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(F.col("docs"), i).alias("doc_a"),
-                    y.alias("doc_b"),
-                ),
-            ),
-        )
-    )
+    # In-bucket combinations via TWO chained Generate nodes (round 11):
+    # explode the anchor position, then explode the suffix slice — all
+    # codegen (Generate + element_at/slice are native), replacing the
+    # nested F.transform lambda tower that built every pair as an
+    # interpreted struct before the explode (higher-order functions
+    # don't codegen — the embed_random_projection finding applied to
+    # the pair generator). Same pair set: docs is sorted, anchors run
+    # 1..n-1, partners are the strict suffix, so doc_a < doc_b and
+    # every (i < j) combination appears exactly once.
     result = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        buckets.select(
+            "docs",
+            F.explode(F.sequence(F.lit(1), F.size("docs") - 1)).alias("_i"),
+        )
+        .select(
+            F.element_at("docs", F.col("_i")).alias("doc_a"),
+            F.explode(
+                F.slice(
+                    F.col("docs"),
+                    F.col("_i") + 1,
+                    F.size("docs") - F.col("_i"),
+                )
+            ).alias("doc_b"),
+        )
         .distinct()
     )
     # Eager checkpoint of the (small) pair set releases the banded cache
