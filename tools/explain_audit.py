@@ -284,7 +284,10 @@ EXPECT = {
     "dedup_substring_windows": ["Generate", "partial", "!CartesianProduct"],
     # JL projection is a pure narrow transform: literal sign arrays,
     # zero shuffle, zero Python — one Generate for the long-form explode
-    "embed_random_projection": ["!Exchange", "Generate"],
+    # r11: the 16-projection HOF tower + posexplode became one Arrow
+    # GEMM per batch — the long-form fan-out now happens inside the
+    # kernel, so the plan is scan → Project → MapInArrow, no Generate.
+    "embed_random_projection": ["!Exchange", "MapInArrow"],
     # 5-row sketch output re-enters as an explicit broadcast; the rank
     # check is one partial-first aggregation over the fact scan
     "sketch_quantiles": ["BroadcastHashJoin", "partial"],
