@@ -196,7 +196,7 @@ def _chunk(names: list[str], n_groups: int) -> list[list[str]]:
 
 def _run_isolated(
     names: list[str], n_groups: int
-) -> tuple[dict[str, float], float | None]:
+) -> tuple[dict[str, float], float | None, list[list]]:
     """Round-7 verdict item 5 (opt-in: SPARK_GRAFT_BENCH_GROUPS>1):
     split the full suite into a few SEQUENTIAL subprocesses (fresh
     JVM each, same per-query timing loop; JVM startup outside the
@@ -213,6 +213,7 @@ def _run_isolated(
 
     timings: dict[str, float] = {}
     cals: list[float] = []
+    trace: list[list] = []
     for chunk in _chunk(names, n_groups):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *chunk],
@@ -243,40 +244,45 @@ def _run_isolated(
         timings.update(parsed["queries"])
         if "calibration_sec" in parsed:
             cals.append(parsed["calibration_sec"])
+        trace.extend(parsed.get("canary_trace") or [])
     # one canary per group JVM; the median is the run's load figure
     cal = round(statistics.median(cals), 3) if cals else None
-    return timings, cal
+    return timings, cal, trace
+
+
+def _canary_once(spark) -> float:
+    """One execution of the fixed-work host-load canary: 20M generated
+    rows, one 100k-key shuffle, zero data read — wall time depends only
+    on host conditions, never on sf or repo code."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    # the trailing .count() is the ACTION that executes the canary
+    # job — pin its expected cardinality so a refactor that drops
+    # it (leaving a no-op plan build) fails loudly instead of
+    # silently corrupting load normalization
+    n = (
+        spark.range(0, 20_000_000, 1, 32)
+        .groupBy((F.col("id") % 100_000).alias("k"))
+        .count()
+        .count()
+    )
+    assert n == 100_000, f"calibration canary computed {n} groups"
+    return time.time() - t0
 
 
 def _calibration(spark) -> float:
     """Fixed-work host-load canary (round-8 verdict item 3): a constant
-    job — 20M generated rows, one 100k-key shuffle, zero data read — whose
-    wall time depends only on host conditions, never on sf or repo code.
-    Every artifact carries it as ``calibration_sec`` so drift_audit can
-    separate "the host was loaded" (calibration drifted too) from "the
-    code regressed" (calibration steady) without anyone re-measuring;
-    round 8's driver artifact read as a phantom 1.37x regression that
-    took three artifacts and a fresh bench to dismiss. Median of 3
-    after 1 warmup, same discipline as the query timings."""
-    from pyspark.sql import functions as F
-
-    def run() -> float:
-        t0 = time.time()
-        # the trailing .count() is the ACTION that executes the canary
-        # job — pin its expected cardinality so a refactor that drops
-        # it (leaving a no-op plan build) fails loudly instead of
-        # silently corrupting load normalization
-        n = (
-            spark.range(0, 20_000_000, 1, 32)
-            .groupBy((F.col("id") % 100_000).alias("k"))
-            .count()
-            .count()
-        )
-        assert n == 100_000, f"calibration canary computed {n} groups"
-        return time.time() - t0
-
-    run()
-    return round(statistics.median(run() for _ in range(3)), 3)
+    job whose wall time depends only on host conditions — see
+    :func:`_canary_once`. Every artifact carries it as
+    ``calibration_sec`` so drift_audit can separate "the host was
+    loaded" (calibration drifted too) from "the code regressed"
+    (calibration steady) without anyone re-measuring; round 8's driver
+    artifact read as a phantom 1.37x regression that took three
+    artifacts and a fresh bench to dismiss. Median of 3 after 1 warmup,
+    same discipline as the query timings."""
+    _canary_once(spark)
+    return round(statistics.median(_canary_once(spark) for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -294,14 +300,27 @@ def main() -> None:
     names = sys.argv[1:] or _full_suite()  # optional per-query iteration
     n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "1"))
     if not sys.argv[1:] and n_groups > 1:
-        timings, cal = _run_isolated(names, n_groups)
-        _emit_full(timings, sf, n_groups, cal)
+        timings, cal, trace = _run_isolated(names, n_groups)
+        _emit_full(timings, sf, n_groups, cal, trace)
         return
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     cal = _calibration(spark)
     timings = {}
+    # Per-row-group canary TRACE (round-12, VERDICT r11 item 1b): the
+    # run-level ``calibration_sec`` samples host load AROUND the run,
+    # so sustained mid-run interference (the round-11 driver run:
+    # window-family rows 4-6x their same-code values, canary quiet) is
+    # invisible to it. One single canary execution after every
+    # ``SPARK_GRAFT_CANARY_EVERY`` queries (default 10; 0 disables)
+    # makes such a run adjudicable from the artifact alone: a loud
+    # trace segment marks exactly which rows ran under interference.
+    # Additive only — the one-line summary contract and the per-query
+    # timing loop are byte-identical; the trace costs ~one canary
+    # (~0.7 s quiet) per group, outside every timed region.
+    canary_every = int(os.environ.get("SPARK_GRAFT_CANARY_EVERY", "10"))
+    canary_trace: list[list] = []
 
     def timed_run(spec) -> float:
         t0 = time.time()
@@ -336,7 +355,7 @@ def main() -> None:
         spark.catalog.clearCache()
         return t
 
-    for name in names:
+    for qi, name in enumerate(names):
         spec = QUERIES[name]
         # Adaptive warmup: run until back-to-back times stabilize (the
         # heavy-codegen queries need 3-4 executions before C2 JIT
@@ -361,18 +380,27 @@ def main() -> None:
             for _ in range(2):
                 runs.append(timed_run(spec))
         timings[name] = round(statistics.median(runs), 3)
+        if canary_every > 0 and (
+            qi % canary_every == canary_every - 1 or qi == len(names) - 1
+        ):
+            canary_trace.append([name, round(_canary_once(spark), 3)])
 
     if sys.argv[1:]:
         # ad-hoc subset run: the full line is small — print it whole
         # so scale_audit/drift_audit can parse stdout directly
-        print(json.dumps(_result(timings, sf, cal)))
+        print(json.dumps(_result(timings, sf, cal, canary_trace)))
     else:
         # SPARK_GRAFT_BENCH_GROUPS=1: single-JVM full suite (the
         # suite-pressure twin artifacts)
-        _emit_full(timings, sf, 1, cal)
+        _emit_full(timings, sf, 1, cal, canary_trace)
 
 
-def _result(timings: dict[str, float], sf: str, cal: float | None) -> dict:
+def _result(
+    timings: dict[str, float],
+    sf: str,
+    cal: float | None,
+    trace: list | None = None,
+) -> dict:
     """The one artifact shape every consumer parses (driver, audits,
     subset stdout, detail files) — built in exactly one place so the
     paths cannot drift."""
@@ -389,11 +417,20 @@ def _result(timings: dict[str, float], sf: str, cal: float | None) -> dict:
     }
     if cal is not None:
         out["calibration_sec"] = cal
+    if trace:
+        # [["<last query of group>", canary_sec], ...] in suite order —
+        # single executions, so read segments (not single samples)
+        # against the quiet range before adjudicating neighbors
+        out["canary_trace"] = trace
     return out
 
 
 def _emit_full(
-    timings: dict[str, float], sf: str, n_groups: int, cal: float | None
+    timings: dict[str, float],
+    sf: str,
+    n_groups: int,
+    cal: float | None,
+    trace: list | None = None,
 ) -> None:
     """Full-suite artifact: the per-query map is ~200 entries and
     growing — round 5's single line overflowed the driver's stdout
@@ -406,7 +443,7 @@ def _emit_full(
     bench_artifacts/ dir (round-6 ADVICE: epoch-named files in the
     repo root grew without bound); promote a detail file with
     `git add -f` when its compact artifact is committed as canonical."""
-    result = _result(timings, sf, cal)
+    result = _result(timings, sf, cal, trace)
     total = result["value"]
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(repo_dir, "bench_artifacts"), exist_ok=True)
