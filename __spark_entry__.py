@@ -64,78 +64,35 @@ def _last_verified_round() -> dict[str, int]:
 CHANGED_IN_ROUND = {
     # (r10 entries expired: all 8 landed green r10 driver rows —
     # CORRECTNESS_r10.json — so they sort by staleness again)
-    # r10: support count rides a packed-bigint pair key with an in-plan
-    # assert_true range guard (identical edge set; plan change) — the
-    # round-10 rewrite shipped WITHOUT this entry (round-10 ADVICE), so
-    # its last green row (r09) predates the plan it would attest.
-    # r11: edge materialization adaptive on scan stats (plain shape
-    # below the 500 MB threshold, so the driver-gate-scale plan is the
-    # r10 one; entry bumped to cover both changes)
-    "graph_triangle_participation": 11,
-    # (dedup_minhash_estimate: r11 tried persisting the candidate
-    # relation per round-10 ADVICE — measured 19.7 -> 23.5/37.3 s at
-    # sf10 and REVERTED, so its plan is exactly the r10-attested one)
-    # r11: benchmark-side shingle spine is an xxhash64 surrogate, not
-    # the full text string (same shingle set; code change only — the
-    # r11 before/after explains in plans/r11/ show Catalyst had already
-    # pruned the spine, so the physical plan is unchanged)
-    "text_decontaminate": 11,
-    "pipeline_training_prep_v2": 11,
-    # r11: per-iteration contribution stream rebuilt from the CLOSED
-    # FORM of the synthetic graph (explode two destinations per rank
-    # row, per-row degree expression) — the edges-union build, the
-    # out-degree groupBy shuffle and the edges⋈outdeg⋈ranks join chain
-    # are gone from every iteration (plans/r11/graph_pagerank_*_full).
-    # Contribution multiset identical, ranks bit-equal vs the unchanged
-    # oracle (cell-exact PASS at sf0.001/0.01/0.1 recorded in
-    # OPTIMIZATION_r11.md).
-    "graph_pagerank": 11,
-    # r11: vocabulary count folded into the bigram-type relation via
-    # (token, NULL) sentinel rows for 1-token docs — the second full
-    # tokenization (explode + exact distinct over the occurrence
-    # stream) is gone; sentinels are filtered from c2 and can never
-    # match the inner scoring join, so the output rows are identical
-    # (cell-exact PASS at sf0.001/0.01/0.1; ~1.5 s off the sf10 row).
-    "text_bigram_lm_score": 11,
-    # r11: connected_components gained a hybrid finish — edge sets
-    # within the single-task memory ceiling (default 8M symmetric
-    # edges, env SPARK_GRAFT_CC_LOCAL_MAX_EDGES) are solved exactly in
-    # ONE Arrow task by vectorized min-label pointer-doubling instead
-    # of 6+ rounds of broadcast+shuffle+checkpoint+count jobs; above
-    # the ceiling the distributed loop is unchanged. Identical
-    # (doc, component) relation (A/B-asserted at sf0.001/sf10; all four
-    # queries cell-exact vs their unchanged oracles at
-    # sf0.001/0.01/0.1). sf10: components 21.2->11.3 s, quality_resolve
-    # 24.4->19.0 s, near_resolve 17.4->15.3 s, embedding_cosine
-    # ->10.8 s.
-    "dedup_components": 11,
-    "dedup_near_resolve": 11,
-    "dedup_quality_resolve": 11,
-    "dedup_embedding_cosine": 11,
-    # r11: the 16-projection F.aggregate(F.zip_with(...)) tower is one
-    # mapInArrow int64 GEMM per batch (HOFs are interpreted, not
-    # codegen'd — the SRP-keys lesson applied to the JL projection):
-    # 5.2-5.8 -> ~0.5 s at sf10, exceptAll-identical, oracle unchanged
-    # (cell-exact PASS at sf0.001/0.01/0.1).
-    "embed_random_projection": 11,
-    # r11: hamming refine is bit_count(xor) over the signature carried
-    # as BIGINT through the band explode, replacing the per-pair
-    # split+zip_with array compare (interpreted HOF). Identical values
-    # (popcount of xor = differing positions; bits<=63 guard), oracle
-    # cell-exact at all three SFs; measured neutral at registry
-    # candidate densities (the signature build dominates) — kept for
-    # the codegen refine + narrower banded persist.
-    "dedup_simhash_pairs": 11,
-    # r11: minhash_lsh_pairs' in-bucket combination explode is two
-    # chained Generate nodes (explode anchor position, explode suffix
-    # slice) instead of the nested interpreted F.transform struct tower
-    # — same sorted-docs pair set (exceptAll-identical), all-codegen;
-    # isolated pair stage 0.68-1.13 -> 0.51-0.65 s at sf10 (same-JVM
-    # alternating A/B). The three CC-family consumers above already
-    # carry r11 entries; these are the remaining callers.
-    "dedup_minhash_lsh": 11,
-    "dedup_lsh_recall": 11,
-    "dedup_minhash_estimate": 11,
+    # (r11 entries expired: all 14 changed queries landed green r11
+    # driver rows — CORRECTNESS_r11.json — so they sort by staleness)
+    # r12: winnowing fingerprints are ONE Arrow ragged-array kernel
+    # (flat batch md5 + strided sliding minima + lexsort distinct)
+    # replacing the interpreted transform-around-md5 + zip_with
+    # doubling passes, and the in-bucket pair emission is two chained
+    # Generates replacing the nested transform struct tower. (doc, fp)
+    # multiset exceptAll-identical at sf0.01/sf10 (8.44M rows); oracle
+    # cell-exact at sf0.001/0.01/0.1; sf10 full row 9.4 -> 6.6 s
+    # (alternating same-JVM A/B).
+    "dedup_winnowing": 12,
+    # r12 (r11 ADVICE): the JL GEMM kernel validates per-row list
+    # lengths + null_count before reshaping (ragged rows whose
+    # flattened count divides the batch size silently mis-projected;
+    # NULL lists shifted alignment). Fail-loud only — valid inputs
+    # produce byte-identical output, pinned by a new pytest.
+    "embed_random_projection": 12,
+    # r12 (r11 ADVICE): connected_components' local finish derives its
+    # output id type from the input edge column (int32 ids no longer
+    # come back widened to bigint only when the edge count selects the
+    # local path); non-integral ids are gated to the loop path, whose
+    # _old NULL sentinel now carries the id's own type instead of a
+    # hard-coded bigint cast that crashed string ids. Registry graphs
+    # are bigint, so their plans/outputs are unchanged; entries force
+    # re-verification of the code change.
+    "dedup_components": 12,
+    "dedup_near_resolve": 12,
+    "dedup_quality_resolve": 12,
+    "dedup_embedding_cosine": 12,
 }
 
 

@@ -517,6 +517,17 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
 # pair graph can be billions of edges and MUST stay distributed; this
 # constant only decides where the well-known "finish the shrunken graph
 # in one task" cutover sits (env SPARK_GRAFT_CC_LOCAL_MAX_EDGES).
+#
+# Wall-time at the ceiling, MEASURED (round 12, r11 ADVICE): the solve
+# is ~2-3.4 s at 868k edges and 40-81 s at 8M edges single-task
+# (random-forest / 800k-deep-chain synthetics). That worst case is
+# still the right trade: a deep graph needs O(diameter) distributed
+# propagation rounds (hours at 800k) vs the local O(log diameter)
+# passes, and a shallow 8M-edge graph costs about the same either way.
+# A sort-once + np.minimum.reduceat reformulation of the scatter was
+# built and REJECTED by measurement: 130 s vs 81 s (deep) and 56 s vs
+# 40 s (shallow) at 8M edges — per-round fancy-indexing gathers exceed
+# the unbuffered-scatter cost the ADVICE flagged.
 _CC_LOCAL_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", str(8_000_000))
 )
@@ -532,14 +543,25 @@ def _cc_local_labels(edges: DataFrame) -> DataFrame:
     and only values from the same component can propagate), which is
     exactly the loop path's output. Deterministic for any batch order:
     np.unique sorts the node universe and min-fixpoints are
-    order-independent."""
+    order-independent.
+
+    The output id type FOLLOWS the input edge column (round-12, r11
+    ADVICE): the loop path preserves the input id type, so this path
+    must too — an int32 edge list used to come back widened to bigint
+    only when the edge count happened to select the local finish, a
+    schema divergence silently keyed on data size. Callers gate this
+    path to integral id types (:func:`connected_components`)."""
+    id_type = edges.schema["a"].dataType.simpleString()
 
     def solve(batches):
         import numpy as np
         import pyarrow as pa
 
         aa, bb = [], []
+        arrow_t = None
         for batch in batches:
+            if arrow_t is None:
+                arrow_t = batch.column(0).type
             aa.append(batch.column(0).to_numpy(zero_copy_only=False))
             bb.append(batch.column(1).to_numpy(zero_copy_only=False))
         if not aa:
@@ -563,8 +585,8 @@ def _cc_local_labels(edges: DataFrame) -> DataFrame:
                 break
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(nodes, type=pa.int64()),
-                pa.array(nodes[lab], type=pa.int64()),
+                pa.array(nodes, type=arrow_t),
+                pa.array(nodes[lab], type=arrow_t),
             ],
             names=["doc", "component"],
         )
@@ -574,7 +596,7 @@ def _cc_local_labels(edges: DataFrame) -> DataFrame:
     # shuffle write, no sort-before-repartition.
     return (
         edges.coalesce(1)
-        .mapInArrow(solve, "doc bigint, component bigint")
+        .mapInArrow(solve, f"doc {id_type}, component {id_type}")
         .localCheckpoint(eager=True)
     )
 
@@ -665,8 +687,14 @@ def connected_components(
     # count() on the just-checkpointed relation is a ~0.1 s metadata-
     # cheap job; it decides the cutover the same way the triangle
     # query's scan-stats gate does (input-size-derived, never
-    # core-count-derived).
-    if ceiling > 0 and edges.count() <= ceiling:
+    # core-count-derived). Integral ids only (round-12, r11 ADVICE):
+    # the numpy finish would crash on e.g. string ids that the loop
+    # path handles fine — the id TYPE must never change which inputs
+    # succeed, so non-integral ids always take the loop.
+    integral = edges.schema["a"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    if ceiling > 0 and integral and edges.count() <= ceiling:
         return _cc_local_labels(edges)
     labels = (
         edges.select(F.col("a").alias("doc"))
@@ -682,7 +710,14 @@ def connected_components(
     for _ in range(max_iter + 1):
         msgs = (
             edges.join(labels, edges.b == labels.doc)
-            .select("a", "component", F.lit(None).cast("bigint").alias("_old"))
+            # the NULL sentinel must carry the id's own type: a
+            # hard-coded bigint made the union insert a cast that
+            # crashed non-integral id columns at runtime
+            .select(
+                "a",
+                "component",
+                F.lit(None).cast(edges.schema["a"].dataType).alias("_old"),
+            )
             .unionAll(
                 labels.select(
                     F.col("doc").alias("a"),
@@ -1564,69 +1599,139 @@ def winnowing_fingerprints(
     (order-preserving vs the oracle's 15-char hex strings, so min
     selection is engine-identical). Documents with at least one k-gram
     but fewer than ``w`` select the single global minimum (one covering
-    window). Pure per-row expressions — no shuffle; output is the
-    exploded (doc, fp) relation.
+    window). No shuffle; output is the exploded (doc, fp) relation.
 
-    Window minima by DOUBLING (round 10 — this stage was 85% of the
-    operator's sf10 wall): ``g_{2m}[j] = least(g_m[j], g_m[j+m])``
-    composes sliding minima like a sparse table — ceil(log2 w) bulk
-    ``zip_with(least)`` passes (~1 comparison per element each), with
-    a non-power-of-two w handled by the classic RMQ overlap
-    ``least(g_p[j], g_p[j+w-p])`` for p the largest power of two ≤ w —
-    instead of per-window ``array_min(slice(h, j, w))``, which
-    allocates a w-element array and rescans it for every window
-    (interpreted, O(w) per element). Identical (doc, fp) multiset
-    asserted at sf10 (count + order-insensitive hash sum over 8.4M
-    rows); measured 18.5 → 5.0 s for the fingerprint stage."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    One Arrow ragged-array kernel per partition (round 12 — the
+    deferred round-11 "HOF sweep residue" item): tokenization semantics
+    stay in Spark only for ``lower`` (engine-identical casing); the
+    kernel splits on single spaces exactly like ``split(text, ' ')`` +
+    empty filter, builds each k-gram by slicing the space-joined token
+    string at token offsets (byte-identical to ``concat_ws(' ',
+    tokens[i:i+k])``), takes the first 60 bits of ``hashlib.md5`` (==
+    ``conv(substr(md5(gram), 1, 15), 16, 10)``: the first 15 hex chars
+    ARE the top 60 bits of the digest), and computes the w-window
+    sliding minima with one strided-view ``min`` per document. This
+    replaces the interpreted ``transform`` wrapper around the md5
+    k-gram hash plus the round-10 ``zip_with(least)`` doubling passes:
+    Catalyst interprets higher-order functions (they do not codegen —
+    the embed_random_projection finding), so every gram paid lambda
+    dispatch + object churn around the md5, and every doubling pass
+    allocated two slices per document. The (doc, fp) multiset is pinned
+    against a pure-Python brute force for every w shape in
+    tests/test_llm_ops.py and the cross-engine md5 oracle is unchanged.
+    NULL texts and sub-k docs yield no rows, exactly like the
+    ``CASE``/``explode`` form they replace; the output doc type follows
+    the input id column."""
+    src = df.select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("_t")
     )
-    gram = "concat_ws(' ', " + ", ".join(
-        f"element_at(tk, i + {j})" for j in range(k)
-    ) + ")"
-    # the size guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
-    # rather than returning empty, so a sub-k document would index past
-    # the token array
-    h_expr = (
-        f"""CASE WHEN size(tk) >= {k} THEN
-              transform(sequence(1, size(tk) - {k - 1}),
-                i -> cast(conv(substr(md5({gram}), 1, 15), 16, 10) as bigint))
-            ELSE array() END"""
-    )
-    out = df.select(F.col(id_col).alias("doc"), toks.alias("tk")).select(
-        "doc", F.expr(h_expr).alias("h")
-    )
-    p = 1 << (w.bit_length() - 1)  # largest power of two <= w
-    cur, m = "h", 1
-    while 2 * m <= p:
-        nxt = f"_g{2 * m}"
-        # g_{2m} has size(h) - 2m + 1 elements; guarded so short docs
-        # produce array() (never consumed: the final CASE needs >= w)
-        out = out.withColumn(
-            nxt,
-            F.expr(
-                f"CASE WHEN size(h) >= {2 * m} THEN "
-                f"zip_with(slice({cur}, 1, size(h) - {2 * m - 1}), "
-                f"slice({cur}, {m + 1}, size(h) - {2 * m - 1}), "
-                f"(a, b) -> least(a, b)) ELSE array() END"
-            ),
-        )
-        cur, m = nxt, 2 * m
-    if p == w:
-        # g_w already has exactly size(h) - w + 1 elements
-        win_expr = cur
-    else:
-        win_expr = (
-            f"zip_with(slice({cur}, 1, size(h) - {w - 1}), "
-            f"slice({cur}, {w - p + 1}, size(h) - {w - 1}), "
-            f"(a, b) -> least(a, b))"
-        )
-    fp_expr = F.expr(
-        f"""CASE WHEN size(h) >= {w} THEN array_distinct({win_expr})
-            WHEN size(h) >= 1 THEN array(array_min(h))
-            ELSE array() END"""
-    )
-    return out.select("doc", F.explode(fp_expr).alias("fp"))
+    doc_t = src.schema["doc"].dataType.simpleString()
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            docs_col = batch.column(0)
+            # Per-doc Python/numpy call overhead dominates at ~24
+            # tokens/doc, so everything after the md5 loop is computed
+            # ONCE per batch over flat ragged arrays: one strided
+            # sliding-min over the concatenated hash stream with a
+            # cumsum mask cancelling the windows that straddle document
+            # boundaries, reduceat for the sub-w global minima, and one
+            # lexsort for the per-doc distinct.
+            buf = bytearray()
+            ngs_l: list = []
+            keep_docs: list = []
+            for d, t in zip(docs_col.to_pylist(), batch.column(1).to_pylist()):
+                if t is None:
+                    continue
+                toks = [x for x in t.split(" ") if x]
+                ng = len(toks) - k + 1
+                if ng < 1:
+                    continue
+                # slice k-grams out of ONE space-joined string at token
+                # BYTE offsets — identical bytes to the utf-8 of
+                # " ".join(toks[i:i+k]), no join allocation per gram
+                joined = " ".join(toks)
+                enc = joined.encode("utf-8")
+                if len(enc) == len(joined):
+                    starts = [0]
+                    acc = 0
+                    for x in toks:
+                        acc += len(x) + 1
+                        starts.append(acc)
+                else:
+                    starts = [0]
+                    acc = 0
+                    for x in toks:
+                        acc += len(x.encode("utf-8")) + 1
+                        starts.append(acc)
+                mv = memoryview(enc)
+                for i in range(ng):
+                    buf += md5(mv[starts[i]: starts[i + k] - 1]).digest()[:8]
+                ngs_l.append(ng)
+                keep_docs.append(d)
+            if not ngs_l:
+                continue
+            # first 8 digest bytes big-endian >> 4 == first 15 hex chars
+            # (shift as uint64: values touch bit 63 before the shift)
+            H = (
+                np.frombuffer(bytes(buf), dtype=">u8") >> np.uint64(4)
+            ).astype(np.int64)
+            ngs = np.asarray(ngs_l, dtype=np.int64)
+            nd = len(ngs)
+            offs = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(ngs, out=offs[1:])
+            doc_idx_parts = []
+            fp_parts = []
+            if len(H) >= w:
+                wm = swv(H, w).min(axis=1)
+                counts_w = np.maximum(ngs - w + 1, 0)
+                delta = np.zeros(len(wm) + 1, dtype=np.int64)
+                vd = counts_w > 0
+                np.add.at(delta, offs[:-1][vd], 1)
+                np.add.at(delta, (offs[:-1] + counts_w)[vd], -1)
+                mask = np.cumsum(delta[:-1]) > 0
+                # windows of doc d occupy consecutive flat positions
+                # offs[d]..offs[d]+counts_w[d]-1, docs ascending, so the
+                # masked values align with the repeat order
+                fp_w = wm[mask]
+                dx_w = np.repeat(np.arange(nd)[vd], counts_w[vd])
+                # per-doc distinct: sort by (doc, fp), keep firsts
+                order = np.lexsort((fp_w, dx_w))
+                fp_w, dx_w = fp_w[order], dx_w[order]
+                first = np.ones(len(fp_w), dtype=bool)
+                first[1:] = (dx_w[1:] != dx_w[:-1]) | (fp_w[1:] != fp_w[:-1])
+                doc_idx_parts.append(dx_w[first])
+                fp_parts.append(fp_w[first])
+                short = ~vd
+            else:
+                short = np.ones(nd, dtype=bool)
+            if short.any():
+                # 1 <= ng < w: the single global minimum (one covering
+                # window), via one reduceat over all segments
+                seg_min = np.minimum.reduceat(H, offs[:-1])
+                doc_idx_parts.append(np.arange(nd)[short])
+                fp_parts.append(seg_min[short])
+            dx = np.concatenate(doc_idx_parts)
+            fps = np.concatenate(fp_parts)
+            try:
+                docs_np = np.asarray(keep_docs, dtype=np.int64)
+                out_doc = pa.array(docs_np[dx], type=docs_col.type)
+            except (TypeError, ValueError, OverflowError):
+                obj = np.asarray(keep_docs, dtype=object)
+                out_doc = pa.array(obj[dx].tolist(), type=docs_col.type)
+            yield pa.RecordBatch.from_arrays(
+                [out_doc, pa.array(fps, type=pa.int64())],
+                names=["doc", "fp"],
+            )
+
+    return src.mapInArrow(gen, f"doc {doc_t}, fp bigint")
 
 
 def winnowing_pairs(
@@ -1696,16 +1801,35 @@ def winnowing_pairs(
     # assert_true returns NULL on success (row kept) and throws on
     # violation; `.isNull()` — never OR'd with a literal, which
     # BooleanSimplification would fold away, deleting the guard
+    # In-bucket combinations via TWO chained Generate nodes (round 12 —
+    # the minhash_lsh_pairs r11 change applied to the remaining caller):
+    # explode the anchor position, then explode the strict suffix slice
+    # — Generate/element_at/slice are codegen, while the nested
+    # F.transform struct tower was interpreted per element. Same pair
+    # set: ds is sorted and distinct per fingerprint, so doc_a < doc_b
+    # and every (i < j) combination appears exactly once.
+    # size filter first: unlike minhash's bucket-eligibility pass,
+    # single-doc fingerprint groups reach this point, and
+    # sequence(1, 0) DESCENDS ([1, 0]) instead of returning empty
     out = (
         grouped.where(guard.isNull())
+        .where(F.size("ds") >= 2)
         .select(
+            "ds",
+            F.explode(F.sequence(F.lit(1), F.size("ds") - 1)).alias("_i"),
+        )
+        .select(
+            F.element_at("ds", F.col("_i")).alias("_a"),
             F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> shiftleft(cast(x as bigint), 31) "
-                    "+ cast(y as bigint))))"
+                F.slice(
+                    F.col("ds"), F.col("_i") + 1, F.size("ds") - F.col("_i")
                 )
+            ).alias("_b"),
+        )
+        .select(
+            (
+                F.shiftleft(F.col("_a").cast("bigint"), 31)
+                + F.col("_b").cast("bigint")
             ).alias("pk")
         )
         .groupBy("pk")

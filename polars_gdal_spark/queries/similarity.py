@@ -614,20 +614,31 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = len(ids)
             if n == 0:
                 continue
-            flat = batch.column(1).flatten()
+            col = batch.column(1)
+            # per-ROW validation (round-12, r11 ADVICE): reshape(n, -1)
+            # succeeds on ragged input whenever the flattened count
+            # happens to divide n (e.g. lists of 63 and 65 elements in
+            # a 2-row batch), silently mixing values across rows, and
+            # ListArray.flatten() silently drops NULL lists, shifting
+            # alignment — so check null_count and every list length
+            # explicitly instead of relying on reshape to fail.
+            if col.null_count:
+                raise ValueError(
+                    "embed_random_projection: NULL embedding vector"
+                )
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if (lens != W.shape[0]).any():
+                bad = sorted(set(lens[lens != W.shape[0]].tolist()))
+                raise ValueError(
+                    f"embed_random_projection: expected {W.shape[0]}-dim "
+                    f"vectors, got lengths {bad[:5]}"
+                )
             m = (
-                flat.to_numpy(zero_copy_only=False)
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
                 .reshape(n, -1)
                 .astype(np.int64)
             )
-            if m.shape[1] != W.shape[0]:
-                # ragged/mismatched vectors would silently mis-project;
-                # the reshape above already throws for ragged input,
-                # this guards the uniform-but-wrong-width case
-                raise ValueError(
-                    f"embed_random_projection: expected {W.shape[0]}-dim "
-                    f"vectors, got {m.shape[1]}"
-                )
             pr = m @ W  # (n, 16), exact int64
             yield pa.RecordBatch.from_arrays(
                 [

@@ -1,0 +1,143 @@
+"""Round-12 optimization pins: the winnowing Arrow kernel's byte-exact
+md5 contract on awkward inputs, the JL GEMM's per-row validation, and
+the CC local finish's id-type parity with the loop path."""
+import hashlib
+
+import pytest
+
+
+def _brute_winnow(text, k, w):
+    tk = [t for t in text.lower().split(" ") if t]
+    if len(tk) < k:
+        return set()
+    h = [
+        int(
+            hashlib.md5(
+                " ".join(tk[i: i + k]).encode("utf-8")
+            ).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(tk) - k + 1)
+    ]
+    if len(h) < w:
+        return {min(h)}
+    return {min(h[j: j + w]) for j in range(len(h) - w + 1)}
+
+
+def test_winnowing_kernel_nonascii_and_spacing(spark):
+    """The Arrow kernel slices k-grams out of one space-joined string at
+    BYTE offsets; non-ASCII tokens, repeated spaces, leading/trailing
+    spaces, NULL text and uppercase input must all reproduce the
+    expression form's md5-of-utf8 contract exactly."""
+    from polars_gdal_spark.functions.dedup import winnowing_fingerprints
+
+    rows = [
+        (0, "  naïve café über żółć 東京 déjà vu encore une fois  "),
+        (1, "MIXED Case TOKENS with  double  spaces everywhere here"),
+        (2, "ascii only plain text tokens for the control document"),
+        (3, None),
+        (4, "λambda μu νnu ξxi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((3, 4), (2, 8), (3, 1)):
+        got = {}
+        for r in winnowing_fingerprints(
+            df, "doc_id", "text", k=k, w=w
+        ).collect():
+            got.setdefault(r["doc"], set()).add(r["fp"])
+        for doc, text in rows:
+            want = _brute_winnow(text, k, w) if text is not None else set()
+            assert got.get(doc, set()) == want, f"k={k} w={w} doc={doc}"
+
+
+def test_winnowing_kernel_id_type_follows_input(spark):
+    """Output doc column preserves the input id type (int stays int)."""
+    from polars_gdal_spark.functions.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(7, "a b c d e f g h")], "doc_id int, text string"
+    )
+    out = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    assert dict(out.dtypes)["doc"] == "int"
+    assert out.count() > 0
+
+
+def test_jl_gemm_rejects_ragged_and_null(spark, tmp_path):
+    """The JL projection kernel must fail loudly on ragged vectors (even
+    when the flattened count divides the row count) and on NULL
+    embeddings, instead of silently mis-projecting."""
+    import numpy as np
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from polars_gdal_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    import os
+    import shutil
+
+    from polars_gdal_spark.queries import TABLE_NAMES
+
+    def mk_corpus(sub: str, rows) -> str:
+        d = tmp_path / sub
+        d.mkdir()
+        for t in TABLE_NAMES:
+            if t == "embeddings":
+                continue
+            p = f"{src}/{t}.parquet"
+            if os.path.isdir(p):
+                shutil.copytree(p, d / f"{t}.parquet")
+            else:
+                shutil.copy(p, d / f"{t}.parquet")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        ).write.parquet(str(d / "embeddings.parquet"))
+        return str(d)
+
+    # two rows of 63 and 65 elements: flattened count 128 divides 2,
+    # so reshape(2, -1) would silently succeed at width 64
+    ragged = mk_corpus("ragged", [
+        (0, [float(i) / 100 for i in range(63)], "a"),
+        (1, [float(i) / 100 for i in range(65)], "a"),
+    ])
+    with pytest.raises(Exception, match="expected 64-dim|lengths"):
+        QUERIES["embed_random_projection"].func(spark, ragged).count()
+
+    # NULL embedding: flatten() would drop it and shift alignment
+    withnull = mk_corpus("withnull", [
+        (0, [float(i) / 100 for i in range(64)], "a"),
+        (1, None, "a"),
+    ])
+    with pytest.raises(Exception, match="NULL embedding"):
+        QUERIES["embed_random_projection"].func(spark, withnull).count()
+    del np
+
+
+def test_cc_local_path_preserves_id_type(spark):
+    """Both CC paths must return the same schema for int32 ids: the
+    local finish used to hard-code bigint, a divergence selected
+    silently by edge count (r11 ADVICE)."""
+    from polars_gdal_spark.functions.dedup import connected_components
+
+    pairs32 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a int, doc_b int"
+    )
+    local = connected_components(pairs32)  # small -> local finish
+    loop = connected_components(pairs32, local_max_edges=0)  # forced loop
+    assert local.dtypes == loop.dtypes
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, loop.collect())
+    )
+
+
+def test_cc_local_gate_skips_non_integral_ids(spark):
+    """String ids must take the loop path (the numpy finish would
+    crash); the id TYPE must never change which inputs succeed."""
+    from polars_gdal_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = sorted(map(tuple, connected_components(pairs).collect()))
+    assert got == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    ]
