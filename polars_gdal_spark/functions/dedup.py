@@ -870,6 +870,28 @@ def _shingle_docarr(
     # shingles| / shuffle-partitions × 16 B (partition-count-sized at
     # any corpus scale, skew-free by construction). Measured
     # 15.9 → 9.3 s for the substrate build at sf10.
+    # Round 12: an Arrow-kernel rebuild of this substrate was built,
+    # measured and REJECTED at the full-row level (SCALE.md round 12
+    # has the complete numbers). Two mapInArrow kernels (per-partition
+    # np.unique df-count on a repartition(sh) — exact global df, since
+    # hash partitioning co-locates each shingle — then one sort_indices
+    # pass building the per-doc arrays) cut the ISOLATED substrate
+    # 12.4-12.8 → 7.5-7.6 s at sf10 (faster in all 5 alternating
+    # rounds) and were exceptAll-identical. But the full query rows got
+    # SLOWER (+6 s both ngram_jaccard and containment over 8 quiet-
+    # gated paired rounds): (a) MapInArrow reports no usable size
+    # statistic, so consumers planned against the unmaterialized docarr
+    # cache broadcast the 41M-row full-explode join sides (3 bogus
+    # BroadcastHashJoins, +17 s) unless an eager count() materializes
+    # the cache first — itself an extra full cache pass; (b) writing +
+    # re-reading the array-heavy cache through the Python row boundary
+    # costs what the removed shuffle+join saved; (c) mapInArrow loses
+    # the hash(doc) output-partitioning claim the groupBy provides, so
+    # both verify joins re-shuffle the array relation. Kernel-1-only
+    # (df attach; JVM array build kept) was a wash quiet (±2 s) and
+    # still needed the eager count. The driver benches at sf0.1 where a
+    # size gate would keep this JVM shape anyway — rejected rather than
+    # shipped as noise.
     # ceil() runs on floats; the 1e-9 bias only ever LENGTHENS the
     # prefix, which is always safe (a shortening would be a
     # false-negative bug).
