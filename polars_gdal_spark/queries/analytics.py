@@ -1252,8 +1252,9 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     part would pairwise-connect), while ≥2-order support keeps the edge
     set proportional to genuinely-correlated pairs and per-vertex
     degree bounded, so the wedge join never goes quadratic. Pair
-    generation groups the (order, part) self-join map-side (items per
-    order is bounded by basket size); the filtered edge set is small
+    generation collects each order's sorted distinct part basket in one
+    aggregation and emits (a < b) combinations map-side via chained
+    explodes (fan-out bounded by basket size); the filtered edge set is small
     enough that AQE broadcasts it into the wedge and closing joins at
     these scales — deliberately UNFORCED, since the edge set grows with
     the corpus and a pinned broadcast hint would OOM a 100× corpus
@@ -1262,32 +1263,60 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree still skews, swap the a<b orientation for degree-ordered
     orientation (out-degree ≤ √2m) — same output, bounded wedges."""
     t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey").dropDuplicates()
-    a, b = li.alias("a"), li.alias("b")
-    # the support count rides a SINGLE packed BIGINT key (pa << 31 |
-    # pb — the winnowing_pairs trick, round 10): ~100M generated pair
-    # rows reach this aggregation with mostly-unique keys, so partial
-    # aggregation cannot shrink the shuffle and every key byte counts;
-    # one long vs a two-field row measured 16.1 → 13.1 s for the edge
-    # leg at sf10 (identical edge set), ×3 legs since the pipeline is
-    # recomputed per leg (see below). Validity (0 ≤ id < 2^31) is
-    # asserted IN-PLAN per pair — out-of-range part ids fail loudly
-    # instead of colliding; assert_true returns NULL on success, and
-    # the `.isNull()` filter is never OR'd with a literal (which
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    # Pair generation emits per-BASKET combinations via the chained
+    # Generate pattern (round 12, VERDICT item 7 — the winnowing_pairs
+    # recipe applied to the co-purchase graph): ONE groupBy(l_orderkey)
+    # collect_set builds each order's sorted distinct part array, and
+    # two chained explodes (anchor index, strict suffix slice) emit
+    # every (a < b) pair map-side. This replaces the round-10 shape
+    # [dropDuplicates exchange → self-join exchange on l_orderkey →
+    # pair filter], which shuffled the 60M-row (order, part) relation
+    # TWICE before any pair existed; the basket agg pays one shuffle
+    # and generates pairs with zero further exchange. Pair relation
+    # proven exceptAll-identical both directions at sf1; full output
+    # exceptAll-identical at sf0.1/sf1. Same-JVM alternating A/B at
+    # sf10: pair stage [34.3, 41.6, 14.4] → [14.7, 17.8, 12.9] s, full
+    # row [17.5, 23.2, 14.6] → [15.1, 14.1, 14.0] s — faster in every
+    # round, dramatically so under host load (the self-join's large
+    # sort allocations also triggered GCLocker retry warnings that the
+    # basket shape does not). The guard keeps the round-10 contract:
+    # packed keys require ids in [0, 2^31), asserted on each sorted
+    # basket's bounds (assert_true returns NULL on success; the
+    # `.isNull()` filter is never OR'd with a literal, which
     # BooleanSimplification would fold away, deleting the guard).
+    # The support count still rides a SINGLE packed BIGINT key
+    # (pa << 31 | pb — round 10): ~100M generated pair rows reach the
+    # aggregation with mostly-unique keys, so partial aggregation
+    # cannot shrink the shuffle and every key byte counts.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     guard = F.expr(
-        "assert_true(a.l_partkey >= 0 AND b.l_partkey < 2147483648, "
+        "assert_true(size(ps) < 2 OR "
+        "(element_at(ps, 1) >= 0 AND element_at(ps, -1) < 2147483648), "
         "'graph_triangle_participation: packed pair keys require part "
         "ids in [0, 2^31)')"
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .where(guard.isNull())
+        baskets.where(guard.isNull())
+        .where(F.size("ps") >= 2)
+        .select(
+            "ps",
+            F.explode(F.sequence(F.lit(1), F.size("ps") - 1)).alias("_i"),
+        )
+        .select(
+            F.element_at("ps", F.col("_i")).alias("_a"),
+            F.explode(
+                F.slice(
+                    F.col("ps"), F.col("_i") + 1, F.size("ps") - F.col("_i")
+                )
+            ).alias("_b"),
+        )
         .select(
             (
-                F.shiftleft(F.col("a.l_partkey").cast("bigint"), 31)
-                + F.col("b.l_partkey").cast("bigint")
+                F.shiftleft(F.col("_a").cast("bigint"), 31)
+                + F.col("_b").cast("bigint")
             ).alias("pk")
         )
         .groupBy("pk")

@@ -141,3 +141,72 @@ def test_cc_local_gate_skips_non_integral_ids(spark):
     assert got == [
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
     ]
+
+
+def test_triangle_basket_pairs_match_self_join(spark):
+    """The round-12 basket-emit pair generator (collect_set + chained
+    explodes) must produce exactly the (a < b, count) relation of the
+    distinct self-join it replaced, including duplicate lineitem rows
+    collapsing per order and single-part orders emitting nothing."""
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 20), (1, 30), (1, 20),  # dup (1,20) collapses
+            (2, 20), (2, 10),                     # reversed insert order
+            (3, 40),                              # single part: no pairs
+            (4, 10), (4, 20),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    old = (
+        li.dropDuplicates().alias("a")
+        .join(li.dropDuplicates().alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            (F.shiftleft(F.col("a.l_partkey").cast("bigint"), 31)
+             + F.col("b.l_partkey").cast("bigint")).alias("pk"))
+        .groupBy("pk").agg(F.count("*").alias("c"))
+    )
+    new = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+        .select("ps", F.explode(
+            F.sequence(F.lit(1), F.size("ps") - 1)).alias("_i"))
+        .select(
+            F.element_at("ps", F.col("_i")).alias("_a"),
+            F.explode(F.slice(
+                F.col("ps"), F.col("_i") + 1,
+                F.size("ps") - F.col("_i"))).alias("_b"))
+        .select((F.shiftleft(F.col("_a").cast("bigint"), 31)
+                 + F.col("_b").cast("bigint")).alias("pk"))
+        .groupBy("pk").agg(F.count("*").alias("c"))
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    # (10, 20) co-occurs in orders 1, 2 and 4
+    got = {r["pk"]: r["c"] for r in new.collect()}
+    assert got[(10 << 31) + 20] == 3
+
+
+def test_triangle_basket_guard_rejects_out_of_range_ids(spark):
+    """The packed-key bound guard must still fail loudly when a basket
+    contains an id outside [0, 2^31) — the assert rides the sorted
+    array's bounds now, not per-pair columns."""
+    import pytest as _pytest
+
+    from polars_gdal_spark.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 2147483648)], "l_orderkey long, l_partkey long"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    guard = F.expr(
+        "assert_true(size(ps) < 2 OR (element_at(ps, 1) >= 0 AND "
+        "element_at(ps, -1) < 2147483648), 'packed pair keys require "
+        "part ids in [0, 2^31)')")
+    with _pytest.raises(Exception, match="packed pair keys"):
+        baskets.where(guard.isNull()).count()
