@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -315,13 +317,37 @@ def pairwise_cosine(
     cnts = base_in.groupBy(F.col(group_col).alias("_g")).agg(
         F.count("*").alias("_gn")
     )
+    joined = base_in.join(
+        F.broadcast(cnts),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+        "inner",
+    )
+    # Small groups take a BATCHED Arrow kernel instead of applyInPandas
+    # (round 12, VERDICT item 5): at production LSH sizing the expected
+    # bucket holds ~3-64 vectors, so ``groupBy().applyInPandas`` pays
+    # the per-group pandas/Arrow invocation cost (~ms) hundreds of
+    # thousands of times for microseconds of math — measured as
+    # effectively the whole sim_lsh_multitable row at sf10 (~9.5 of
+    # 10.4 s sits in the candidate machinery; the SRP keys are 0.9 s).
+    # One mapInArrow over per-group collected rows processes EVERY
+    # bucket in a batch with zero per-bucket Python: vectorized ragged
+    # (i < j) pair-index generation, one quantization per vector, and
+    # chunked gathered dot products. Values are bit-identical to the
+    # tile path (same floor(×QUANT) int64 quantization — int64 sums are
+    # exact in any order — and the same float64 division); groups are
+    # routed by SIZE, each unordered pair lands in exactly one path, so
+    # the union is the same pair set. Cutoff 16 (measured): ~3-doc
+    # buckets (sim_lsh_multitable's 2^16-bucket K/L layout) win 14.7 →
+    # 8.4-9.3 s at sf10, while ~49-doc buckets (sim_lsh_bucketed's
+    # 4096-bucket layout) LOSE on the flat path (4.5 → 9.0 s — the
+    # nested list<struct<id, vec>> rows through the Arrow boundary and
+    # the struct array_sort cost more than 4096 pandas invocations), so
+    # they stay tiled. Data-derived, never core-count; env-overridable
+    # so tests pin both paths (0 disables the flat path entirely).
+    flat_max = int(os.environ.get("SPARK_GRAFT_PAIRWISE_FLAT_MAX", "16"))
+    flat_max = min(flat_max, cap)  # a flat group must fit one tile
     exploded = (
-        base_in
-        .join(
-            F.broadcast(cnts),
-            F.col(group_col).eqNullSafe(F.col("_g")),
-            "inner",
-        )
+        joined.where(F.col("_gn") > flat_max)
         .withColumn(
             "_m",
             F.greatest(
@@ -341,9 +367,117 @@ def pairwise_cosine(
             F.greatest("_ck", "_o").alias("_cj"),
         )
     )
-    return exploded.groupBy(group_col, "_ci", "_cj").applyInPandas(
+    tiled = exploded.groupBy(group_col, "_ci", "_cj").applyInPandas(
         tile_gemm, out_schema
     )
+    if flat_max < 2:
+        return tiled
+
+    quant_f = float(QUANT)
+
+    def bucket_pairs(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            g = b.column(0)
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            offs = g.offsets.to_numpy().astype(np.int64)
+            offs = offs - offs[0]
+            vals = g.flatten()
+            nrows = len(vals)
+            if nrows == 0:
+                continue
+            ids = vals.field("i")
+            vecs = vals.field("v")
+            if vecs.null_count:
+                raise ValueError(
+                    "pairwise_cosine flat kernel: NULL vectors must be "
+                    "filtered before grouping"
+                )
+            voffs = vecs.offsets.to_numpy().astype(np.int64)
+            vlens = np.diff(voffs)
+            d = int(vlens[0]) if nrows else 0
+            if not (vlens == d).all():
+                raise ValueError(
+                    "pairwise_cosine flat kernel: ragged embedding "
+                    "dimensions within one batch"
+                )
+            fv = vecs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            M = np.floor(fv * quant_f).astype(np.int64).reshape(nrows, d)
+            nrm = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+            sizes = np.diff(offs)
+            anch_cnt = np.maximum(sizes - 1, 0)
+            tot_anch = int(anch_cnt.sum())
+            if tot_anch == 0:
+                continue
+            # anchors: for bucket k, local positions 0..s_k-2; partners
+            # are the strict suffix — every (i < j) pair exactly once,
+            # in the id-ascending order array_sort established
+            bkt = np.repeat(np.arange(len(sizes)), anch_cnt)
+            a_loc = np.arange(tot_anch) - np.repeat(
+                np.cumsum(np.append(0, anch_cnt[:-1])), anch_cnt
+            )
+            run = (sizes[bkt] - 1 - a_loc).astype(np.int64)
+            tot = int(run.sum())
+            a_glob = offs[:-1][bkt] + a_loc
+            ia = np.repeat(a_glob, run)
+            ib = np.repeat(a_glob + 1, run) + (
+                np.arange(tot)
+                - np.repeat(np.cumsum(np.append(0, run[:-1])), run)
+            )
+            out_ia, out_ib, out_cos = [], [], []
+            # chunk the gathered temporaries (two chunk×d int64 copies)
+            step = 262144
+            with np.errstate(invalid="ignore", divide="ignore"):
+                for s in range(0, tot, step):
+                    sl = slice(s, min(s + step, tot))
+                    dots = np.einsum("ij,ij->i", M[ia[sl]], M[ib[sl]])
+                    cos = dots.astype(np.float64) / (
+                        nrm[ia[sl]] * nrm[ib[sl]]
+                    )
+                    keep = cos >= thr  # NaN (zero-norm) drops, like tile
+                    if keep.any():
+                        out_ia.append(ia[sl][keep])
+                        out_ib.append(ib[sl][keep])
+                        out_cos.append(cos[keep])
+            if not out_ia:
+                continue
+            ka = np.concatenate(out_ia)
+            kb = np.concatenate(out_ib)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(ka)),
+                    ids.take(pa.array(kb)),
+                    pa.array(np.concatenate(out_cos), type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "cosine"],
+            )
+
+    grouped = (
+        joined.where(
+            (F.col("_gn") <= flat_max) & F.col(vec_col).isNotNull()
+        )
+        .groupBy(F.col(group_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+                    )
+                )
+            ).alias("g")
+        )
+        .where(F.size("g") >= 2)
+        .select("g")
+    )
+    flat = grouped.mapInArrow(bucket_pairs, out_schema)
+    return tiled.unionByName(flat)
 
 
 def ivf_assign(

@@ -210,3 +210,89 @@ def test_triangle_basket_guard_rejects_out_of_range_ids(spark):
         "part ids in [0, 2^31)')")
     with _pytest.raises(Exception, match="packed pair keys"):
         baskets.where(guard.isNull()).count()
+
+
+def test_pairwise_cosine_flat_kernel_matches_tile_path(spark, monkeypatch):
+    """The round-12 batched bucket kernel (small groups routed through
+    one mapInArrow with vectorized ragged pair generation) must produce
+    exactly the tile path's rows — including NaN-norm drops, NULL
+    vectors, NULL group keys, duplicate-free orientation and the
+    threshold filter — with bit-identical cosines."""
+    from polars_gdal_spark.functions.similarity import pairwise_cosine
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),
+        (3, [0.0, 1.0, 0.0], "a"),
+        (4, [0.0, 0.0, 0.0], "a"),      # zero norm: NaN cosine, dropped
+        (5, None, "a"),                  # NULL vector: dropped
+        (6, [0.5, 0.5, 0.0], None),     # NULL group key
+        (7, [0.5, 0.5, 0.1], None),
+        (8, [1.0, 1.0, 1.0], "solo"),   # single-member group: no pairs
+        (9, [0.2, 0.9, 0.3], "b"),
+        (10, [0.2, 0.9, 0.31], "b"),
+        (11, [-0.2, -0.9, -0.3], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                pairwise_cosine(
+                    df, group_col="label", threshold=0.3
+                ).collect(),
+            )
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIRWISE_FLAT_MAX", "0")
+    tile = run()
+    monkeypatch.setenv("SPARK_GRAFT_PAIRWISE_FLAT_MAX", "128")
+    flat = run()
+    assert tile == flat
+    assert len(flat) > 0
+
+
+def test_pairwise_cosine_flat_routing_splits_by_group_size(spark, monkeypatch):
+    """Groups above the flat cutoff must keep the tile path and groups
+    below it the kernel, with the UNION equal to the all-tile result —
+    each unordered pair lands in exactly one path."""
+    import random
+
+    from polars_gdal_spark.functions.similarity import pairwise_cosine
+
+    rng = random.Random(7)
+    rows = []
+    for gid, size in (("big", 9), ("small", 4), ("tiny", 2)):
+        for i in range(size):
+            rows.append(
+                (
+                    len(rows),
+                    [rng.uniform(-1, 1) for _ in range(8)],
+                    gid,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                pairwise_cosine(
+                    df, group_col="label", threshold=-1.0
+                ).collect(),
+            )
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIRWISE_FLAT_MAX", "0")
+    tile = run()
+    # cutoff 5: "big" (9) stays tiled, "small"/"tiny" take the kernel
+    monkeypatch.setenv("SPARK_GRAFT_PAIRWISE_FLAT_MAX", "5")
+    mixed = run()
+    assert tile == mixed
+    # every pair present exactly once: 36 + 6 + 1
+    assert len(mixed) == 43
